@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core operator inventory: filters (SURVEY.md §2.3), dedup + aggregation
+  * (§2.4), sorts/limits/union (§2.6), exercised on the driver testdata.
+  *
+  * Role mapping (FIXTURES.md §B): `events(ts, user_id, event_type)` plays the
+  * sourcelog `(timestamp_ms, hash, source)` role; `orders`/`lineitem` play
+  * transactions ↔ enrichment.
+  */
+object Core {
+
+  /** Exact decimal sum of a double column, exposed as double: order-of-
+    * summation independent, so Spark and DuckDB agree bit-for-bit. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  private val dec = "DECIMAL(18,4)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ── Aggregation pack ────────────────────────────────────────────────
+
+    // A6-A8 analyzer shape (common/analyzer.go:83-95): grouped counts, byte
+    // sums and value sums per category — TPC-H Q1 pricing-summary form.
+    "q_agg_pricing" -> QueryDef.sql(
+      "A6-A8: grouped count/sum aggregate pack (hash partial+final agg)",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS $dec)) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS $dec)) AS DOUBLE) AS sum_base,
+         |  CAST(SUM(CAST(l_extendedprice AS $dec) * (CAST(1 AS $dec) - CAST(l_discount AS $dec))) AS DOUBLE) AS sum_disc,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+            .cast("double").as("sum_disc"),
+          count(lit(1)).as("n"))
+    },
+
+    // A2 sourcelog dedup (common/sourcelog.go:52-62): earliest ts per
+    // (hash, source) → (user_id, event_type).
+    "q_dedup_earliest" -> QueryDef.sql(
+      "A2: earliest-wins dedup per (key, source)",
+      """SELECT user_id, event_type, min(ts) AS first_ts, COUNT(*) AS n_seen
+        |FROM events GROUP BY user_id, event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(min("ts").as("first_ts"), count(lit(1)).as("n_seen"))
+    },
+
+    // A1 tx dedup (common/txsfile.go:121-129): first record wins for the
+    // payload, timestamp lowered to the earliest duplicate. min(struct) is a
+    // single partial+final hash agg — no window shuffle+sort needed; tie-break
+    // by unique event_id keeps it deterministic for the oracle.
+    "q_dedup_first_payload" -> QueryDef.sql(
+      "A1: earliest-record-wins dedup keeping whole payload (min_by struct)",
+      """SELECT user_id, ts AS first_ts, event_id, event_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"))
+        .select(col("user_id"), col("f.ts").as("first_ts"),
+          col("f.event_id"), col("f.event_type"))
+    },
+
+    // A6: unique-key count (common/analyzer.go:83).
+    "q_count_distinct" -> QueryDef.sql(
+      "A6: exact distinct count over the event stream",
+      "SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events") { (s, dir) =>
+      Tables.events(s, dir)
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+    },
+
+    // A7: included vs not-included conditional counts (common/analyzer.go:87-91).
+    "q_conditional_counts" -> QueryDef.sql(
+      "A7: conditional sum(case when) counts per flag",
+      """SELECT
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_included,
+        |  CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("n_included"),
+        sum(when(col("o_orderstatus") =!= "F", 1).otherwise(0)).cast("long").as("n_pending"))
+    },
+
+    // A8: count + byte volume per type (common/analyzer.go:93-95).
+    "q_type_bytes" -> QueryDef.sql(
+      "A8: per-type row count and payload byte sum",
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(length(props)) AS BIGINT) AS bytes
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(length(col("props"))).cast("long").as("bytes"))
+    },
+
+    // A9-A10: explode(sources) → count per source (common/analyzer.go:97-108).
+    // Array built per key with collect_set, then exploded — the same DAG the
+    // mempool `sources` column flows through.
+    "q_explode_sources" -> QueryDef.sql(
+      "A9-A10: per-source counts via collect_set + explode",
+      """SELECT event_type AS src, COUNT(*) AS n_keys
+        |FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY src""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id").agg(collect_set("event_type").as("sources"))
+        .select(explode(col("sources")).as("src"))
+        .groupBy("src").agg(count(lit(1)).as("n_keys"))
+    },
+
+    // A11: exclusive-orderflow — keys seen by exactly one source
+    // (common/analyzer.go:109-122): size(sources)==1 → element_at. Keyed on
+    // (user, day) so exclusivity actually occurs in the testdata.
+    "q_xof_exclusive" -> QueryDef.sql(
+      "A11: exclusive-source keys (size(sources)=1, element_at)",
+      """SELECT src, COUNT(*) AS n_exclusive FROM (
+        |  SELECT user_id, date_trunc('day', ts) AS day, min(event_type) AS src FROM events
+        |  GROUP BY user_id, day HAVING COUNT(DISTINCT event_type) = 1)
+        |GROUP BY src""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sort_array(collect_set("event_type")).as("sources"))
+        .filter(size(col("sources")) === 1)
+        .select(element_at(col("sources"), 1).as("src"))
+        .groupBy("src").agg(count(lit(1)).as("n_exclusive"))
+    },
+
+    // A12: first/last timestamp + duration (common/analyzer.go:126-137).
+    "q_minmax_duration" -> QueryDef.sql(
+      "A12: global min/max event time and duration in ms",
+      """SELECT min(ts) AS first_seen, max(ts) AS last_seen,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration_ms,
+        |  COUNT(*) AS n
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).agg(
+        min("ts").as("first_seen"), max("ts").as("last_seen"),
+        expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000").as("duration_ms"),
+        count(lit(1)).as("n"))
+    },
+
+    // A13-A14: tumbling per-minute counters (collector/tx_processor.go:530-550)
+    // as a batch query: date_trunc minute buckets.
+    "q_window_minute" -> QueryDef.sql(
+      "A13-A14: per-minute tumbling counts + exact uniques",
+      """SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY minute""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+    },
+
+    // ── Filters ─────────────────────────────────────────────────────────
+
+    // F1 already-included filter (common/txsummary.go:84-87): compound
+    // NOT(a AND b) predicate, pushed to the parquet scan.
+    "q_filter_threshold" -> QueryDef.sql(
+      "F1: compound NOT(a>x AND b<=y) discard filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE NOT (l_quantity > 45 AND l_discount <= 0.01)""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(!(col("l_quantity") > 45 && col("l_discount") <= 0.01))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    },
+
+    // F2 validation reason chain (collector/tx_processor.go:355-416): a
+    // when()-chain assigns the first failing reason; nulls = valid rows.
+    "q_validate_reasons" -> QueryDef.sql(
+      "F2: validation when-chain → reason side-channel counts",
+      """SELECT COALESCE(CASE
+        |    WHEN o_totalprice < 1000 THEN 'low value'
+        |    WHEN o_orderpriority = '5-LOW' THEN 'low priority'
+        |    WHEN o_orderstatus = 'P' THEN 'pending'
+        |    END, 'ok') AS reason, COUNT(*) AS n
+        |FROM orders GROUP BY reason""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("reason", coalesce(
+          when(col("o_totalprice") < 1000, "low value")
+            .when(col("o_orderpriority") === "5-LOW", "low priority")
+            .when(col("o_orderstatus") === "P", "pending"),
+          lit("ok")))
+        .groupBy("reason").agg(count(lit(1)).as("n"))
+    },
+
+    // F4/F6: source allowlist via IN (collector/tx_processor.go:178-181).
+    "q_filter_allowlist" -> QueryDef.sql(
+      "F4: isin allowlist filter + group count",
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |WHERE event_type IN ('click', 'view', 'purchase') GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    },
+
+    // F6 array predicates (README.md:113-137): has(sources, x),
+    // hasAll(sources, [..]), size(sources)=1 — on per-key collect_set arrays.
+    "q_array_predicates" -> QueryDef.sql(
+      "F6: array_contains / hasAll / size predicates over sources arrays",
+      """SELECT
+        |  CAST(SUM(CASE WHEN has_click THEN 1 ELSE 0 END) AS BIGINT) AS n_has,
+        |  CAST(SUM(CASE WHEN has_click AND has_view THEN 1 ELSE 0 END) AS BIGINT) AS n_has_all,
+        |  CAST(SUM(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive
+        |FROM (
+        |  SELECT user_id,
+        |    bool_or(event_type = 'click') AS has_click,
+        |    bool_or(event_type = 'view') AS has_view,
+        |    COUNT(DISTINCT event_type) AS n_src
+        |  FROM events GROUP BY user_id)""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id").agg(collect_set("event_type").as("sources"))
+        .agg(
+          sum(when(array_contains(col("sources"), "click"), 1).otherwise(0))
+            .cast("long").as("n_has"),
+          sum(when(size(array_except(typedLit(Seq("click", "view")), col("sources"))) === 0, 1)
+            .otherwise(0)).cast("long").as("n_has_all"),
+          sum(when(size(col("sources")) === 1, 1).otherwise(0)).cast("long").as("n_exclusive"))
+    },
+
+    // P10/P11-style projection: regex extraction + cast from the raw props
+    // payload (the reference's CSV field parsing, common/txsfile.go:107-112).
+    "q_regex_extract" -> QueryDef.sql(
+      "P10/P11: regex extract + cast + validity filter",
+      """SELECT k_bucket, COUNT(*) AS n FROM (
+        |  SELECT CAST(regexp_extract(props, 'k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket
+        |  FROM events) WHERE k_bucket IS NOT NULL GROUP BY k_bucket""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select((regexp_extract(col("props"), "k\": (\\d+)", 1).cast("long") % 10).as("k_bucket"))
+        .filter(col("k_bucket").isNotNull)
+        .groupBy("k_bucket").agg(count(lit(1)).as("n"))
+    },
+
+    // ── Sorts / limits / union ──────────────────────────────────────────
+
+    // O1+O5+O7: global sort + limit with deterministic tie-break
+    // (cmd/merge/transactions.go:153-161).
+    "q_sort_topk" -> QueryDef.sql(
+      "O1/O5: global order-by with unique tie-break + limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(25)
+    },
+
+    // O6: multi-input union + distinct (common/fileutils.go:50-60 →
+    // UNION ALL then dedup-by-key).
+    "q_union_distinct" -> QueryDef.sql(
+      "O6: union of two inputs + distinct",
+      """SELECT o_custkey AS key FROM orders
+        |UNION SELECT c_custkey AS key FROM customer""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).select(col("o_custkey").as("key"))
+        .union(Tables.customer(s, dir).select(col("c_custkey").as("key")))
+        .distinct()
+    }
+  )
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Join inventory (SURVEY.md §2.5): sources-attach (J1), blacklist anti-join
+  * (J2), enrichment join + delay quantiles (J3 + A15), source-pair
+  * comparison self-join (J5), and a broadcast dim chain.
+  *
+  * All reference joins are hash-equi on the key; small sides are broadcast
+  * so the big fact table never shuffles for them.
+  */
+object Joins {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // J1 sources-attach (cmd/merge/transactions.go:111-136): per key, the
+    // matching detail rows sorted by (ts, id) projected into an ordered list.
+    // Spark shape: aggregate detail side first (partial agg before the
+    // shuffle), left-join onto the fact — string-joined for oracle parity.
+    "q_join_sources_attach" -> QueryDef.sql(
+      "J1: left join + collect_list/sort_array ordered sources attach",
+      """SELECT o.o_orderkey, o.o_orderstatus, l.items, l.n_items FROM orders o
+        |LEFT JOIN (
+        |  SELECT l_orderkey,
+        |    string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_shipdate, l_linenumber) AS items,
+        |    COUNT(*) AS n_items
+        |  FROM lineitem GROUP BY l_orderkey) l
+        |ON o.o_orderkey = l.l_orderkey""".stripMargin) { (s, dir) =>
+      val items = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(
+          concat_ws(",",
+            transform(
+              array_sort(collect_list(struct(col("l_shipdate"), col("l_linenumber")))),
+              x => x.getField("l_linenumber").cast("string"))).as("items"),
+          count(lit(1)).as("n_items"))
+      Tables.orders(s, dir)
+        .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+        .select("o_orderkey", "o_orderstatus", "items", "n_items")
+    },
+
+    // J2 blacklist anti-join (common/txsfile.go:115-119): drop keys present
+    // in the blacklist side; the distinct key set is broadcast.
+    "q_join_anti" -> QueryDef.sql(
+      "J2: left_anti (NOT EXISTS) blacklist join, broadcast build side",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin) { (s, dir) =>
+      val blacklist = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      Tables.customer(s, dir)
+        .join(broadcast(blacklist), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // J3 inclusion-status enrichment join + P13 delay derivation + A15
+    // quantiles (cmd/merge/inclusioncheck.go:92-117, README.md:134): join the
+    // fact to its "block" dim, derive the delay, aggregate exact quantiles.
+    "q_join_enrich_delay" -> QueryDef.sql(
+      "J3+P13+A15: enrichment join, delay derivation, exact quantiles",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  round(avg(delay_days), 6) AS avg_delay,
+        |  round(quantile_cont(delay_days, 0.5), 6) AS p50,
+        |  round(quantile_cont(delay_days, 0.9), 6) AS p90,
+        |  round(quantile_cont(delay_days, 0.99), 6) AS p99
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val joined = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+            .as("delay_days"))
+      joined.groupBy("o_orderpriority").agg(
+        count(lit(1)).as("n"),
+        round(avg("delay_days"), 6).as("avg_delay"),
+        round(expr("percentile(delay_days, 0.5)"), 6).as("p50"),
+        round(expr("percentile(delay_days, 0.9)"), 6).as("p90"),
+        round(expr("percentile(delay_days, 0.99)"), 6).as("p99"))
+    },
+
+    // J5 source-comparison pairs (common/types.go:32-60): latency of source A
+    // vs source B per key — self-join of the per-(key,source) earliest-ts agg.
+    "q_join_pairs" -> QueryDef.sql(
+      "J5: self-join pairwise source latency comparison",
+      """SELECT a.user_id, (epoch_us(b.first_ts) - epoch_us(a.first_ts)) // 1000 AS delta_ms
+        |FROM (SELECT user_id, min(ts) AS first_ts FROM events WHERE event_type = 'click' GROUP BY user_id) a
+        |JOIN (SELECT user_id, min(ts) AS first_ts FROM events WHERE event_type = 'view' GROUP BY user_id) b
+        |ON a.user_id = b.user_id""".stripMargin) { (s, dir) =>
+      val sl = Tables.events(s, dir)
+      def firstSeen(src: String) = sl.filter(col("event_type") === src)
+        .groupBy("user_id").agg(min("ts").as("first_ts"))
+      val a = firstSeen("click").as("a")
+      val b = firstSeen("view").as("b")
+      a.join(b, col("a.user_id") === col("b.user_id"))
+        .select(col("a.user_id").as("user_id"),
+          expr("(unix_micros(b.first_ts) - unix_micros(a.first_ts)) div 1000").as("delta_ms"))
+    },
+
+    // P5-style normalization via a broadcast dim chain: fact → nation →
+    // region (the small-dim lookup the reference does with an in-memory map,
+    // common/consts.go:27-42).
+    "q_join_dim_chain" -> QueryDef.sql(
+      "P5: broadcast dim-chain lookup join + rollup count",
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(DecimalType(18, 4))).cast("double").as("sum_bal"))
+    }
+  )
+}
