@@ -16,7 +16,8 @@ object SparkEntry {
     ListMap.empty[String, QueryDef] ++
       graft.queries.Core.defs ++
       graft.queries.Joins.defs ++
-      graft.queries.Mempool.defs
+      graft.queries.Mempool.defs ++
+      graft.queries.MempoolParse.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,111 @@
+package graft.jobs
+
+import graft.functions.ParseTx
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship batch job (SURVEY.md §3.1; cmd/merge/transactions.go:22-185)
+  * as one declarative Spark DAG:
+  *
+  *   raw tx CSVs ─ validate (P11) ─ dedup earliest-wins on RAW rows (A1)
+  *      ─ blacklist anti-join (J2) ─ parse_raw_tx (P1) ─ split valid/trash (F2)
+  *      ─ sources-attach (J1/A2/O3) ─ inclusion enrich (J3/P13)
+  *      ─ already-included filter (F1) ─ global sort (O1)
+  *
+  * Scale notes (100 TB design):
+  *  - dedup + anti-join run on the cheap 3-column raw rows BEFORE the
+  *    expensive parse UDF (§4.1 design rule — Catalyst cannot reorder
+  *    through a non-deterministic-looking UDF, so the DAG orders it);
+  *  - the two aggregations (tx dedup, sourcelog dedup) and the attach join
+  *    all hash-partition on `hash`, so AQE coalesces into one co-located
+  *    exchange chain; blacklist and blocks are broadcast dims;
+  *  - the final sort is a range-partitioned total order (SortExec spills).
+  */
+object Merge {
+
+  val TxAlreadyIncludedThresholdMs = 12000L // common/consts.go:23-24
+
+  final case class Inputs(
+      rawTxs: DataFrame, // timestamp_ms LONG, hash STRING, raw_tx_hex STRING
+      sourcelog: DataFrame, // timestamp_ms LONG, hash STRING, source STRING
+      blacklist: Option[DataFrame] = None, // hash STRING
+      blocks: Option[DataFrame] = None) // hash STRING, block_number LONG, block_ts_ms LONG
+
+  final case class Output(transactions: DataFrame, trash: DataFrame)
+
+  /** P11 hash validity (common/sourcelog.go:41-48). */
+  def validHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    length(c) === 66 && c.rlike("^0x[0-9a-f]{64}$")
+
+  def run(spark: SparkSession, in: Inputs): Output = {
+    // ── validate + dedup raw rows (F3, A1) ────────────────────────────
+    val raw = in.rawTxs
+      .withColumn("hash", lower(col("hash")))
+      .filter(validHash(col("hash")) && col("timestamp_ms").isNotNull)
+    val deduped = raw
+      .groupBy("hash")
+      .agg(min(struct(col("timestamp_ms"), col("raw_tx_hex"))).as("f"))
+      .select(col("hash"), col("f.timestamp_ms").as("timestamp_ms"),
+        col("f.raw_tx_hex").as("raw_tx_hex"))
+
+    // ── blacklist anti-join before the parse (J2) ─────────────────────
+    val fresh = in.blacklist match {
+      case Some(bl) =>
+        val blNorm = bl.select(lower(col("hash")).as("hash")).distinct()
+        deduped.join(broadcast(blNorm), Seq("hash"), "left_anti")
+      case None => deduped
+    }
+
+    // ── parse (P1) + validation split (F2) ────────────────────────────
+    val parsed = ParseTx.project(fresh.drop("hash")).cache()
+    val valid = parsed.filter(col("reason").isNull).drop("reason")
+    val trash = parsed.filter(col("reason").isNotNull)
+      .select(col("timestamp").as("timestamp_ms"), col("hash"),
+        lit("merge").as("source"), col("reason"), lit("").as("notes"))
+
+    // ── sources attach (A2 dedup → J1 join, O3 order) ─────────────────
+    val sourcesByHash = in.sourcelog
+      .withColumn("hash", lower(col("hash")))
+      .filter(validHash(col("hash")))
+      .groupBy("hash", "source").agg(min("timestamp_ms").as("first_ts")) // A2
+      .groupBy("hash")
+      .agg(transform(
+        array_sort(collect_list(struct(col("first_ts"), col("source")))),
+        x => x.getField("source")).as("sources"))
+
+    val withSources = valid
+      .join(sourcesByHash, Seq("hash"), "left")
+      .withColumn("sources", coalesce(col("sources"), array()))
+
+    // ── inclusion enrichment (J3) + delay (P13) ───────────────────────
+    val enriched = in.blocks match {
+      case Some(blocks) =>
+        val dim = blocks.select(lower(col("hash")).as("hash"),
+          col("block_number"), col("block_ts_ms"))
+        withSources.join(broadcast(dim), Seq("hash"), "left")
+          .withColumn("includedAtBlockHeight", coalesce(col("block_number"), lit(0L)))
+          .withColumn("includedBlockTimestamp", coalesce(col("block_ts_ms"), lit(0L)))
+          .withColumn("inclusionDelayMs",
+            when(col("block_ts_ms").isNotNull, col("block_ts_ms") - col("timestamp"))
+              .otherwise(lit(0L)))
+          .drop("block_number", "block_ts_ms")
+      case None =>
+        withSources
+          .withColumn("includedAtBlockHeight", lit(0L))
+          .withColumn("includedBlockTimestamp", lit(0L))
+          .withColumn("inclusionDelayMs", lit(0L))
+    }
+
+    // ── F1 discard + O1 global sort, reference column order ───────────
+    val out = enriched
+      .filter(!(col("includedAtBlockHeight") > 0 &&
+        col("inclusionDelayMs") <= -TxAlreadyIncludedThresholdMs))
+      .select("timestamp", "hash", "chainId", "txType", "from", "to", "value",
+        "nonce", "gas", "gasPrice", "gasTipCap", "gasFeeCap", "dataSize",
+        "data4Bytes", "sources", "includedAtBlockHeight",
+        "includedBlockTimestamp", "inclusionDelayMs", "rawTx")
+      .orderBy("timestamp")
+
+    Output(out, trash)
+  }
+}

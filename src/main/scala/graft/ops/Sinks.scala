@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Output writers in the reference's published layouts (SURVEY.md §2.1
+  * S11-S15): Parquet archive (GZIP, 128 MiB row groups, 1 MiB pages —
+  * cmd/merge/transactions.go:226-230), metadata CSV (18 frozen columns,
+  * sources space-joined — common/txsummary.go:17-36,104), sourcelog/trash
+  * CSVs, and the hourly-bucketed streaming layout (S15).
+  */
+object Sinks {
+
+  /** S11: sorted Parquet archive with the reference's physical layout. */
+  def writeParquetArchive(txs: DataFrame, path: String): Unit =
+    txs.write
+      .option("compression", "gzip")
+      .option("parquet.block.size", (128L * 1024 * 1024).toString)
+      .option("parquet.page.size", (1024 * 1024).toString)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** The frozen metadata CSV column order (common/txsummary.go:17-36). */
+  val MetadataCsvColumns: Seq[String] = Seq(
+    "timestamp_ms", "hash", "chain_id", "from", "to", "value", "nonce",
+    "gas", "gas_price", "gas_tip_cap", "gas_fee_cap", "data_size",
+    "data_4bytes", "sources", "included_at_block_height",
+    "included_block_timestamp_ms", "inclusion_delay_ms", "tx_type")
+
+  /** S12: metadata CSV — no rawTx, epoch-ms timestamps, space-joined
+    * sources (common/txsummary.go:89-110). */
+  def writeMetadataCsv(txs: DataFrame, path: String): Unit =
+    txs.select(
+      col("timestamp").cast("long").as("timestamp_ms"),
+      col("hash"),
+      col("chainId").as("chain_id"),
+      col("from"), col("to"), col("value"), col("nonce"), col("gas"),
+      col("gasPrice").as("gas_price"),
+      col("gasTipCap").as("gas_tip_cap"),
+      col("gasFeeCap").as("gas_fee_cap"),
+      col("dataSize").as("data_size"),
+      col("data4Bytes").as("data_4bytes"),
+      concat_ws(" ", col("sources")).as("sources"),
+      col("includedAtBlockHeight").as("included_at_block_height"),
+      col("includedBlockTimestamp").as("included_block_timestamp_ms"),
+      col("inclusionDelayMs").as("inclusion_delay_ms"),
+      col("txType").as("tx_type"))
+      .write.option("header", "true").mode("overwrite").csv(path)
+
+  /** S12: sourcelog CSV, ts-sorted (cmd/merge/sourcelog.go:64-108). */
+  def writeSourcelogCsv(sourcelog: DataFrame, path: String): Unit =
+    sourcelog.select("timestamp_ms", "hash", "source")
+      .orderBy("timestamp_ms")
+      .write.option("header", "true").mode("overwrite").csv(path)
+
+  /** S12: trash CSV (cmd/merge/trash.go:64-108). */
+  def writeTrashCsv(trash: DataFrame, path: String): Unit =
+    trash.select("timestamp_ms", "hash", "source", "reason", "notes")
+      .orderBy("timestamp_ms")
+      .write.option("header", "true").mode("overwrite").csv(path)
+
+  /** S15: hourly-bucketed file layout (collector/tx_processor.go:419-489):
+    * dirs keyed by date + hour via partitionBy — the batch shape of the
+    * collector's `timestamp/3600` bucketing. */
+  def writeHourlyBucketed(df: DataFrame, tsCol: String, path: String): Unit =
+    df
+      .withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col(tsCol), "HH"))
+      .write.partitionBy("date", "hour")
+      .option("header", "true").mode("overwrite").csv(path)
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.{ParseTx, TxFixtures}
+import graft.jobs.Merge
+import graft.ops.Analyze
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parse-UDF and end-to-end merge-job queries over deterministic synthetic
+  * mempool data (no DuckDB oracle — keccak/secp256k1 are not SQL; the
+  * driver records rows-only checks, and golden-vector correctness lives in
+  * EthTxSpec).
+  */
+object MempoolParse {
+
+  /** Rows scale with the sf dir so bench tracks parse throughput. */
+  def nFor(dir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    math.max(2000L, math.min(200000L, (sf * 1000000L).toLong))
+  }
+
+  def rawTxs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(nFor(dir)).as[Long].mapPartitions(_.map(TxFixtures.rawRow))
+      .toDF("timestamp_ms", "hash", "raw_tx_hex")
+  }
+
+  def sourcelog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(nFor(dir)).as[Long].mapPartitions(_.flatMap(TxFixtures.sourcelogRows))
+      .toDF("timestamp_ms", "hash", "source")
+  }
+
+  /** Synthetic blocks dim: ~1/4 of txs included; some with negative delay
+    * beyond the −12 s threshold to exercise the F1 discard. */
+  def blocks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(nFor(dir)).as[Long].filter((i: Long) => i % 4 == 0).mapPartitions(_.map { i: Long =>
+      val (ts, hash, _) = TxFixtures.rawRow(i)
+      val delta = if (i % 12 == 4) -20000L else 4000L + (i % 2000)
+      (hash, 18000000L + i / 100, ts + delta)
+    }).toDF("hash", "block_number", "block_ts_ms")
+  }
+
+  def mergeOutput(s: SparkSession, dir: String): Merge.Output =
+    Merge.run(s, Merge.Inputs(
+      rawTxs = rawTxs(s, dir),
+      sourcelog = sourcelog(s, dir),
+      blacklist = Some(rawTxs(s, dir).filter(col("timestamp_ms") % 31 === 0).select("hash")),
+      blocks = Some(blocks(s, dir))))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // P1/P2/P3: the core RLP+keccak+secp256k1 projection.
+    "q_parse_raw_tx" -> QueryDef.rowsOnly(
+      "P1: parse_raw_tx UDF — RLP decode, keccak hash, sender recovery") { (s, dir) =>
+      ParseTx.project(rawTxs(s, dir))
+        .drop("rawTx") // binary column: keep the dump light
+    },
+
+    // §3.1 flagship end-to-end merge DAG on synthetic mempool data.
+    "q_mempool_merge" -> QueryDef.rowsOnly(
+      "§3.1 merge job end-to-end: dedup, anti-join, parse, attach, enrich, F1, sort") { (s, dir) =>
+      mergeOutput(s, dir).transactions.drop("rawTx")
+    },
+
+    // F2 trash side-output of the same run.
+    "q_mempool_trash" -> QueryDef.rowsOnly(
+      "F2: validation-reject side output (trash) of the merge job") { (s, dir) =>
+      mergeOutput(s, dir).trash
+    },
+
+    // §3.2 analyzer per-source stats on the merged archive.
+    "q_mempool_analyze" -> QueryDef.rowsOnly(
+      "§3.2 analyzer: per-source landed/exclusive aggregate pack") { (s, dir) =>
+      Analyze.perSourceStats(mergeOutput(s, dir).transactions)
+    }
+  )
+}

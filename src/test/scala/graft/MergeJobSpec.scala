@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.TxFixtures
+import graft.jobs.Merge
+import graft.ops.{Analyze, Sinks}
+import graft.queries.MempoolParse
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end merge-job semantics on deterministic synthetic mempool data. */
+class MergeJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001" // only used for scaling (n=2000)
+
+  private lazy val out = MempoolParse.mergeOutput(spark, dir)
+  private lazy val txs = out.transactions.cache()
+
+  test("dedup: output hashes are unique and earliest timestamp wins") {
+    val n = txs.count()
+    assert(n > 0)
+    assert(txs.select("hash").distinct().count() == n)
+    // duplicate rows (i%10==9) have a later ts; the kept ts must be the base one
+    val withDup = TxFixtures.rawRow(9) // duplicates row 0 at later ts
+    val base = TxFixtures.rawRow(0)
+    assert(withDup._2 == base._2 && withDup._1 > base._1)
+    val kept = txs.filter(col("hash") === base._2)
+      .select(col("timestamp").cast("long")).collect()
+    kept.foreach(r => assert(r.getLong(0) == base._1))
+  }
+
+  test("blacklisted hashes are absent") {
+    val bl = MempoolParse.rawTxs(spark, dir)
+      .filter(col("timestamp_ms") % 31 === 0).select("hash")
+    assert(txs.join(bl, Seq("hash"), "left_semi").count() == 0)
+  }
+
+  test("trash holds invalid-signature rows with reasons") {
+    val trash = out.trash
+    assert(trash.count() > 0)
+    val reasons = trash.select("reason").distinct().collect().map(_.getString(0)).toSet
+    assert(reasons.contains("signature-error"))
+    // no overlap between archive and trash
+    assert(txs.join(out.trash.select("hash"), Seq("hash"), "left_semi").count() == 0)
+  }
+
+  test("F1: included-before-received rows are discarded") {
+    val bad = txs.filter(col("includedAtBlockHeight") > 0 &&
+      col("inclusionDelayMs") <= -12000)
+    assert(bad.count() == 0)
+    // but some enriched rows exist
+    assert(txs.filter(col("includedAtBlockHeight") > 0).count() > 0)
+  }
+
+  test("sources are attached in first-receipt order") {
+    val multi = txs.filter(size(col("sources")) > 1)
+    assert(multi.count() > 0)
+    assert(txs.filter(size(col("sources")) === 0).count() == 0)
+  }
+
+  test("analyzer summary renders with consistent counts") {
+    val s = Analyze.summarize(txs)
+    assert(s.nUnique == txs.count())
+    assert(s.nIncluded + s.nNotIncluded == s.nUnique)
+    val report = Analyze.sprint(s)
+    assert(report.contains("Unique transactions:"))
+    assert(report.contains("| Tx Type |"))
+    assert(s.perType.nonEmpty && s.perSource.nonEmpty)
+  }
+
+  test("sinks: parquet archive + metadata csv round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sinks").toString
+    Sinks.writeParquetArchive(txs, s"$tmp/archive")
+    val back = spark.read.parquet(s"$tmp/archive")
+    assert(back.count() == txs.count())
+    assert(back.columns.toSeq == txs.columns.toSeq)
+    Sinks.writeMetadataCsv(txs, s"$tmp/meta")
+    val meta = spark.read.option("header", "true").csv(s"$tmp/meta")
+    assert(meta.columns.toSeq == Sinks.MetadataCsvColumns)
+    assert(meta.count() == txs.count())
+  }
+}
