@@ -17,7 +17,11 @@ object SparkEntry {
       graft.queries.Core.defs ++
       graft.queries.Joins.defs ++
       graft.queries.Mempool.defs ++
-      graft.queries.MempoolParse.defs
+      graft.queries.MempoolParse.defs ++
+      graft.queries.TextOps.defs ++
+      graft.queries.DedupOps.defs ++
+      graft.queries.SimilarityOps.defs ++
+      graft.queries.MultimodalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

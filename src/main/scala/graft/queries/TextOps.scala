@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline
+  * (north-star extensions, SURVEY.md §7.2 step 6): token counting, quality
+  * scoring, fingerprinting, exact dedup, and heuristic language ID — all
+  * scan-local (no shuffle except the final small group-by), so they scale
+  * linearly with input splits at 100 TB.
+  */
+object TextOps {
+
+  // regex shared verbatim by Spark and DuckDB: word / number / punct tokens
+  private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val StopRe = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+  private val PunctRe = "[^A-Za-z0-9\\s]"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Whitespace + BPE-ish regex token counting per language.
+    "q_text_tokens" -> QueryDef.sql(
+      "token counting: whitespace words + regex tokens per lang",
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(text, '$TokenRe'))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(regexp_extract_all(col("text"), lit(TokenRe), lit(0)))).cast("long").as("n_tokens"),
+          sum(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_words"),
+          sum("n_chars").cast("long").as("total_chars"))
+    },
+
+    // Quality scoring: length / punctuation ratio / stopword ratio buckets.
+    "q_text_quality" -> QueryDef.sql(
+      "quality scoring: length, punct ratio, stopword ratio",
+      s"""SELECT doc_id, length(text) AS n_len,
+         |  CAST(len(regexp_extract_all(text, '$PunctRe')) AS BIGINT) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '$StopRe')) AS BIGINT) AS n_stop,
+         |  CASE WHEN length(text) >= 200
+         |    AND len(regexp_extract_all(text, '$StopRe')) >= 3 THEN 'good'
+         |    WHEN length(text) >= 50 THEN 'fair' ELSE 'poor' END AS quality
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val nStop = size(regexp_extract_all(col("text"), lit(StopRe), lit(0)))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("int").as("n_len"),
+        size(regexp_extract_all(col("text"), lit(PunctRe), lit(0))).cast("long").as("n_punct"),
+        nStop.cast("long").as("n_stop"),
+        when(length(col("text")) >= 200 && nStop >= 3, "good")
+          .when(length(col("text")) >= 50, "fair").otherwise("poor").as("quality"))
+    },
+
+    // Document fingerprinting: md5 of whitespace-normalized lowercase text
+    // (md5 is identical in Spark and DuckDB → differential-testable).
+    "q_text_fingerprint" -> QueryDef.sql(
+      "document fingerprint: md5 of normalized text + dup counts",
+      """SELECT fp, COUNT(*) AS n, min(doc_id) AS keeper FROM (
+        |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' '))) AS fp
+        |  FROM documents) GROUP BY fp""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+    },
+
+    // Exact dedup: keep lowest doc_id per identical text (hash group-by;
+    // at scale this is one shuffle on a 128-bit text digest, not the text).
+    "q_dedup_exact" -> QueryDef.sql(
+      "exact dedup: earliest doc per identical text",
+      """SELECT min(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .select("keeper", "n_copies")
+    },
+
+    // Heuristic n-gram language ID: per-language stopword evidence scores,
+    // argmax prediction, confusion counts vs the labeled column.
+    "q_lang_id" -> QueryDef.sql(
+      "language-ID heuristic: stopword n-gram scores -> argmax vs label",
+      """SELECT lang, pred, COUNT(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
+        |      WHEN s_en >= s_fr THEN 'en' ELSE 'fr' END AS pred
+        |  FROM (
+        |    SELECT lang,
+        |      len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de,
+        |      len(regexp_extract_all(text, '\b(the|and|is|of|to)\b')) AS s_en,
+        |      len(regexp_extract_all(text, '\b(le|la|et|est|les)\b')) AS s_fr
+        |    FROM documents))
+        |GROUP BY lang, pred""".stripMargin) { (s, dir) =>
+      val sDe = size(regexp_extract_all(col("text"), lit("\\b(der|die|das|und|ist)\\b"), lit(0)))
+      val sEn = size(regexp_extract_all(col("text"), lit("\\b(the|and|is|of|to)\\b"), lit(0)))
+      val sFr = size(regexp_extract_all(col("text"), lit("\\b(le|la|et|est|les)\\b"), lit(0)))
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          when(sDe >= sEn && sDe >= sFr, "de")
+            .when(sEn >= sFr, "en").otherwise("fr").as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    }
+  )
+}

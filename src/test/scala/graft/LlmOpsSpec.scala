@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior checks for the training-data-pipeline operators. */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH recalls every planted near-dup pair") {
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    // planted pair = (doc_id, doc_id + 1000000) with only 2 words dropped
+    val planted = pairs.filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    assert(planted >= (nDocs * 0.8).toLong,
+      s"recall too low: $planted of $nDocs planted pairs found")
+    // verified candidates must actually be similar
+    assert(pairs.filter(col("jaccard_r") < 0.6).count() == 0)
+  }
+
+  test("simhash buckets recall planted near-dups") {
+    val pairs = SparkEntry.queries("q_dedup_simhash")(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    val planted = pairs.filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    assert(planted >= (nDocs * 0.8).toLong)
+    assert(pairs.agg(max("hamming")).head.getInt(0) <= 12)
+  }
+
+  test("brute-force topk and ANN agree on the bucket's members") {
+    val topk = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val ann = SparkEntry.queries("q_sim_ann_lsh")(spark, sf).cache()
+    assert(ann.count() >= 1)
+    // every ANN result must rank by descending score
+    val scores = ann.collect().map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(topk.size == 10)
+  }
+
+  test("multimodal stub: features are deterministic and batch-shaped") {
+    val f1 = Multimodal.featuresDF(spark, sf).orderBy("media_id").collect()
+    val f2 = Multimodal.featuresDF(spark, sf).orderBy("media_id").collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == Tables.documents(spark, sf).count())
+    val types = f1.map(_.getString(1)).toSet
+    assert(types == Set("image", "audio", "video"))
+  }
+
+  test("exact dedup keeper is stable") {
+    val d = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val total = d.agg(sum("n_copies")).head.getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+}
