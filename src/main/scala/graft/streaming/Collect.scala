@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.functions.ParseTx
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The collector as a Structured Streaming job (SURVEY.md §2.7/§3.3;
+  * /root/reference/collector/tx_processor.go:201-313 semantics):
+  *
+  *   sources → union stream → 30-min TTL dedup → F2 validation split →
+  *   hourly-bucketed file sink + trash side-output + per-minute metrics
+  *
+  * Event time = receive time stamped at the adapter (processing ≈ event
+  * time). Contract matches the reference: at-least-once ingest, real dedup
+  * happens in the daily merge (README.md:218) — the streaming dedup is a
+  * 30-minute duplicate suppressor, exactly like the collector's
+  * `knownTxs` TTL map (collector/consts.go:10-11).
+  */
+object Collect {
+
+  /** Wire schema of a collector feed event (FIXTURES.md §A2 + source tag). */
+  val feedSchema: StructType = StructType(Seq(
+    StructField("timestamp_ms", LongType),
+    StructField("hash", StringType),
+    StructField("raw_tx_hex", StringType),
+    StructField("source", StringType)))
+
+  /** File-based feed (each dropped CSV file ≈ one WS message batch). */
+  def feed(spark: SparkSession, inDir: String): DataFrame =
+    spark.readStream
+      .schema(feedSchema)
+      .option("maxFilesPerTrigger", 16)
+      .csv(inDir)
+      .withColumn("ts", timestamp_millis(col("timestamp_ms")))
+
+  /** A5: 30-minute-TTL streaming dedup on the tx hash
+    * (dropDuplicatesWithinWatermark ≈ knownTxs map + sweeper). */
+  def dedup(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("hash")
+
+  /** F2 validation split: adds a `reason` column (null = valid). Runs the
+    * full parse so signature/blob problems are caught like the collector's
+    * inline validation (collector/tx_processor.go:355-416). */
+  def validate(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("p", ParseTx.parse_raw_tx(col("raw_tx_hex")))
+      .withColumn("reason",
+        when(col("p").isNull, "decode-error").otherwise(col("p.reason")))
+      .drop("p")
+
+  /** A13/A14: per-minute tumbling counters per source — the SourceMetrics
+    * map as a windowed aggregation (approximate uniques: the streaming
+    * counter is monitoring, not archive truth). */
+  def sourceMetrics(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("source"))
+      .agg(count(lit(1)).as("n_all"),
+        approx_count_distinct("hash").as("n_unique_approx"))
+      .select(col("window.start").as("minute"), col("source"),
+        col("n_all"), col("n_unique_approx"))
+
+  /** Full wiring: valid txs → hourly-bucketed CSVs (S15 layout), trash →
+    * its own bucketed dir. Returns the queries so callers control
+    * lifecycle. Checkpointing per sink — exactly-once file output on top of
+    * the at-least-once contract. */
+  def run(spark: SparkSession, inDir: String, outDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Seq[StreamingQuery] = {
+    val validated = validate(dedup(feed(spark, inDir)))
+
+    val txQuery = validated.filter(col("reason").isNull)
+      .select(col("timestamp_ms"), col("hash"), col("raw_tx_hex"),
+        col("source"), col("ts"))
+      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col("ts"), "HH"))
+      .drop("ts")
+      .writeStream
+      .format("csv")
+      .option("path", s"$outDir/transactions")
+      .option("checkpointLocation", s"$outDir/_chk/transactions")
+      .partitionBy("date", "hour")
+      .trigger(trigger)
+      .start()
+
+    val trashQuery = validated.filter(col("reason").isNotNull)
+      .select(col("timestamp_ms"), col("hash"), col("source"),
+        col("reason"), lit("").as("notes"))
+      .writeStream
+      .format("csv")
+      .option("path", s"$outDir/trash")
+      .option("checkpointLocation", s"$outDir/_chk/trash")
+      .trigger(trigger)
+      .start()
+
+    Seq(txQuery, trashQuery)
+  }
+}

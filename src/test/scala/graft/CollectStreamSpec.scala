@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.TxFixtures
+import graft.streaming.Collect
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming collector semantics, driven synchronously: fixture CSV files
+  * play the role of WS feed batches (spark_guide.md memory-sink pattern). */
+class CollectStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def writeFeed(dir: String, n: Int): Unit = {
+    // two files with an overlapping duplicate range (dup suppression work)
+    def rows(lo: Int, hi: Int): String =
+      (lo until hi).map { i =>
+        val (ts, hash, raw) = TxFixtures.rawRow(i.toLong)
+        s"$ts,$hash,$raw,src${i % 3}"
+      }.mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/feed1.csv"), rows(0, n))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/feed2.csv"), rows(n / 2, n))
+  }
+
+  test("streaming dedup suppresses duplicates within the watermark") {
+    val in = Files.createTempDirectory("graft-feed").toString
+    writeFeed(in, 200)
+    val deduped = Collect.dedup(Collect.feed(spark, in))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+      val n = out.count()
+      // 200 generated + 100 re-sent; rawRow dups every 10th → 180 unique
+      assert(out.select("hash").distinct().count() == n)
+      assert(n == 180, s"expected 180 unique hashes, got $n")
+    } finally q.stop()
+  }
+
+  test("validation split + hourly bucketed file sink end-to-end") {
+    val in = Files.createTempDirectory("graft-feed2").toString
+    val out = Files.createTempDirectory("graft-collect").toString
+    writeFeed(in, 120)
+    val queries = Collect.run(spark, in, out, Trigger.ProcessingTime(100))
+    try {
+      queries.foreach(_.processAllAvailable())
+      val txs = spark.read.schema(
+        "timestamp_ms LONG, hash STRING, raw_tx_hex STRING, source STRING")
+        .csv(s"$out/transactions/*/*/")
+      val trash = spark.read
+        .schema("timestamp_ms LONG, hash STRING, source STRING, reason STRING, notes STRING")
+        .csv(s"$out/trash")
+      assert(txs.count() > 0 && trash.count() > 0)
+      // split is exclusive and complete wrt the deduped stream
+      assert(txs.join(trash, Seq("hash"), "left_semi").count() == 0)
+      assert(trash.select("reason").distinct().collect()
+        .map(_.getString(0)).toSet.contains("signature-error"))
+      // hour-bucketed layout exists: date=…/hour=… dirs
+      val dirs = new java.io.File(s"$out/transactions").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(dirs.exists(_.startsWith("date=")))
+    } finally queries.foreach(_.stop())
+  }
+
+  test("per-minute source metrics window counts") {
+    val in = Files.createTempDirectory("graft-feed3").toString
+    writeFeed(in, 100)
+    val m = Collect.sourceMetrics(Collect.feed(spark, in))
+    val q = m.writeStream.format("memory").queryName("metrics_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only closed windows; with a bounded fixture the
+      // final windows stay open, so just assert the query runs and the
+      // schema is right (update-mode totals are covered in batch A13/A14).
+      val out = spark.table("metrics_out")
+      assert(out.columns.toSeq == Seq("minute", "source", "n_all", "n_unique_approx"))
+    } finally q.stop()
+  }
+}
