@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Input readers for the reference's file layouts (SURVEY.md §2.1 S1-S3):
+  * fixed schemas, PERMISSIVE parse + explicit validity filters replacing the
+  * reference's line-by-line skip logic (common/txsfile.go:84-148). Spark
+  * reads `.csv` and `.csv.gz` natively (gz via codec inference); `.zip`
+  * archives are out of scope (S2) — store collector output as gz.
+  */
+object Sources {
+
+  /** S1: collector transactions CSV — timestamp_ms,hash,raw_tx_hex, no
+    * header (FIXTURES.md §A2). */
+  val txCsvSchema: StructType = StructType(Seq(
+    StructField("timestamp_ms", LongType),
+    StructField("hash", StringType),
+    StructField("raw_tx_hex", StringType)))
+
+  /** S3: sourcelog CSV — timestamp_ms,hash,source. */
+  val sourcelogCsvSchema: StructType = StructType(Seq(
+    StructField("timestamp_ms", LongType),
+    StructField("hash", StringType),
+    StructField("source", StringType)))
+
+  /** S3: trash CSV — timestamp_ms,hash,source,reason,notes. */
+  val trashCsvSchema: StructType = StructType(Seq(
+    StructField("timestamp_ms", LongType),
+    StructField("hash", StringType),
+    StructField("source", StringType),
+    StructField("reason", StringType),
+    StructField("notes", StringType)))
+
+  private def validHash(c: org.apache.spark.sql.Column) =
+    length(c) === 66 && c.rlike("^0x[0-9a-f]{64}$")
+
+  /** F3/P10/P11 row policy: malformed rows are dropped, like the
+    * reference's `continue` branches — bad int → null → filtered. */
+  def readTxCsv(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.schema(txCsvSchema).option("mode", "PERMISSIVE")
+      .csv(paths: _*)
+      .withColumn("hash", lower(col("hash")))
+      .filter(col("timestamp_ms").isNotNull && validHash(col("hash")) &&
+        col("raw_tx_hex").isNotNull)
+
+  def readSourcelogCsv(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.schema(sourcelogCsvSchema).option("mode", "PERMISSIVE")
+      .csv(paths: _*)
+      .withColumn("hash", lower(col("hash")))
+      .filter(col("timestamp_ms").isNotNull && validHash(col("hash")) &&
+        col("source").isNotNull)
+
+  def readTrashCsv(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.schema(trashCsvSchema).option("mode", "PERMISSIVE")
+      .csv(paths: _*)
+      .withColumn("hash", lower(col("hash")))
+      .filter(col("timestamp_ms").isNotNull && validHash(col("hash")))
+
+  /** J2 input: hashes from previous-day metadata CSVs (column 1;
+    * common/txsfile.go:212-239). Headers are skipped by the hash-validity
+    * filter itself — positional, schema-free, like the reference. */
+  def readMetadataHashes(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.csv(paths: _*)
+      .select(lower(col("_c1")).as("hash"))
+      .filter(validHash(col("hash")))
+      .distinct()
+
+  /** S4: typed parquet archive scan with optional row cap
+    * (cmd/analyze/main.go:81-107 MAX semantics). */
+  def readArchive(spark: SparkSession, path: String, max: Option[Int] = None): DataFrame = {
+    val df = spark.read.parquet(path)
+    max.fold(df)(df.limit)
+  }
+}

@@ -235,6 +235,33 @@ object Core {
         .groupBy("k_bucket").agg(count(lit(1)).as("n"))
     },
 
+    // F5: half-open time-range predicate (cmd/merge/clickhouse.go:77) —
+    // the scan-pruning filter shape for partitioned archives.
+    "q_time_range" -> QueryDef.sql(
+      "F5: received_at >= from AND < to range scan + rollup",
+      """SELECT event_type, COUNT(*) AS n, min(ts) AS first_ts
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("ts").as("first_ts"))
+    },
+
+    // P7/P12: date formatting + parse round-trip (common/utils.go:161-209).
+    "q_date_format" -> QueryDef.sql(
+      "P7: per-day date formatting rollup",
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS day_total
+        |FROM orders GROUP BY day""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("day_total"))
+    },
+
     // ── Sorts / limits / union ──────────────────────────────────────────
 
     // O1+O5+O7: global sort + limit with deterministic tie-break
