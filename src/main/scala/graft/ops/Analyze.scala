@@ -21,9 +21,14 @@ object Analyze {
   /** txs: the merged transactions DataFrame (reference parquet schema).
     * Applies the F1 filter itself, like NewAnalyzer2 (common/analyzer.go:68-73). */
   def summarize(txsIn: DataFrame): Summary = {
+    // metadata-only archives (no rawTx) still analyze; byte stats become 0
+    val rawBytes =
+      if (txsIn.columns.contains("rawTx")) length(col("rawTx")).cast("long")
+      else lit(0L)
     val txs = txsIn
       .filter(!(col("includedAtBlockHeight") > 0 && col("inclusionDelayMs") <= -12000))
-      .select("hash", "txType", "rawTx", "sources", "includedAtBlockHeight", "timestamp")
+      .select(col("hash"), col("txType"), rawBytes.as("rawBytes"),
+        col("sources"), col("includedAtBlockHeight"), col("timestamp"))
       .withColumn("included", col("includedAtBlockHeight") =!= 0)
       .cache()
 
@@ -38,7 +43,7 @@ object Analyze {
 
     // A8: per type count + byte volume (rawTx is binary → length = bytes)
     val perType = txs.groupBy("txType")
-      .agg(count(lit(1)).as("n"), sum(length(col("rawTx"))).as("bytes"))
+      .agg(count(lit(1)).as("n"), sum(col("rawBytes")).as("bytes"))
       .orderBy("txType").collect().toSeq
       .map(r => TypeStat(r.getLong(0), r.getLong(1), r.getLong(2)))
 
