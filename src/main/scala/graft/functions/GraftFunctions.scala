@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.SparkSession
+
+/** Native Catalyst expression for keccak-256 (SURVEY.md §2.8 / §7.3:
+  * "a native Catalyst Expression (with doGenCode) beats a Scala UDF").
+  * Stays inside whole-stage codegen — no UDF serialization boundary, no
+  * row-at-a-time closure dispatch.
+  */
+case class Keccak256Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"keccak256 requires BINARY input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "keccak256"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Keccak256.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Keccak256.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Keccak256Expr =
+    copy(child = newChild)
+}
+
+/** Registration of graft's SQL surface.
+  *
+  * Two paths: [[GraftExtensions]] for
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (cluster config),
+  * and [[GraftFunctions.register]] for an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("keccak256"),
+      new ExpressionInfo(classOf[Keccak256Expr].getName, "keccak256"),
+      (exprs: Seq[Expression]) => Keccak256Expr(exprs.head)))
+  }
+}
+
+object GraftFunctions {
+  /** Make `keccak256(binary)` and `parse_raw_tx(hex string)` available to
+    * `spark.sql` / `expr` in an existing session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "keccak256", exprs => Keccak256Expr(exprs.head), "scala_udf")
+    spark.udf.register("parse_raw_tx", ParseTx.parseRawTxUdf)
+  }
+}

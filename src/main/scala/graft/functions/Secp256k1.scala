@@ -74,20 +74,84 @@ object Secp256k1 {
     Pt(x3, y3, z3)
   }
 
-  /** Shamir's trick: k1*A + k2*B in one double-and-add ladder. */
-  private def shamir(k1: BigInteger, a: Pt, k2: BigInteger, b: Pt): Pt = {
-    val ab = add(a, b)
-    val bits = math.max(k1.bitLength, k2.bitLength)
+  /** Mixed addition: Jacobian P + affine (x2, y2) — fewer field mults than
+    * the general add (the affine point has Z = 1). */
+  private def addAffine(p: Pt, x2: BigInteger, y2: BigInteger): Pt = {
+    if (p.isInfinity) return Pt(x2, y2, BigInteger.ONE)
+    val z1z1 = mod(p.z.multiply(p.z))
+    val u2 = mod(x2.multiply(z1z1))
+    val s2 = mod(y2.multiply(z1z1).multiply(p.z))
+    val h = mod(u2.subtract(p.x))
+    val r = mod(s2.subtract(p.y))
+    if (h.signum == 0) {
+      if (r.signum == 0) return dbl(p)
+      return Infinity
+    }
+    val h2 = mod(h.multiply(h))
+    val h3 = mod(h2.multiply(h))
+    val u1h2 = mod(p.x.multiply(h2))
+    val x3 = mod(r.multiply(r).subtract(h3).subtract(u1h2.shiftLeft(1)))
+    val y3 = mod(r.multiply(u1h2.subtract(x3)).subtract(p.y.multiply(h3)))
+    Pt(x3, y3, mod(h.multiply(p.z)))
+  }
+
+  private def negate(p: Pt): Pt =
+    if (p.isInfinity) p else Pt(p.x, P.subtract(p.y), p.z)
+
+  /** Width-4 NAF digits (LSB first): values in {0, ±1, ±3, …, ±15}. */
+  private def wnaf4(kIn: BigInteger): Array[Int] = {
+    var k = kIn
+    val out = new Array[Int](k.bitLength + 1)
+    var i = 0
+    while (k.signum > 0) {
+      if (k.testBit(0)) {
+        var d = k.intValue & 15 // k mod 16
+        if (d >= 8) d -= 16
+        out(i) = d
+        k = k.subtract(BigInteger.valueOf(d.toLong))
+      }
+      k = k.shiftRight(1)
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, i)
+  }
+
+  /** Odd multiples 1·G … 15·G normalized to affine, computed once. */
+  private lazy val gTable: Array[(BigInteger, BigInteger)] = {
+    val pts = new Array[Pt](8)
+    pts(0) = G
+    val g2 = dbl(G)
+    var i = 1
+    while (i < 8) { pts(i) = add(pts(i - 1), g2); i += 1 }
+    pts.map(toAffine)
+  }
+
+  /** k1·R + k2·G via interleaved wNAF-4: ~256 doublings + ~2·(n/5) adds,
+    * with G's adds in cheap mixed-affine form (precomputed table). */
+  private def shamir(k1: BigInteger, rPoint: Pt, k2: BigInteger, unused: Pt): Pt = {
+    // odd multiples of R in Jacobian: 1R, 3R, …, 15R
+    val rTab = new Array[Pt](8)
+    rTab(0) = rPoint
+    val r2 = dbl(rPoint)
+    var i = 1
+    while (i < 8) { rTab(i) = add(rTab(i - 1), r2); i += 1 }
+    val d1 = wnaf4(k1)
+    val d2 = wnaf4(k2)
     var acc = Infinity
-    var i = bits - 1
-    while (i >= 0) {
+    var j = math.max(d1.length, d2.length) - 1
+    while (j >= 0) {
       acc = dbl(acc)
-      val t1 = k1.testBit(i)
-      val t2 = k2.testBit(i)
-      if (t1 && t2) acc = add(acc, ab)
-      else if (t1) acc = add(acc, a)
-      else if (t2) acc = add(acc, b)
-      i -= 1
+      if (j < d1.length && d1(j) != 0) {
+        val d = d1(j)
+        val p = rTab(math.abs(d) >> 1)
+        acc = add(acc, if (d > 0) p else negate(p))
+      }
+      if (j < d2.length && d2(j) != 0) {
+        val d = d2(j)
+        val (gx, gy) = gTable(math.abs(d) >> 1)
+        acc = addAffine(acc, gx, if (d > 0) gy else P.subtract(gy))
+      }
+      j -= 1
     }
     acc
   }

@@ -52,6 +52,18 @@ object Collect {
         when(col("p").isNull, "decode-error").otherwise(col("p.reason")))
       .drop("p")
 
+  /** J4: collector inline inclusion check (collector/tx_processor.go:260-276)
+    * as a stream-static broadcast join — txs already on-chain get reason
+    * `tx-already-onchain` and flow to trash with the other F2 rejects. */
+  def inclusionCheck(stream: DataFrame, blocks: DataFrame): DataFrame = {
+    val dim = broadcast(blocks.select(lower(col("hash")).as("hash"))
+      .withColumn("onchain", lit(true)))
+    stream.join(dim, Seq("hash"), "left")
+      .withColumn("reason",
+        coalesce(col("reason"), when(col("onchain"), "tx-already-onchain")))
+      .drop("onchain")
+  }
+
   /** A13/A14: per-minute tumbling counters per source — the SourceMetrics
     * map as a windowed aggregation (approximate uniques: the streaming
     * counter is monitoring, not archive truth). */

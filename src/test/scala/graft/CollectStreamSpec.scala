@@ -64,6 +64,26 @@ class CollectStreamSpec extends AnyFunSuite {
     } finally queries.foreach(_.stop())
   }
 
+  test("J4: stream-static inclusion check trashes on-chain txs") {
+    val in = Files.createTempDirectory("graft-feed4").toString
+    writeFeed(in, 60)
+    // static dim: every 5th tx is already on-chain
+    import spark.implicits._
+    val blocks = (0 until 60 by 5).map(i => TxFixtures.rawRow(i.toLong)._2).toDF("hash")
+    val checked = Collect.inclusionCheck(
+      Collect.validate(Collect.dedup(Collect.feed(spark, in))), blocks)
+    val q = checked.writeStream.format("memory").queryName("incl_out")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("incl_out")
+      val onchain = out.filter(col("reason") === "tx-already-onchain")
+      assert(onchain.count() > 0)
+      // every flagged row is actually in the dim
+      assert(onchain.join(blocks, Seq("hash"), "left_anti").count() == 0)
+    } finally q.stop()
+  }
+
   test("per-minute source metrics window counts") {
     val in = Files.createTempDirectory("graft-feed3").toString
     writeFeed(in, 100)
