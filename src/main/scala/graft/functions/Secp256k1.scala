@@ -126,15 +126,182 @@ object Secp256k1 {
     pts.map(toAffine)
   }
 
-  /** k1·R + k2·G via interleaved wNAF-4: ~256 doublings + ~2·(n/5) adds,
-    * with G's adds in cheap mixed-affine form (precomputed table). */
-  private def shamir(k1: BigInteger, rPoint: Pt, k2: BigInteger, unused: Pt): Pt = {
-    // odd multiples of R in Jacobian: 1R, 3R, …, 15R
-    val rTab = new Array[Pt](8)
-    rTab(0) = rPoint
-    val r2 = dbl(rPoint)
+  /** Odd Jacobian multiples 1·P, 3·P, …, 15·P. */
+  private def oddMultiples(p: Pt): Array[Pt] = {
+    val tab = new Array[Pt](8)
+    tab(0) = p
+    val p2 = dbl(p)
     var i = 1
-    while (i < 8) { rTab(i) = add(rTab(i - 1), r2); i += 1 }
+    while (i < 8) { tab(i) = add(tab(i - 1), p2); i += 1 }
+    tab
+  }
+
+  // ── GLV endomorphism (secp256k1 has φ(x,y) = (βx, y) = λ·(x,y)) ──────
+  // All constants are DERIVED here and self-verified against the curve; if
+  // any check fails the code falls back to the plain 2-scalar ladder.
+
+  /** Tonelli-Shanks modular square root (m odd prime). */
+  private def sqrtMod(aIn: BigInteger, m: BigInteger): Option[BigInteger] = {
+    val a = aIn.mod(m)
+    if (a.signum == 0) return Some(BigInteger.ZERO)
+    val legendreExp = m.subtract(BigInteger.ONE).shiftRight(1)
+    if (a.modPow(legendreExp, m) != BigInteger.ONE) return None
+    if (m.testBit(1)) // m ≡ 3 (mod 4)
+      return Some(a.modPow(m.add(BigInteger.ONE).shiftRight(2), m))
+    // general case: factor m-1 = q·2^s
+    var q = m.subtract(BigInteger.ONE)
+    var s = 0
+    while (!q.testBit(0)) { q = q.shiftRight(1); s += 1 }
+    // find a non-residue z
+    var z = BigInteger.TWO
+    while (z.modPow(legendreExp, m) == BigInteger.ONE) z = z.add(BigInteger.ONE)
+    var c = z.modPow(q, m)
+    var t = a.modPow(q, m)
+    var r = a.modPow(q.add(BigInteger.ONE).shiftRight(1), m)
+    var mEx = s
+    while (t != BigInteger.ONE) {
+      var t2 = t
+      var i = 0
+      while (t2 != BigInteger.ONE && i < mEx) { t2 = t2.multiply(t2).mod(m); i += 1 }
+      if (i == mEx) return None
+      val b = c.modPow(BigInteger.ONE.shiftLeft(mEx - i - 1), m)
+      r = r.multiply(b).mod(m)
+      c = b.multiply(b).mod(m)
+      t = t.multiply(c).mod(m)
+      mEx = i
+    }
+    Some(r)
+  }
+
+  /** Cube-root-of-unity candidates: roots of x² + x + 1 (mod m). */
+  private def cubeRootsOfUnity(m: BigInteger): Seq[BigInteger] =
+    sqrtMod(m.subtract(BigInteger.valueOf(3)), m).toSeq.flatMap { s3 =>
+      val inv2 = BigInteger.TWO.modInverse(m)
+      Seq(
+        BigInteger.valueOf(-1).add(s3).multiply(inv2).mod(m),
+        BigInteger.valueOf(-1).subtract(s3).multiply(inv2).mod(m))
+    }
+
+  /** Plain double-and-add (used only once, to verify λ/β). */
+  private def mulPlain(k: BigInteger, p: Pt): Pt = {
+    var acc = Infinity
+    var i = k.bitLength - 1
+    while (i >= 0) {
+      acc = dbl(acc)
+      if (k.testBit(i)) acc = add(acc, p)
+      i -= 1
+    }
+    acc
+  }
+
+  /** (λ, β, basis v1, basis v2) — verified; None disables GLV. */
+  private lazy val glvParams: Option[(BigInteger, BigInteger,
+      (BigInteger, BigInteger), (BigInteger, BigInteger))] = {
+    val pairs = for {
+      lam <- cubeRootsOfUnity(N)
+      beta <- cubeRootsOfUnity(P)
+    } yield (lam, beta)
+    val verified = pairs.find { case (lam, beta) =>
+      val (lx, ly) = toAffine(mulPlain(lam, G))
+      lx == Gx.multiply(beta).mod(P) && ly == Gy
+    }
+    verified.flatMap { case (lam, beta) =>
+      // short lattice basis for (k1 + k2·λ ≡ k): extended Euclid on (n, λ),
+      // stop at the first remainder below √n (standard GLV construction)
+      val sqrtN = sqrtFloor(N)
+      var (r0, r1) = (N, lam)
+      var (t0, t1) = (BigInteger.ZERO, BigInteger.ONE)
+      while (r1.compareTo(sqrtN) >= 0) {
+        val q = r0.divide(r1)
+        val r2 = r0.subtract(q.multiply(r1))
+        val t2 = t0.subtract(q.multiply(t1))
+        r0 = r1; t0 = t1; r1 = r2; t1 = t2
+      }
+      val v1 = (r1, t1.negate)
+      val v2 = (r0, t0.negate)
+      // sanity: both basis vectors must satisfy a + b·λ ≡ 0 (mod n)
+      def ok(v: (BigInteger, BigInteger)) =
+        v._1.add(v._2.multiply(lam)).mod(N).signum == 0
+      if (ok(v1) && ok(v2)) Some((lam, beta, v1, v2)) else None
+    }
+  }
+
+  private def sqrtFloor(v: BigInteger): BigInteger = v.sqrt()
+
+  /** Balanced decomposition k = k1 + k2·λ (mod n), |k1|,|k2| ≈ √n. */
+  private def glvDecompose(k: BigInteger, lam: BigInteger,
+      v1: (BigInteger, BigInteger), v2: (BigInteger, BigInteger)): (BigInteger, BigInteger) = {
+    // Babai rounding of (k,0) onto the lattice: round(num / n) to nearest
+    def rnd(num: BigInteger): BigInteger = {
+      val qr = num.add(N.shiftRight(1)).divideAndRemainder(N)
+      if (qr(1).signum < 0) qr(0).subtract(BigInteger.ONE) else qr(0)
+    }
+    val c1 = rnd(v2._2.multiply(k))
+    val c2 = rnd(v1._2.negate.multiply(k))
+    val k1 = k.subtract(c1.multiply(v1._1)).subtract(c2.multiply(v2._1))
+    val k2 = c1.multiply(v1._2).add(c2.multiply(v2._2)).negate
+    (k1, k2)
+  }
+
+  /** φ applied to a Jacobian point: (βX, Y, Z). */
+  private def endo(p: Pt, beta: BigInteger): Pt =
+    if (p.isInfinity) p else Pt(mod(p.x.multiply(beta)), p.y, p.z)
+
+  /** φ applied to the affine G table. */
+  private lazy val gEndoTable: Array[(BigInteger, BigInteger)] =
+    glvParams match {
+      case Some((_, beta, _, _)) =>
+        gTable.map { case (x, y) => (x.multiply(beta).mod(P), y) }
+      case None => Array.empty
+    }
+
+  /** k1·R + k2·G. With GLV: 4 interleaved 128-bit wNAF scalars over
+    * {R, φR, G, φG} → half the doublings of the 2-scalar ladder. Without
+    * (derivation failed): plain interleaved wNAF-4. */
+  private def shamir(k1: BigInteger, rPoint: Pt, k2: BigInteger, unused: Pt): Pt = {
+    glvParams match {
+      case Some((lam, beta, v1, v2)) =>
+        val (r1, r2) = glvDecompose(k1.mod(N), lam, v1, v2)
+        val (g1, g2) = glvDecompose(k2.mod(N), lam, v1, v2)
+        // correctness guard: decomposition must reconstruct the scalars
+        if (r1.add(r2.multiply(lam)).subtract(k1).mod(N).signum != 0 ||
+            g1.add(g2.multiply(lam)).subtract(k2).mod(N).signum != 0)
+          return shamirPlain(k1, rPoint, k2)
+        val rTab = oddMultiples(rPoint)
+        val rTabE = rTab.map(endo(_, beta))
+        def digits(k: BigInteger) = (wnaf4(k.abs), k.signum < 0)
+        val (d1, n1) = digits(r1); val (d2, n2) = digits(r2)
+        val (d3, n3) = digits(g1); val (d4, n4) = digits(g2)
+        var acc = Infinity
+        var j = Seq(d1.length, d2.length, d3.length, d4.length).max - 1
+        while (j >= 0) {
+          acc = dbl(acc)
+          if (j < d1.length && d1(j) != 0) {
+            val d = d1(j); val p = rTab(math.abs(d) >> 1)
+            acc = add(acc, if ((d > 0) != n1) p else negate(p))
+          }
+          if (j < d2.length && d2(j) != 0) {
+            val d = d2(j); val p = rTabE(math.abs(d) >> 1)
+            acc = add(acc, if ((d > 0) != n2) p else negate(p))
+          }
+          if (j < d3.length && d3(j) != 0) {
+            val d = d3(j); val (gx, gy) = gTable(math.abs(d) >> 1)
+            acc = addAffine(acc, gx, if ((d > 0) != n3) gy else P.subtract(gy))
+          }
+          if (j < d4.length && d4(j) != 0) {
+            val d = d4(j); val (gx, gy) = gEndoTable(math.abs(d) >> 1)
+            acc = addAffine(acc, gx, if ((d > 0) != n4) gy else P.subtract(gy))
+          }
+          j -= 1
+        }
+        acc
+      case None => shamirPlain(k1, rPoint, k2)
+    }
+  }
+
+  /** The non-GLV 2-scalar interleaved wNAF-4 ladder. */
+  private def shamirPlain(k1: BigInteger, rPoint: Pt, k2: BigInteger): Pt = {
+    val rTab = oddMultiples(rPoint)
     val d1 = wnaf4(k1)
     val d2 = wnaf4(k2)
     var acc = Infinity
