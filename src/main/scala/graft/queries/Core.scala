@@ -27,10 +27,15 @@ object Core {
     // sums and value sums per category — TPC-H Q1 pricing-summary form.
     "q_agg_pricing" -> QueryDef.sql(
       "A6-A8: grouped count/sum aggregate pack (hash partial+final agg)",
+      // sum_disc is rescaled to 4 decimals BEFORE the double cast: DuckDB's
+      // decimal→double conversion is only correctly rounded while the scaled
+      // integer fits in 2^53, which scale-8 sums of ~5e9 exceed (observed
+      // 1-ulp flake at sf0.1). Both engines rescale with HALF_UP, and at
+      // scale 4 the conversion is one exact int→double + one IEEE divide.
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS $dec)) AS DOUBLE) AS sum_qty,
          |  CAST(SUM(CAST(l_extendedprice AS $dec)) AS DOUBLE) AS sum_base,
-         |  CAST(SUM(CAST(l_extendedprice AS $dec) * (CAST(1 AS $dec) - CAST(l_discount AS $dec))) AS DOUBLE) AS sum_disc,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS $dec) * (CAST(1 AS $dec) - CAST(l_discount AS $dec))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc,
          |  COUNT(*) AS n
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -40,7 +45,7 @@ object Core {
           dsum(col("l_extendedprice")).as("sum_base"),
           sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
             (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
-            .cast("double").as("sum_disc"),
+            .cast(DecimalType(38, 4)).cast("double").as("sum_disc"),
           count(lit(1)).as("n"))
     },
 

@@ -124,6 +124,8 @@ object DedupOps {
           sequence(lit(1), greatest(length(col("text")) - 2, lit(0))),
           i => col("text").substr(i, lit(3))))).as("s"))
       val sz = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // shingle-equality self-join: pair-match volume dominates either way,
+      // and this shape avoids building O(block²) posting-pair arrays per row
       val a = sh2.select(col("lang"), col("source"), col("s"), col("doc_id").as("doc_a"))
       val b = sh2.select(col("lang"), col("source"), col("s"), col("doc_id").as("doc_b"))
       val inter = a.join(b, Seq("lang", "source", "s"))
