@@ -67,6 +67,42 @@ object Sources {
       .filter(validHash(col("hash")))
       .distinct()
 
+  /** S2: CSV-in-ZIP ingestion (common/txsfile.go:46-68 behavior): iterate
+    * the `.csv` members of each `.csv.zip` archive. Spark has no zip codec,
+    * so archives are read as whole binary files and decompressed
+    * per-partition with JDK zip streams — one task per archive, which
+    * matches the reference's per-file iteration and parallelizes across
+    * archives (the daily layout is many hourly zips). */
+  def readTxCsvZip(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.format("binaryFile").load(pathGlob)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        val zin = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var e = zin.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory && e.getName.endsWith(".csv")) {
+            val rd = new java.io.BufferedReader(
+              new java.io.InputStreamReader(zin, "UTF-8"))
+            var line = rd.readLine()
+            while (line != null) { out += line; line = rd.readLine() }
+          }
+          e = zin.getNextEntry
+        }
+        out
+      }
+    val cols = split(col("value"), ",")
+    lines.toDF("value")
+      .select(
+        element_at(cols, 1).cast("long").as("timestamp_ms"),
+        lower(element_at(cols, 2)).as("hash"),
+        element_at(cols, 3).as("raw_tx_hex"))
+      .filter(col("timestamp_ms").isNotNull && validHash(col("hash")) &&
+        col("raw_tx_hex").isNotNull)
+  }
+
   /** S4: typed parquet archive scan with optional row cap
     * (cmd/analyze/main.go:81-107 MAX semantics). */
   def readArchive(spark: SparkSession, path: String, max: Option[Int] = None): DataFrame = {

@@ -28,6 +28,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.agg(max("hamming")).head.getInt(0) <= 12)
   }
 
+  test("IVF ANN achieves high recall vs exact top-k") {
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("q_sim_ann_ivf")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@10 too low: $recall")
+  }
+
   test("brute-force topk and ANN agree on the bucket's members") {
     val topk = SparkEntry.queries("q_sim_topk")(spark, sf)
       .collect().map(_.getLong(0)).toSet

@@ -52,4 +52,31 @@ class SourcesSpec extends AnyFunSuite {
     val slBack = Sources.readSourcelogCsv(spark, s"$dir/sl_out/*.csv")
     assert(slBack.count() > 0)
   }
+
+  test("S2: csv-in-zip archives read identically to plain csv") {
+    val dir = Files.createTempDirectory("graft-zip").toString
+    val lines = (0 until 80).map { i =>
+      val (ts, hash, raw) = TxFixtures.rawRow(i.toLong)
+      s"$ts,$hash,$raw"
+    }
+    Files.writeString(Paths.get(s"$dir/plain.csv"), lines.mkString("\n"))
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/archive.csv.zip"))
+    zos.putNextEntry(new java.util.zip.ZipEntry("part1.csv"))
+    zos.write(lines.take(50).mkString("\n").getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("part2.csv"))
+    zos.write(lines.drop(50).mkString("\n").getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("notes.txt"))
+    zos.write("ignore me".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+
+    val plain = Sources.readTxCsv(spark, s"$dir/plain.csv")
+    val zipped = Sources.readTxCsvZip(spark, s"$dir/archive.csv.zip")
+    assert(zipped.count() == plain.count())
+    assert(zipped.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(zipped).count() == 0)
+  }
 }
