@@ -59,6 +59,31 @@ object Sinks {
       .orderBy("timestamp_ms")
       .write.option("header", "true").mode("overwrite").csv(path)
 
+  /** S14: batched-JDBC streaming sink contract (collector/clickhouse.go:
+    * 92-242): a foreachBatch function with dedup-before-insert, bounded
+    * batches and linear-backoff retries. The reference's ReplacingMergeTree
+    * dedup becomes an explicit dropDuplicates before insert (SURVEY §2.1).
+    * No JDBC endpoint exists in this offline container — wiring is
+    * exercised by passing a non-JDBC writer in tests. */
+  def jdbcBatchSink(
+      write: DataFrame => Unit,
+      keyCol: String = "hash",
+      maxRetries: Int = 5,
+      backoffMs: Long = 3000): (DataFrame, Long) => Unit = { (batch, _) =>
+    val deduped = batch.dropDuplicates(keyCol)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { write(deduped); done = true }
+      catch {
+        case e: Exception if attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(backoffMs * attempt)
+        case e: Exception => throw e
+      }
+    }
+  }
+
   /** S15: hourly-bucketed file layout (collector/tx_processor.go:419-489):
     * dirs keyed by date + hour via partitionBy — the batch shape of the
     * collector's `timestamp/3600` bucketing. */

@@ -102,6 +102,38 @@ object Joins {
           expr("(unix_micros(b.first_ts) - unix_micros(a.first_ts)) div 1000").as("delta_ms"))
     },
 
+    // J5+A15: the full source-comparison report the reference plumbs but
+    // never consumes (common/types.go:32-60, common/analyzer.go:23,57):
+    // per source-pair, distribution of first-receipt latency deltas.
+    "q_source_latency" -> QueryDef.sql(
+      "J5: per-pair latency delta percentiles between sources",
+      """WITH sl AS (
+        |  SELECT user_id, event_type, min(ts) AS first_ts
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT src_a, src_b, COUNT(*) AS n,
+        |  round(quantile_cont(delta_ms, 0.5), 6) AS p50,
+        |  round(quantile_cont(delta_ms, 0.9), 6) AS p90,
+        |  CAST(SUM(CASE WHEN delta_ms < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_first
+        |FROM (
+        |  SELECT a.event_type AS src_a, b.event_type AS src_b,
+        |    (epoch_us(a.first_ts) - epoch_us(b.first_ts)) // 1000 AS delta_ms
+        |  FROM sl a JOIN sl b ON a.user_id = b.user_id AND a.event_type < b.event_type)
+        |GROUP BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val sl = Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(min("ts").as("first_ts"))
+      val a = sl.select(col("user_id"), col("event_type").as("src_a"), col("first_ts").as("ts_a"))
+      val b = sl.select(col("user_id"), col("event_type").as("src_b"), col("first_ts").as("ts_b"))
+      a.join(b, Seq("user_id"))
+        .filter(col("src_a") < col("src_b"))
+        .withColumn("delta_ms",
+          expr("(unix_micros(ts_a) - unix_micros(ts_b)) div 1000"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(delta_ms, 0.5)"), 6).as("p50"),
+          round(expr("percentile(delta_ms, 0.9)"), 6).as("p90"),
+          sum(when(col("delta_ms") < 0, 1).otherwise(0)).cast("long").as("n_a_first"))
+    },
+
     // P5-style normalization via a broadcast dim chain: fact → nation →
     // region (the small-dim lookup the reference does with an in-memory map,
     // common/consts.go:27-42).

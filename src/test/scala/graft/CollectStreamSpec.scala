@@ -84,6 +84,28 @@ class CollectStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S14: jdbc-shaped batch sink dedups, retries with backoff, then succeeds") {
+    val in = Files.createTempDirectory("graft-feed5").toString
+    writeFeed(in, 40)
+    val received = new java.util.concurrent.atomic.AtomicLong(0)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2) // fail twice
+    val sink = graft.ops.Sinks.jdbcBatchSink(
+      write = df => {
+        if (failures.getAndDecrement() > 0) sys.error("transient insert failure")
+        received.addAndGet(df.count())
+      },
+      maxRetries = 5, backoffMs = 1)
+    val q = Collect.dedup(Collect.feed(spark, in))
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      assert(received.get() > 0)
+      assert(failures.get() <= 0) // both injected failures were retried through
+    } finally q.stop()
+  }
+
   test("per-minute source metrics window counts") {
     val in = Files.createTempDirectory("graft-feed3").toString
     writeFeed(in, 100)
