@@ -136,6 +136,109 @@ object Secp256k1 {
     tab
   }
 
+  // ── limb-based Jacobian arithmetic (hot ladder path) ─────────────────
+  // Same formulas as the BigInteger versions above, on Fp256 limbs: no
+  // object churn in the inner loop beyond small fixed arrays, no
+  // BigInteger.mod. BigInteger remains for scalar (mod n) work, the one
+  // final inversion, and the startup GLV derivation.
+
+  private final class JPt(val x: Array[Long], val y: Array[Long], val z: Array[Long])
+  private def jInf: JPt = new JPt(new Array[Long](4), new Array[Long](4), new Array[Long](4))
+  @inline private def jIsInf(p: JPt): Boolean = Fp256.isZero(p.z)
+
+  private def jFrom(p: Pt): JPt =
+    if (p.isInfinity) jInf
+    else new JPt(Fp256.fromBigInteger(p.x), Fp256.fromBigInteger(p.y),
+      Fp256.fromBigInteger(p.z))
+
+  private def jToPt(p: JPt): Pt =
+    if (jIsInf(p)) Infinity
+    else Pt(Fp256.toBigInteger(p.x), Fp256.toBigInteger(p.y), Fp256.toBigInteger(p.z))
+
+  private def jDbl(p: JPt): JPt = {
+    if (jIsInf(p) || Fp256.isZero(p.y)) return jInf
+    val a = new Array[Long](4); Fp256.sqr(p.x, a) // X²
+    val b = new Array[Long](4); Fp256.sqr(p.y, b) // Y²
+    val c = new Array[Long](4); Fp256.sqr(b, c) // Y⁴
+    val xb = new Array[Long](4); Fp256.add(p.x, b, xb)
+    val xb2 = new Array[Long](4); Fp256.sqr(xb, xb2)
+    val d = new Array[Long](4)
+    Fp256.sub(xb2, a, d); Fp256.sub(d, c, d); Fp256.dbl2(d, d) // 2((X+B)²−A−C)
+    val e = new Array[Long](4); Fp256.add(a, a, e); Fp256.add(e, a, e) // 3A
+    val x3 = new Array[Long](4); Fp256.sqr(e, x3)
+    Fp256.sub(x3, d, x3); Fp256.sub(x3, d, x3) // E²−2D
+    val y3 = new Array[Long](4)
+    Fp256.sub(d, x3, y3); Fp256.mul(e, Fp256.copy(y3), y3)
+    val c8 = new Array[Long](4)
+    Fp256.dbl2(c, c8); Fp256.dbl2(c8, c8); Fp256.dbl2(c8, c8) // 8C
+    Fp256.sub(y3, c8, y3)
+    val z3 = new Array[Long](4)
+    Fp256.mul(p.y, p.z, z3); Fp256.dbl2(z3, z3)
+    new JPt(x3, y3, z3)
+  }
+
+  private def jAdd(p: JPt, q: JPt): JPt = {
+    if (jIsInf(p)) return q
+    if (jIsInf(q)) return p
+    val z1z1 = new Array[Long](4); Fp256.sqr(p.z, z1z1)
+    val z2z2 = new Array[Long](4); Fp256.sqr(q.z, z2z2)
+    val u1 = new Array[Long](4); Fp256.mul(p.x, z2z2, u1)
+    val u2 = new Array[Long](4); Fp256.mul(q.x, z1z1, u2)
+    val t = new Array[Long](4)
+    val s1 = new Array[Long](4); Fp256.mul(p.y, z2z2, t); Fp256.mul(t, q.z, s1)
+    val s2 = new Array[Long](4); Fp256.mul(q.y, z1z1, t); Fp256.mul(t, p.z, s2)
+    val h = new Array[Long](4); Fp256.sub(u2, u1, h)
+    val r = new Array[Long](4); Fp256.sub(s2, s1, r)
+    if (Fp256.isZero(h)) {
+      if (Fp256.isZero(r)) return jDbl(p)
+      return jInf
+    }
+    val h2 = new Array[Long](4); Fp256.sqr(h, h2)
+    val h3 = new Array[Long](4); Fp256.mul(h2, h, h3)
+    val u1h2 = new Array[Long](4); Fp256.mul(u1, h2, u1h2)
+    val x3 = new Array[Long](4); Fp256.sqr(r, x3)
+    Fp256.sub(x3, h3, x3); Fp256.sub(x3, u1h2, x3); Fp256.sub(x3, u1h2, x3)
+    val y3 = new Array[Long](4)
+    Fp256.sub(u1h2, x3, y3); Fp256.mul(r, Fp256.copy(y3), y3)
+    Fp256.mul(s1, h3, t); Fp256.sub(y3, t, y3)
+    val z3 = new Array[Long](4)
+    Fp256.mul(p.z, q.z, t); Fp256.mul(h, t, z3)
+    new JPt(x3, y3, z3)
+  }
+
+  /** Mixed addition with an affine (x2, y2) point (Z2 = 1). */
+  private def jAddAffine(p: JPt, x2: Array[Long], y2: Array[Long]): JPt = {
+    if (jIsInf(p)) return new JPt(Fp256.copy(x2), Fp256.copy(y2),
+      Array(1L, 0L, 0L, 0L))
+    val z1z1 = new Array[Long](4); Fp256.sqr(p.z, z1z1)
+    val u2 = new Array[Long](4); Fp256.mul(x2, z1z1, u2)
+    val t = new Array[Long](4)
+    val s2 = new Array[Long](4); Fp256.mul(y2, z1z1, t); Fp256.mul(t, p.z, s2)
+    val h = new Array[Long](4); Fp256.sub(u2, p.x, h)
+    val r = new Array[Long](4); Fp256.sub(s2, p.y, r)
+    if (Fp256.isZero(h)) {
+      if (Fp256.isZero(r)) return jDbl(p)
+      return jInf
+    }
+    val h2 = new Array[Long](4); Fp256.sqr(h, h2)
+    val h3 = new Array[Long](4); Fp256.mul(h2, h, h3)
+    val u1h2 = new Array[Long](4); Fp256.mul(p.x, h2, u1h2)
+    val x3 = new Array[Long](4); Fp256.sqr(r, x3)
+    Fp256.sub(x3, h3, x3); Fp256.sub(x3, u1h2, x3); Fp256.sub(x3, u1h2, x3)
+    val y3 = new Array[Long](4)
+    Fp256.sub(u1h2, x3, y3); Fp256.mul(r, Fp256.copy(y3), y3)
+    Fp256.mul(p.y, h3, t); Fp256.sub(y3, t, y3)
+    val z3 = new Array[Long](4); Fp256.mul(h, p.z, z3)
+    new JPt(x3, y3, z3)
+  }
+
+  private def jNegate(p: JPt): JPt = {
+    if (jIsInf(p)) return p
+    val ny = new Array[Long](4)
+    Fp256.sub(new Array[Long](4), p.y, ny)
+    new JPt(p.x, ny, p.z)
+  }
+
   // ── GLV endomorphism (secp256k1 has φ(x,y) = (βx, y) = λ·(x,y)) ──────
   // All constants are DERIVED here and self-verified against the curve; if
   // any check fails the code falls back to the plain 2-scalar ladder.
@@ -255,6 +358,31 @@ object Secp256k1 {
       case None => Array.empty
     }
 
+  // limb forms of the static affine tables (+ negated y, precomputed)
+  private lazy val gTabL: Array[(Array[Long], Array[Long], Array[Long])] =
+    gTable.map { case (x, y) =>
+      val yl = Fp256.fromBigInteger(y)
+      val ny = new Array[Long](4); Fp256.sub(new Array[Long](4), yl, ny)
+      (Fp256.fromBigInteger(x), yl, ny)
+    }
+  private lazy val gEndoTabL: Array[(Array[Long], Array[Long], Array[Long])] =
+    gEndoTable.map { case (x, y) =>
+      val yl = Fp256.fromBigInteger(y)
+      val ny = new Array[Long](4); Fp256.sub(new Array[Long](4), yl, ny)
+      (Fp256.fromBigInteger(x), yl, ny)
+    }
+  private lazy val betaL: Option[Array[Long]] =
+    glvParams.map { case (_, beta, _, _) => Fp256.fromBigInteger(beta) }
+
+  private def jOddMultiples(p: JPt): Array[JPt] = {
+    val tab = new Array[JPt](8)
+    tab(0) = p
+    val p2 = jDbl(p)
+    var i = 1
+    while (i < 8) { tab(i) = jAdd(tab(i - 1), p2); i += 1 }
+    tab
+  }
+
   /** k1·R + k2·G. With GLV: 4 interleaved 128-bit wNAF scalars over
     * {R, φR, G, φG} → half the doublings of the 2-scalar ladder. Without
     * (derivation failed): plain interleaved wNAF-4. */
@@ -267,60 +395,65 @@ object Secp256k1 {
         if (r1.add(r2.multiply(lam)).subtract(k1).mod(N).signum != 0 ||
             g1.add(g2.multiply(lam)).subtract(k2).mod(N).signum != 0)
           return shamirPlain(k1, rPoint, k2)
-        val rTab = oddMultiples(rPoint)
-        val rTabE = rTab.map(endo(_, beta))
+        val rj = jFrom(rPoint)
+        val rTab = jOddMultiples(rj)
+        val bl = betaL.get
+        val rTabE = rTab.map { p =>
+          val ex = new Array[Long](4); Fp256.mul(p.x, bl, ex)
+          new JPt(ex, p.y, p.z)
+        }
         def digits(k: BigInteger) = (wnaf4(k.abs), k.signum < 0)
         val (d1, n1) = digits(r1); val (d2, n2) = digits(r2)
         val (d3, n3) = digits(g1); val (d4, n4) = digits(g2)
-        var acc = Infinity
+        var acc = jInf
         var j = Seq(d1.length, d2.length, d3.length, d4.length).max - 1
         while (j >= 0) {
-          acc = dbl(acc)
+          acc = jDbl(acc)
           if (j < d1.length && d1(j) != 0) {
             val d = d1(j); val p = rTab(math.abs(d) >> 1)
-            acc = add(acc, if ((d > 0) != n1) p else negate(p))
+            acc = jAdd(acc, if ((d > 0) != n1) p else jNegate(p))
           }
           if (j < d2.length && d2(j) != 0) {
             val d = d2(j); val p = rTabE(math.abs(d) >> 1)
-            acc = add(acc, if ((d > 0) != n2) p else negate(p))
+            acc = jAdd(acc, if ((d > 0) != n2) p else jNegate(p))
           }
           if (j < d3.length && d3(j) != 0) {
-            val d = d3(j); val (gx, gy) = gTable(math.abs(d) >> 1)
-            acc = addAffine(acc, gx, if ((d > 0) != n3) gy else P.subtract(gy))
+            val d = d3(j); val (gx, gy, gny) = gTabL(math.abs(d) >> 1)
+            acc = jAddAffine(acc, gx, if ((d > 0) != n3) gy else gny)
           }
           if (j < d4.length && d4(j) != 0) {
-            val d = d4(j); val (gx, gy) = gEndoTable(math.abs(d) >> 1)
-            acc = addAffine(acc, gx, if ((d > 0) != n4) gy else P.subtract(gy))
+            val d = d4(j); val (gx, gy, gny) = gEndoTabL(math.abs(d) >> 1)
+            acc = jAddAffine(acc, gx, if ((d > 0) != n4) gy else gny)
           }
           j -= 1
         }
-        acc
+        jToPt(acc)
       case None => shamirPlain(k1, rPoint, k2)
     }
   }
 
-  /** The non-GLV 2-scalar interleaved wNAF-4 ladder. */
+  /** The non-GLV 2-scalar interleaved wNAF-4 ladder (limb arithmetic). */
   private def shamirPlain(k1: BigInteger, rPoint: Pt, k2: BigInteger): Pt = {
-    val rTab = oddMultiples(rPoint)
+    val rTab = jOddMultiples(jFrom(rPoint))
     val d1 = wnaf4(k1)
     val d2 = wnaf4(k2)
-    var acc = Infinity
+    var acc = jInf
     var j = math.max(d1.length, d2.length) - 1
     while (j >= 0) {
-      acc = dbl(acc)
+      acc = jDbl(acc)
       if (j < d1.length && d1(j) != 0) {
         val d = d1(j)
         val p = rTab(math.abs(d) >> 1)
-        acc = add(acc, if (d > 0) p else negate(p))
+        acc = jAdd(acc, if (d > 0) p else jNegate(p))
       }
       if (j < d2.length && d2(j) != 0) {
         val d = d2(j)
-        val (gx, gy) = gTable(math.abs(d) >> 1)
-        acc = addAffine(acc, gx, if (d > 0) gy else P.subtract(gy))
+        val (gx, gy, gny) = gTabL(math.abs(d) >> 1)
+        acc = jAddAffine(acc, gx, if (d > 0) gy else gny)
       }
       j -= 1
     }
-    acc
+    jToPt(acc)
   }
 
   /** Jacobian → affine (the one inversion). */
