@@ -81,6 +81,35 @@ object TextOps {
         .select("keeper", "n_copies")
     },
 
+    // The composite corpus-preparation pipeline a training-data run chains:
+    // quality gate → exact dedup (earliest keeper) → deterministic hash
+    // sampling (md5 prefix = the split function both engines share).
+    "q_corpus_prepare" -> QueryDef.sql(
+      "corpus prep: quality filter → exact dedup → deterministic sample",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, length(text) AS n_len, md5(text) AS h
+         |  FROM documents
+         |  WHERE length(text) >= 50
+         |    AND len(regexp_extract_all(text, '$StopRe')) >= 1),
+         |deduped AS (
+         |  SELECT min(doc_id) AS doc_id, h FROM scored GROUP BY h)
+         |SELECT s.lang, COUNT(*) AS n_docs, CAST(SUM(s.n_len) AS BIGINT) AS total_chars
+         |FROM deduped d JOIN scored s ON d.doc_id = s.doc_id AND d.h = s.h
+         |WHERE substr(d.h, 1, 1) < '8'
+         |GROUP BY s.lang""".stripMargin) { (s, dir) =>
+      val scored = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 50 &&
+          size(regexp_extract_all(col("text"), lit(StopRe), lit(0))) >= 1)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_len"),
+          md5(col("text")).as("h"))
+      val deduped = scored.groupBy("h").agg(min("doc_id").as("doc_id"))
+      deduped
+        .join(scored, Seq("doc_id", "h"))
+        .filter(substring(col("h"), 1, 1) < "8") // deterministic ~50% sample
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_len").cast("long").as("total_chars"))
+    },
+
     // Heuristic n-gram language ID: per-language stopword evidence scores,
     // argmax prediction, confusion counts vs the labeled column.
     "q_lang_id" -> QueryDef.sql(
