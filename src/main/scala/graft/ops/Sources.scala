@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
   * fixed schemas, PERMISSIVE parse + explicit validity filters replacing the
   * reference's line-by-line skip logic (common/txsfile.go:84-148). Spark
   * reads `.csv` and `.csv.gz` natively (gz via codec inference); `.zip`
-  * archives are out of scope (S2) — store collector output as gz.
+  * archives go through the streaming per-task decoder in [[readTxCsvZip]].
   */
 object Sources {
 
@@ -69,29 +69,56 @@ object Sources {
 
   /** S2: CSV-in-ZIP ingestion (common/txsfile.go:46-68 behavior): iterate
     * the `.csv` members of each `.csv.zip` archive. Spark has no zip codec,
-    * so archives are read as whole binary files and decompressed
-    * per-partition with JDK zip streams — one task per archive, which
-    * matches the reference's per-file iteration and parallelizes across
-    * archives (the daily layout is many hourly zips). */
+    * so the glob is expanded driver-side (the same FileSystem listing any
+    * scan does) and each archive is opened per-task through a STREAMING
+    * `ZipInputStream` — one task per archive, matching the reference's
+    * per-file iteration, parallel across archives (the daily layout is
+    * many hourly zips), and bounded memory: lines flow through a lazy
+    * Iterator, so a multi-GB archive never materializes as one byte
+    * array (the r1 version buffered whole archives via binaryFile). */
   def readTxCsvZip(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
-    val lines = spark.read.format("binaryFile").load(pathGlob)
-      .select("content").as[Array[Byte]]
-      .flatMap { bytes =>
+    val glob = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString).toSeq.sorted
+    val lines = spark.createDataset(files)
+      .repartition(math.max(files.size, 1))
+      .flatMap { pathStr =>
+        val path = new org.apache.hadoop.fs.Path(pathStr)
+        val raw = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .open(path)
         val zin = new java.util.zip.ZipInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var e = zin.getNextEntry
-        while (e != null) {
-          if (!e.isDirectory && e.getName.endsWith(".csv")) {
-            val rd = new java.io.BufferedReader(
+          new java.io.BufferedInputStream(raw))
+        // lazy line iterator across the archive's .csv members; a fresh
+        // Reader per member is safe because ZipInputStream bounds reads
+        // at the entry boundary, so no buffered bytes cross entries
+        new Iterator[String] {
+          private var rd: java.io.BufferedReader = null
+          private var nxt: String = null
+          private var done = false
+          private def nextCsvEntry(): Unit = {
+            var e = zin.getNextEntry
+            while (e != null && (e.isDirectory || !e.getName.endsWith(".csv")))
+              e = zin.getNextEntry
+            if (e == null) { zin.close(); done = true }
+            else rd = new java.io.BufferedReader(
               new java.io.InputStreamReader(zin, "UTF-8"))
-            var line = rd.readLine()
-            while (line != null) { out += line; line = rd.readLine() }
           }
-          e = zin.getNextEntry
+          private def advance(): Unit =
+            while (nxt == null && !done) {
+              if (rd == null) nextCsvEntry()
+              else {
+                nxt = rd.readLine()
+                if (nxt == null) rd = null // member exhausted; next entry
+              }
+            }
+          def hasNext: Boolean = { advance(); nxt != null }
+          def next(): String = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = nxt; nxt = null; r
+          }
         }
-        out
       }
     val cols = split(col("value"), ",")
     lines.toDF("value")

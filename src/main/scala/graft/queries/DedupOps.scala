@@ -69,43 +69,73 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard_r"))
     },
 
-    // SimHash: per-word 64-bit hashes → bitwise majority fingerprint →
-    // 4×16-bit block buckets → hamming-distance verify via bit_count(xor).
+    // SimHash: per-word hashes → bitwise majority fingerprint → block
+    // buckets → hamming-distance verify via bit_count(xor).
+    //
+    // The fingerprint is 128 bits (two independently-seeded 64-bit
+    // halves), cut into eight 16-bit chunks that pair up into 16 banded
+    // bucket keys of 32 bits each (chunk_i ++ chunk_{i+1 mod 8} and
+    // chunk_i ++ chunk_{i+2 mod 8}): 2^32 possible keys per band, so
+    // per-bucket candidate count stays bounded as the corpus grows (the
+    // r1 16-bit blocks capped at 65,536 buckets — in-bucket self-join
+    // volume grew quadratically with corpus size). A pair at fractional
+    // hamming distance d collides on a band when both its chunks are
+    // clean (prob ~(1-d)^32); 16 bands give near-dups >= 1 collision
+    // with high probability (LlmOpsSpec asserts planted recall >= 0.8).
     "q_dedup_simhash" -> QueryDef.rowsOnly(
-      "SimHash near-dup: majority fingerprint, block buckets, hamming verify") { (s, dir) =>
-      // explode words once; the 64 per-bit majority votes run as one
-      // codegen'd hash aggregate (64 sum columns) instead of interpreted
+      "SimHash near-dup: 128-bit majority fingerprint, 32-bit block buckets, hamming verify") { (s, dir) =>
+      // explode words once; the 128 per-bit majority votes run as one
+      // codegen'd hash aggregate (sum columns) instead of interpreted
       // nested lambdas (30× faster at sf0.1)
       val wordRows = withPlanted(s, dir).select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .select(col("doc_id"), xxhash64(col("w")).as("h"))
-      val bitAggs = (0 until 64).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b"))
+        .select(col("doc_id"),
+          xxhash64(col("w")).as("h0"), xxhash64(col("w"), lit(1)).as("h1"))
+      val bitAggs = (0 until 128).map { b =>
+        val h = if (b < 64) col("h0") else col("h1")
+        sum(when(shiftright(h, b % 64).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
+      }
       val votes = wordRows.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      val sim = (0 until 64).map(b =>
-        when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val fp = votes.select(col("doc_id"), sim.as("simhash"))
-      val blocked = fp.select(col("doc_id"), col("simhash"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", col("simhash"), b * lit(16)).bitwiseAND(0xffffL))))
+      def half(lo: Int) = (lo until lo + 64).map(b =>
+        when(col(s"b$b") >= 0, lit(1L << (b % 64))).otherwise(lit(0L))).reduce(_ + _)
+      val fp = votes.select(col("doc_id"), half(0).as("sim0"), half(64).as("sim1"))
+      def chunk(j: Int): Column = {
+        val h = if (j < 4) col("sim0") else col("sim1")
+        shiftright(h, (j % 4) * 16).bitwiseAND(0xffffL)
+      }
+      val bands = (0 until 8).map(i => chunk(i) * 65536L + chunk((i + 1) % 8)) ++
+        (0 until 8).map(i => chunk(i) * 65536L + chunk((i + 2) % 8))
+      val blocked = fp.select(col("doc_id"), col("sim0"), col("sim1"),
+        posexplode(array(bands: _*)))
         .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
       val a = blocked.select(col("block"), col("key"),
-        col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+        col("doc_id").as("doc_a"), col("sim0").as("a0"), col("sim1").as("a1"))
       val b = blocked.select(col("block"), col("key"),
-        col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+        col("doc_id").as("doc_b"), col("sim0").as("b0"), col("sim1").as("b1"))
       a.join(b, Seq("block", "key"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+          (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+            bit_count(col("a1").bitwiseXOR(col("b1")))).as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 12)
+        .filter(col("hamming") <= 24)
     },
 
     // Blocked exact n-gram Jaccard (differential-tested): char 3-gram sets,
-    // all pairs within (lang, source) blocks, relational intersect counts.
+    // pairs within (lang, source) blocks, exact Jaccard on full sets.
+    //
+    // Candidate generation uses AllPairs prefix filtering (Bayardo et al.,
+    // WWW'07): order each doc's shingles by ascending GLOBAL document
+    // frequency; any pair with J >= t shares its globally-smallest common
+    // shingle, which must sit within the first n - ceil(t*n) + 1 shingles
+    // of BOTH docs (if all o >= ceil(t*n) common shingles sat outside the
+    // prefix they would need more than the ceil(t*n) - 1 suffix slots).
+    // So only ~30% of shingles — the RAREST ones — enter the self-join:
+    // hot keys ("the", " an") sort last and never join, which removes the
+    // r1 skew (10.7 s -> the join now scales with rare-key volume) while
+    // staying exact: candidates are verified on their full shingle sets.
     "q_dedup_ngram_jaccard" -> QueryDef.sql(
-      "blocked n-gram Jaccard near-dup (char 3-grams, exact)",
+      "blocked n-gram Jaccard near-dup (char 3-grams, exact, prefix-filtered)",
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, lang, source, substr(text, i, 3) AS s
         |  FROM documents, generate_series(1, 600) t(i) WHERE i <= length(text) - 2),
@@ -118,24 +148,41 @@ object DedupOps {
         |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard_r
         |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
         |WHERE i * 1.0 / (x.n + y.n - i) >= 0.7""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = 0.7
       val docs = Tables.documents(s, dir)
+      // shingle rows feed the DF count, the prefix ranking, and the verify
+      // sets — materialize once
       val sh2 = docs.select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(transform(
           sequence(lit(1), greatest(length(col("text")) - 2, lit(0))),
           i => col("text").substr(i, lit(3))))).as("s"))
+        .cache()
       val sz = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // shingle-equality self-join: pair-match volume dominates either way,
-      // and this shape avoids building O(block²) posting-pair arrays per row
-      val a = sh2.select(col("lang"), col("source"), col("s"), col("doc_id").as("doc_a"))
-      val b = sh2.select(col("lang"), col("source"), col("s"), col("doc_id").as("doc_b"))
-      val inter = a.join(b, Seq("lang", "source", "s"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-      val j = inter
-        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-        .withColumn("jaccard", col("i") * 1.0 / (col("na") + col("nb") - col("i")))
-      j.filter(col("jaccard") >= 0.7)
+      val dfreq = sh2.groupBy("s").agg(count(lit(1)).as("df"))
+      val prefix = sh2.join(dfreq, Seq("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+        .join(sz, Seq("doc_id"))
+        .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
+      val a = prefix.select(col("lang"), col("source"), col("s"),
+        col("doc_id").as("doc_a"), col("n").as("na"))
+      val b = prefix.select(col("lang"), col("source"), col("s"),
+        col("doc_id").as("doc_b"), col("n").as("nb"))
+      // rare-shingle candidate join + the J>=t size bound (min/max >= t)
+      val cand = a.join(b, Seq("lang", "source", "s"))
+        .filter(col("doc_a") < col("doc_b") &&
+          col("na") >= col("nb") * t && col("nb") >= col("na") * t)
+        .select("doc_a", "doc_b").distinct()
+      // exact verification on the FULL shingle sets, candidates only
+      val sets = sh2.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= t)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard_r"))
     },
 

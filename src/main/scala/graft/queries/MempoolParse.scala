@@ -60,9 +60,13 @@ object MempoolParse {
     },
 
     // §3.1 flagship end-to-end merge DAG on synthetic mempool data.
+    // The dump stringifies `sources` (space-joined, the reference's own CSV
+    // layout — common/txsummary.go:104) so the driver's pandas rows-check can
+    // sort it; ArrayType columns are unhashable in the comparer.
     "q_mempool_merge" -> QueryDef.rowsOnly(
       "§3.1 merge job end-to-end: dedup, anti-join, parse, attach, enrich, F1, sort") { (s, dir) =>
       mergeOutput(s, dir).transactions.drop("rawTx")
+        .withColumn("sources", concat_ws(" ", col("sources")))
     },
 
     // F2 trash side-output of the same run.

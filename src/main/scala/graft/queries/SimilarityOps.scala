@@ -92,37 +92,41 @@ object SimilarityOps {
     // vectors, 2 Lloyd iterations, exact-decimal means) → inverted lists
     // keyed by centroid → probe the nprobe=2 nearest lists only. The
     // 100 TB shape: lists are partition keys; a query touches nprobe
-    // partition-groups, and the quantizer trains on a sample.
+    // partition-groups, and the quantizer trains on a deterministic 25%
+    // sample (vec_id % 4 == 0) — training cost is a fixed fraction of the
+    // corpus, and the full corpus is assigned exactly once.
     "q_sim_ann_ivf" -> QueryDef.rowsOnly(
-      "ANN: IVF coarse quantizer (k=8, 2 Lloyd iters) + nprobe=2 search") { (s, dir) =>
+      "ANN: IVF coarse quantizer (k=8, 2 Lloyd iters, sample-trained) + nprobe=2 search") { (s, dir) =>
       val k = 8
       val flat = Tables.embeddings(s, dir)
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos").as("i"), col("col").cast("double").as("v"))
         .cache()
+      val train = flat.filter(pmod(col("vec_id"), lit(4)) === 0)
 
       // deterministic init: centroids = the first k vectors
       var centroids = flat.filter(col("vec_id") < k)
         .select(col("vec_id").as("c"), col("i"), col("v").as("m"))
 
-      def assign(cents: org.apache.spark.sql.DataFrame) =
-        flat.join(broadcast(cents), Seq("i"))
+      def assign(rows: org.apache.spark.sql.DataFrame,
+          cents: org.apache.spark.sql.DataFrame) =
+        rows.join(broadcast(cents), Seq("i"))
           .groupBy("vec_id", "c")
           .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("d2"))
           .groupBy("vec_id")
           .agg(min(struct(col("d2"), col("c"))).as("best"))
           .select(col("vec_id"), col("best.c").as("c"))
 
-      // 2 Lloyd iterations; means via exact decimal sums so assignments
-      // are reproducible run-to-run
+      // 2 Lloyd iterations over the SAMPLE only; means via exact decimal
+      // sums so assignments are reproducible run-to-run
       for (_ <- 1 to 2) {
-        val asg = assign(centroids)
-        centroids = flat.join(asg, Seq("vec_id"))
+        val asg = assign(train, centroids)
+        centroids = train.join(asg, Seq("vec_id"))
           .groupBy("c", "i")
           .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
             count(lit(1))).as("m"))
       }
-      val lists = assign(centroids).cache() // inverted lists: vec_id → c
+      val lists = assign(flat, centroids).cache() // inverted lists: vec_id → c
 
       // query = vec 0: its nprobe nearest centroids
       val q = flat.filter(col("vec_id") === 0).select(col("i"), col("v").as("qv"))

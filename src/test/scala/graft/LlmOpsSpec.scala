@@ -25,7 +25,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val nDocs = Tables.documents(spark, sf).count()
     val planted = pairs.filter(col("doc_b") === col("doc_a") + 1000000L).count()
     assert(planted >= (nDocs * 0.8).toLong)
-    assert(pairs.agg(max("hamming")).head.getInt(0) <= 12)
+    // 128-bit fingerprint: same 0.1875 fractional distance bound as the
+    // r1 64-bit/12 threshold
+    assert(pairs.agg(max("hamming")).head.getInt(0) <= 24)
   }
 
   test("IVF ANN achieves high recall vs exact top-k") {
