@@ -1,6 +1,7 @@
 package graft.jobs
 
 import graft.functions.ParseTx
+import graft.ops.Sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -108,4 +109,27 @@ object Merge {
 
     Output(out, trash)
   }
+
+  /** A2 standalone: sourcelog merge (cmd/merge/sourcelog.go:64-108 +
+    * common/sourcelog.go:12-65): normalize source tags, keep the earliest
+    * timestamp per (hash, source). One hash-partitioned aggregate with
+    * map-side partial min — no other shuffle at any scale. */
+  def mergeSourcelog(sourcelog: DataFrame): DataFrame =
+    sourcelog
+      .withColumn("source", Sources.normalizeSource(col("source")))
+      .groupBy("hash", "source")
+      .agg(min("timestamp_ms").as("timestamp_ms"))
+      .select("timestamp_ms", "hash", "source")
+
+  /** A3 standalone: trash merge (cmd/merge/trash.go:64-108 +
+    * common/trashfile.go:66-103): earliest entry per (hash, source) wins,
+    * carrying its reason/notes (min-struct, same shape as the A1 dedup). */
+  def mergeTrash(trash: DataFrame): DataFrame =
+    trash
+      .withColumn("source", Sources.normalizeSource(col("source")))
+      .withColumn("notes", coalesce(col("notes"), lit("")))
+      .groupBy("hash", "source")
+      .agg(min(struct(col("timestamp_ms"), col("reason"), col("notes"))).as("f"))
+      .select(col("f.timestamp_ms").as("timestamp_ms"), col("hash"),
+        col("source"), col("f.reason").as("reason"), col("f.notes").as("notes"))
 }

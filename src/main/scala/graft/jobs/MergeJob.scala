@@ -45,6 +45,9 @@ object MergeJob {
     Sinks.writeParquetArchive(txs, s"$outDir/transactions.parquet")
     Sinks.writeMetadataCsv(txs, s"$outDir/metadata_csv")
     Sinks.writeTrashCsv(result.trash, s"$outDir/trash_csv")
+    // opt-in raw payload CSV, like the reference's --write-tx-csv flag
+    if (sys.env.get("SPARK_GRAFT_WRITE_TX_CSV").contains("1"))
+      Sinks.writeRawTxCsv(txs, s"$outDir/transactions_csv")
     val report = Analyze.sprint(Analyze.summarize(txs))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

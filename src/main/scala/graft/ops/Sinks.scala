@@ -47,6 +47,17 @@ object Sinks {
       col("txType").as("tx_type"))
       .write.option("header", "true").mode("overwrite").csv(path)
 
+  /** S12: raw-transactions CSV — timestamp_ms,hash,raw_tx with 0x-prefixed
+    * lowercase hex payload, ts-sorted (cmd/merge/transactions.go:208,253-263;
+    * the optional --write-tx-csv output alongside the metadata CSV). */
+  def writeRawTxCsv(txs: DataFrame, path: String): Unit =
+    txs.select(
+      col("timestamp").cast("long").as("timestamp_ms"),
+      col("hash"),
+      concat(lit("0x"), lower(hex(col("rawTx")))).as("raw_tx"))
+      .orderBy("timestamp_ms")
+      .write.option("header", "true").mode("overwrite").csv(path)
+
   /** S12: sourcelog CSV, ts-sorted (cmd/merge/sourcelog.go:64-108). */
   def writeSourcelogCsv(sourcelog: DataFrame, path: String): Unit =
     sourcelog.select("timestamp_ms", "hash", "source")

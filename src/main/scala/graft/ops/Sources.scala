@@ -36,6 +36,13 @@ object Sources {
   private def validHash(c: org.apache.spark.sql.Column) =
     length(c) === 66 && c.rlike("^0x[0-9a-f]{64}$")
 
+  /** P5: source-name normalization (common/consts.go:27-42): map known
+    * provider URIs to their short tags, pass anything else through. */
+  def normalizeSource(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.contains("alchemy.com/"), "alchemy")
+      .when(c.contains("infura.io/"), "infura")
+      .otherwise(c)
+
   /** F3/P10/P11 row policy: malformed rows are dropped, like the
     * reference's `continue` branches — bad int → null → filtered. */
   def readTxCsv(spark: SparkSession, paths: String*): DataFrame =

@@ -67,6 +67,60 @@ class MergeJobSpec extends AnyFunSuite {
     assert(s.perType.nonEmpty && s.perSource.nonEmpty)
   }
 
+  test("sourcelog merge: earliest per (hash, source), normalized, frozen layout") {
+    import spark.implicits._
+    val h1 = "0x" + "a" * 64
+    val h2 = "0x" + "b" * 64
+    val in = Seq(
+      (1500L, h1, "https://eth-mainnet.alchemy.com/v2/key"), // dup, later
+      (1000L, h1, "wss://x.alchemy.com/v2/key"), // same tag after P5
+      (2000L, h1, "bloxroute"),
+      (3000L, h2, "local"),
+      (2500L, h2, "local")) // dup, earlier wins
+      .toDF("timestamp_ms", "hash", "source")
+    val merged = Merge.mergeSourcelog(in)
+    assert(merged.columns.toSeq == Seq("timestamp_ms", "hash", "source"))
+    val rows = merged.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1000L, h1, "alchemy"), (2000L, h1, "bloxroute"), (2500L, h2, "local")))
+    // sink writes the reference's ts-sorted csv layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slmerge").toString
+    Sinks.writeSourcelogCsv(merged, s"$tmp/out")
+    val back = spark.read.option("header", "true").csv(s"$tmp/out")
+    assert(back.columns.toSeq == Seq("timestamp_ms", "hash", "source"))
+    assert(back.count() == 3)
+  }
+
+  test("trash merge: earliest entry per (hash, source) carries reason/notes") {
+    import spark.implicits._
+    val h = "0x" + "c" * 64
+    val in = Seq(
+      (2000L, h, "local", "signature-error", "late"),
+      (1000L, h, "local", "tx-already-onchain", null.asInstanceOf[String]),
+      (1500L, h, "bloxroute", "signature-error", "x"))
+      .toDF("timestamp_ms", "hash", "source", "reason", "notes")
+    val merged = Merge.mergeTrash(in)
+    assert(merged.columns.toSeq ==
+      Seq("timestamp_ms", "hash", "source", "reason", "notes"))
+    val rows = merged.collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getString(4))).toSet
+    assert(rows == Set(
+      (1000L, "local", "tx-already-onchain", ""),
+      (1500L, "bloxroute", "signature-error", "x")))
+  }
+
+  test("raw-tx csv: timestamp_ms,hash,raw_tx with 0x hex payload") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rawtx").toString
+    Sinks.writeRawTxCsv(txs, s"$tmp/out")
+    val back = spark.read.option("header", "true").csv(s"$tmp/out")
+    assert(back.columns.toSeq == Seq("timestamp_ms", "hash", "raw_tx"))
+    assert(back.count() == txs.count())
+    // payload round-trips: re-parsing a dumped line's raw_tx gives its hash
+    val r = back.orderBy("hash").limit(1).collect()(0)
+    assert(r.getString(2).matches("0x[0-9a-f]+"))
+    val reparsed = graft.functions.EthTx.decodeHex(r.getString(2))
+    assert(reparsed.hash == r.getString(1))
+  }
+
   test("sinks: parquet archive + metadata csv round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sinks").toString
     Sinks.writeParquetArchive(txs, s"$tmp/archive")
