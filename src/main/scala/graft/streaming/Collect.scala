@@ -35,6 +35,53 @@ object Collect {
       .csv(inDir)
       .withColumn("ts", timestamp_millis(col("timestamp_ms")))
 
+  /** Wire-envelope shape of the push-feed sources, one merged JSON schema:
+    * bloXroute puts the 0x-hex RLP at params.result.rawTx (BlxRawTxMsg,
+    * common/types.go:16-22; collector/node_conn_bloxroute.go:134-160) and
+    * Eden at params.result.rlp (EdenRawTxMsg, common/types.go:24-30;
+    * collector/node_conn_eden.go:131-157). Fields absent from a given
+    * source's message parse to null. */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("params", StructType(Seq(
+      StructField("result", StructType(Seq(
+        StructField("rawTx", StringType),
+        StructField("rlp", StringType)))))))))
+
+  /** Raw-envelope feed: JSON-lines files of
+    * `{timestamp_ms, source, msg}` where `msg` is the verbatim WS push
+    * message — timestamp and source tag are connection context the adapter
+    * stamps on receipt (TxIn, collector/node_conn_bloxroute.go:161-165). */
+  val envelopeFeedSchema: StructType = StructType(Seq(
+    StructField("timestamp_ms", LongType),
+    StructField("source", StringType),
+    StructField("msg", StringType)))
+
+  def envelopeFeed(spark: SparkSession, inDir: String): DataFrame =
+    spark.readStream
+      .schema(envelopeFeedSchema)
+      .option("maxFilesPerTrigger", 16)
+      .json(inDir)
+
+  /** S7/S8 envelope decode as columnar transforms — the engine half of the
+    * bloXroute/Eden adapters (the WS dial/backoff loop is driver-side
+    * plumbing): from_json → per-source payload path → keccak hash via the
+    * parse expression. Mirrors the reference's skip-on-error `continue`
+    * branches: empty payloads and undecodable RLP are dropped. Produces
+    * exactly the plain [[feed]] row shape, so everything downstream
+    * (dedup, validate, sinks) is source-agnostic. */
+  def decodeEnvelopes(msgs: DataFrame, msgCol: String = "msg"): DataFrame =
+    msgs
+      .withColumn("e", from_json(col(msgCol), envelopeSchema))
+      .withColumn("payload",
+        when(col("source") === "bloxroute", col("e.params.result.rawTx"))
+          .when(col("source") === "eden", col("e.params.result.rlp")))
+      .filter(col("payload").isNotNull && length(col("payload")) > 0)
+      .withColumn("raw_tx_hex", col("payload"))
+      .withColumn("hash", ParseTx.parse_raw_tx(col("raw_tx_hex")).getField("hash"))
+      .filter(col("hash").isNotNull)
+      .select(col("timestamp_ms"), col("hash"), col("raw_tx_hex"), col("source"))
+      .withColumn("ts", timestamp_millis(col("timestamp_ms")))
+
   /** A5: 30-minute-TTL streaming dedup on the tx hash
     * (dropDuplicatesWithinWatermark ≈ knownTxs map + sweeper). */
   def dedup(stream: DataFrame): DataFrame =
