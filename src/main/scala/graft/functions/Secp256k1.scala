@@ -98,31 +98,66 @@ object Secp256k1 {
   private def negate(p: Pt): Pt =
     if (p.isInfinity) p else Pt(p.x, P.subtract(p.y), p.z)
 
-  /** Width-4 NAF digits (LSB first): values in {0, ±1, ±3, …, ±15}. */
-  private def wnaf4(kIn: BigInteger): Array[Int] = {
-    var k = kIn
-    val out = new Array[Int](k.bitLength + 1)
+  /** Width-w NAF digits (LSB first): zero or odd with |d| < 2^(w-1);
+    * nonzero density ~1/(w+1). Runs on 64-bit limbs — the digit loop
+    * iterates once per scalar bit, so BigInteger churn here showed up in
+    * recovery profiles. */
+  private def wnaf(kIn: BigInteger, w: Int): Array[Int] = {
+    val l = new Array[Long](5) // ≤ 320 bits, enough for any scalar here
+    var tmp = kIn
+    var idx = 0
+    while (tmp.signum > 0 && idx < 5) {
+      l(idx) = tmp.longValue; tmp = tmp.shiftRight(64); idx += 1
+    }
+    val out = new Array[Int](kIn.bitLength + 1)
+    val mask = (1L << w) - 1
+    val half = 1L << (w - 1)
     var i = 0
-    while (k.signum > 0) {
-      if (k.testBit(0)) {
-        var d = k.intValue & 15 // k mod 16
-        if (d >= 8) d -= 16
-        out(i) = d
-        k = k.subtract(BigInteger.valueOf(d.toLong))
+    while (l(0) != 0 || l(1) != 0 || l(2) != 0 || l(3) != 0 || l(4) != 0) {
+      if ((l(0) & 1L) != 0) {
+        var d = l(0) & mask // k mod 2^w
+        if (d >= half) d -= (1L << w)
+        out(i) = d.toInt
+        if (d > 0) { // k -= d
+          var borrow = d
+          var j = 0
+          while (borrow != 0 && j < 5) {
+            val s = l(j) - borrow
+            borrow = if (java.lang.Long.compareUnsigned(l(j), borrow) < 0) 1L else 0L
+            l(j) = s; j += 1
+          }
+        } else { // k += |d|
+          var carry = -d
+          var j = 0
+          while (carry != 0 && j < 5) {
+            val s = l(j) + carry
+            carry = if (java.lang.Long.compareUnsigned(s, l(j)) < 0) 1L else 0L
+            l(j) = s; j += 1
+          }
+        }
       }
-      k = k.shiftRight(1)
+      var j = 0
+      while (j < 4) { l(j) = (l(j) >>> 1) | (l(j + 1) << 63); j += 1 }
+      l(4) >>>= 1
       i += 1
     }
     java.util.Arrays.copyOf(out, i)
   }
+  /** R-point window: width 5 → odd |d| ≤ 15 → the 8-entry odd-multiple
+    * table computed per recovery. */
+  private def wnaf5(k: BigInteger): Array[Int] = wnaf(k, 5)
+  /** Fixed-base window: width 8 → odd |d| ≤ 127 → the static 64-entry
+    * G tables; ~14 adds per 128-bit GLV scalar instead of ~26 at w=4. */
+  private def wnaf8(k: BigInteger): Array[Int] = wnaf(k, 8)
 
-  /** Odd multiples 1·G … 15·G normalized to affine, computed once. */
+  /** Odd multiples 1·G … 127·G normalized to affine, computed once
+    * (the fixed-base wNAF-8 table; class-load cost only). */
   private lazy val gTable: Array[(BigInteger, BigInteger)] = {
-    val pts = new Array[Pt](8)
+    val pts = new Array[Pt](64)
     pts(0) = G
     val g2 = dbl(G)
     var i = 1
-    while (i < 8) { pts(i) = add(pts(i - 1), g2); i += 1 }
+    while (i < 64) { pts(i) = add(pts(i - 1), g2); i += 1 }
     pts.map(toAffine)
   }
 
@@ -383,9 +418,129 @@ object Secp256k1 {
     tab
   }
 
+  // ── in-place ladder arithmetic ───────────────────────────────────────
+  // The ~200-step ladder is the hot loop of every recovery; these mutable
+  // variants keep all temporaries in one per-call scratch pool so a step
+  // allocates nothing (the functional jDbl/jAdd above allocate ~10 small
+  // arrays per step, which costs as much as the field math itself).
+
+  private final class MPt {
+    var x = new Array[Long](4)
+    var y = new Array[Long](4)
+    var z = new Array[Long](4)
+    var inf = true
+  }
+
+  private final class Scratch {
+    val t0 = new Array[Long](4); val t1 = new Array[Long](4)
+    val t2 = new Array[Long](4); val t3 = new Array[Long](4)
+    val t4 = new Array[Long](4); val t5 = new Array[Long](4)
+    var o1 = new Array[Long](4); var o2 = new Array[Long](4)
+    var o3 = new Array[Long](4)
+  }
+
+  /** p ← 2p (Jacobian, a = 0), in place. */
+  private def mDbl(p: MPt, s: Scratch): Unit = {
+    if (p.inf) return
+    if (Fp256.isZero(p.y)) { p.inf = true; return }
+    Fp256.sqr(p.x, s.t0) // A = X²
+    Fp256.sqr(p.y, s.t1) // B = Y²
+    Fp256.sqr(s.t1, s.t2) // C = Y⁴
+    Fp256.add(p.x, s.t1, s.t3) // X+B
+    Fp256.sqr(s.t3, s.t4)
+    Fp256.sub(s.t4, s.t0, s.t4)
+    Fp256.sub(s.t4, s.t2, s.t4)
+    Fp256.dbl2(s.t4, s.t4) // D = 2((X+B)²−A−C)
+    Fp256.add(s.t0, s.t0, s.t5); Fp256.add(s.t5, s.t0, s.t5) // E = 3A
+    Fp256.sqr(s.t5, s.o1)
+    Fp256.sub(s.o1, s.t4, s.o1); Fp256.sub(s.o1, s.t4, s.o1) // X3 = E²−2D
+    Fp256.sub(s.t4, s.o1, s.t3) // D − X3
+    Fp256.mul(s.t5, s.t3, s.o2) // E(D−X3)
+    Fp256.dbl2(s.t2, s.t2); Fp256.dbl2(s.t2, s.t2); Fp256.dbl2(s.t2, s.t2) // 8C
+    Fp256.sub(s.o2, s.t2, s.o2) // Y3
+    Fp256.mul(p.y, p.z, s.t3)
+    Fp256.dbl2(s.t3, s.o3) // Z3 = 2YZ
+    val ox = p.x; val oy = p.y; val oz = p.z
+    p.x = s.o1; p.y = s.o2; p.z = s.o3
+    s.o1 = ox; s.o2 = oy; s.o3 = oz
+  }
+
+  /** p ← p + (x2, y2) (mixed, affine addend), in place. */
+  private def mAddAffine(p: MPt, x2: Array[Long], y2: Array[Long], s: Scratch): Unit = {
+    if (p.inf) {
+      System.arraycopy(x2, 0, p.x, 0, 4)
+      System.arraycopy(y2, 0, p.y, 0, 4)
+      p.z(0) = 1L; p.z(1) = 0L; p.z(2) = 0L; p.z(3) = 0L
+      p.inf = false
+      return
+    }
+    Fp256.sqr(p.z, s.t0) // Z1²
+    Fp256.mul(x2, s.t0, s.t1) // U2
+    Fp256.mul(y2, s.t0, s.t2); Fp256.mul(s.t2, p.z, s.t3) // S2
+    Fp256.sub(s.t1, p.x, s.t4) // H
+    Fp256.sub(s.t3, p.y, s.t5) // R
+    if (Fp256.isZero(s.t4)) {
+      if (Fp256.isZero(s.t5)) mDbl(p, s) else p.inf = true
+      return
+    }
+    Fp256.sqr(s.t4, s.t0) // H²
+    Fp256.mul(s.t0, s.t4, s.t1) // H³
+    Fp256.mul(p.x, s.t0, s.t2) // U1H2
+    Fp256.sqr(s.t5, s.o1)
+    Fp256.sub(s.o1, s.t1, s.o1)
+    Fp256.sub(s.o1, s.t2, s.o1); Fp256.sub(s.o1, s.t2, s.o1) // X3
+    Fp256.sub(s.t2, s.o1, s.t0) // U1H2 − X3
+    Fp256.mul(s.t5, s.t0, s.o2) // R(U1H2−X3)
+    Fp256.mul(p.y, s.t1, s.t0) // Y1·H³
+    Fp256.sub(s.o2, s.t0, s.o2) // Y3
+    Fp256.mul(s.t4, p.z, s.o3) // Z3 = H·Z1
+    val ox = p.x; val oy = p.y; val oz = p.z
+    p.x = s.o1; p.y = s.o2; p.z = s.o3
+    s.o1 = ox; s.o2 = oy; s.o3 = oz
+  }
+
+  private def mToPt(p: MPt): Pt =
+    if (p.inf) Infinity
+    else Pt(Fp256.toBigInteger(p.x), Fp256.toBigInteger(p.y), Fp256.toBigInteger(p.z))
+
+  /** Jacobian points → affine limb triples (x, y, −y) with ONE field
+    * inversion (Montgomery batch trick): the ladder then uses the cheaper
+    * mixed addition for the R table too, not just the static G tables.
+    * Callers guarantee no input is infinity (odd multiples of a valid
+    * R < n never are). */
+  private def jBatchAffine(pts: Array[JPt]): Array[(Array[Long], Array[Long], Array[Long])] = {
+    val n = pts.length
+    val prefix = new Array[Array[Long]](n)
+    var acc: Array[Long] = Array(1L, 0L, 0L, 0L)
+    var i = 0
+    while (i < n) {
+      prefix(i) = acc
+      val nxt = new Array[Long](4); Fp256.mul(acc, pts(i).z, nxt); acc = nxt
+      i += 1
+    }
+    var inv = Fp256.fromBigInteger(Fp256.toBigInteger(acc).modInverse(P))
+    val out = new Array[(Array[Long], Array[Long], Array[Long])](n)
+    i = n - 1
+    while (i >= 0) {
+      val zInv = new Array[Long](4); Fp256.mul(inv, prefix(i), zInv)
+      val nxtInv = new Array[Long](4); Fp256.mul(inv, pts(i).z, nxtInv); inv = nxtInv
+      val zi2 = new Array[Long](4); Fp256.sqr(zInv, zi2)
+      val x = new Array[Long](4); Fp256.mul(pts(i).x, zi2, x)
+      val zi3 = new Array[Long](4); Fp256.mul(zi2, zInv, zi3)
+      val y = new Array[Long](4); Fp256.mul(pts(i).y, zi3, y)
+      val ny = new Array[Long](4); Fp256.sub(new Array[Long](4), y, ny)
+      out(i) = (x, y, ny)
+      i -= 1
+    }
+    out
+  }
+
   /** k1·R + k2·G. With GLV: 4 interleaved 128-bit wNAF scalars over
-    * {R, φR, G, φG} → half the doublings of the 2-scalar ladder. Without
-    * (derivation failed): plain interleaved wNAF-4. */
+    * {R, φR, G, φG} → half the doublings of the 2-scalar ladder. The R
+    * tables are batch-normalized to affine (one inversion) and the G
+    * scalars use the static wNAF-8 fixed-base tables, so every ladder
+    * addition is the cheap mixed form. Without GLV (derivation failed):
+    * plain interleaved 2-scalar ladder. */
   private def shamir(k1: BigInteger, rPoint: Pt, k2: BigInteger, unused: Pt): Pt = {
     glvParams match {
       case Some((lam, beta, v1, v2)) =>
@@ -395,65 +550,67 @@ object Secp256k1 {
         if (r1.add(r2.multiply(lam)).subtract(k1).mod(N).signum != 0 ||
             g1.add(g2.multiply(lam)).subtract(k2).mod(N).signum != 0)
           return shamirPlain(k1, rPoint, k2)
-        val rj = jFrom(rPoint)
-        val rTab = jOddMultiples(rj)
+        val rTab = jBatchAffine(jOddMultiples(jFrom(rPoint)))
         val bl = betaL.get
-        val rTabE = rTab.map { p =>
-          val ex = new Array[Long](4); Fp256.mul(p.x, bl, ex)
-          new JPt(ex, p.y, p.z)
+        val rTabE = rTab.map { case (x, y, ny) =>
+          val ex = new Array[Long](4); Fp256.mul(x, bl, ex)
+          (ex, y, ny)
         }
-        def digits(k: BigInteger) = (wnaf4(k.abs), k.signum < 0)
+        def digits(k: BigInteger) = (wnaf5(k.abs), k.signum < 0)
+        def gDigits(k: BigInteger) = (wnaf8(k.abs), k.signum < 0)
         val (d1, n1) = digits(r1); val (d2, n2) = digits(r2)
-        val (d3, n3) = digits(g1); val (d4, n4) = digits(g2)
-        var acc = jInf
+        val (d3, n3) = gDigits(g1); val (d4, n4) = gDigits(g2)
+        val acc = new MPt
+        val s = new Scratch
         var j = Seq(d1.length, d2.length, d3.length, d4.length).max - 1
         while (j >= 0) {
-          acc = jDbl(acc)
+          mDbl(acc, s)
           if (j < d1.length && d1(j) != 0) {
-            val d = d1(j); val p = rTab(math.abs(d) >> 1)
-            acc = jAdd(acc, if ((d > 0) != n1) p else jNegate(p))
+            val d = d1(j); val (x, y, ny) = rTab(math.abs(d) >> 1)
+            mAddAffine(acc, x, if ((d > 0) != n1) y else ny, s)
           }
           if (j < d2.length && d2(j) != 0) {
-            val d = d2(j); val p = rTabE(math.abs(d) >> 1)
-            acc = jAdd(acc, if ((d > 0) != n2) p else jNegate(p))
+            val d = d2(j); val (x, y, ny) = rTabE(math.abs(d) >> 1)
+            mAddAffine(acc, x, if ((d > 0) != n2) y else ny, s)
           }
           if (j < d3.length && d3(j) != 0) {
             val d = d3(j); val (gx, gy, gny) = gTabL(math.abs(d) >> 1)
-            acc = jAddAffine(acc, gx, if ((d > 0) != n3) gy else gny)
+            mAddAffine(acc, gx, if ((d > 0) != n3) gy else gny, s)
           }
           if (j < d4.length && d4(j) != 0) {
             val d = d4(j); val (gx, gy, gny) = gEndoTabL(math.abs(d) >> 1)
-            acc = jAddAffine(acc, gx, if ((d > 0) != n4) gy else gny)
+            mAddAffine(acc, gx, if ((d > 0) != n4) gy else gny, s)
           }
           j -= 1
         }
-        jToPt(acc)
+        mToPt(acc)
       case None => shamirPlain(k1, rPoint, k2)
     }
   }
 
-  /** The non-GLV 2-scalar interleaved wNAF-4 ladder (limb arithmetic). */
+  /** The non-GLV 2-scalar interleaved wNAF ladder (limb arithmetic). */
   private def shamirPlain(k1: BigInteger, rPoint: Pt, k2: BigInteger): Pt = {
-    val rTab = jOddMultiples(jFrom(rPoint))
-    val d1 = wnaf4(k1)
-    val d2 = wnaf4(k2)
-    var acc = jInf
+    val rTab = jBatchAffine(jOddMultiples(jFrom(rPoint)))
+    val d1 = wnaf5(k1)
+    val d2 = wnaf8(k2)
+    val acc = new MPt
+    val s = new Scratch
     var j = math.max(d1.length, d2.length) - 1
     while (j >= 0) {
-      acc = jDbl(acc)
+      mDbl(acc, s)
       if (j < d1.length && d1(j) != 0) {
         val d = d1(j)
-        val p = rTab(math.abs(d) >> 1)
-        acc = jAdd(acc, if (d > 0) p else jNegate(p))
+        val (x, y, ny) = rTab(math.abs(d) >> 1)
+        mAddAffine(acc, x, if (d > 0) y else ny, s)
       }
       if (j < d2.length && d2(j) != 0) {
         val d = d2(j)
         val (gx, gy, gny) = gTabL(math.abs(d) >> 1)
-        acc = jAddAffine(acc, gx, if (d > 0) gy else gny)
+        mAddAffine(acc, gx, if (d > 0) gy else gny, s)
       }
       j -= 1
     }
-    jToPt(acc)
+    mToPt(acc)
   }
 
   /** Jacobian → affine (the one inversion). */
