@@ -11,14 +11,36 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** S11: sorted Parquet archive with the reference's physical layout. */
-  def writeParquetArchive(txs: DataFrame, path: String): Unit =
-    txs.write
-      .option("compression", "gzip")
-      .option("parquet.block.size", (128L * 1024 * 1024).toString)
-      .option("parquet.page.size", (1024 * 1024).toString)
-      .mode("overwrite")
-      .parquet(path)
+  /** S11: sorted Parquet archive with the reference's physical layout:
+    * GZIP, 128 MiB row groups, and the two epoch-ms columns written as
+    * INT64 annotated TIMESTAMP_MILLIS (common/txsummary.go:42,65 parquet
+    * tags). Readers get them back as epoch-ms longs via
+    * [[graft.ops.Sources.readArchive]]. */
+  def writeParquetArchive(txs: DataFrame, path: String): Unit = {
+    val spark = txs.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MILLIS")
+    try {
+      val annotated = Seq("timestamp", "includedBlockTimestamp")
+        .foldLeft(txs) { (df, c) =>
+          if (df.columns.contains(c))
+            df.withColumn(c, timestamp_millis(col(c).cast("long")))
+          else df
+        }
+      annotated.write
+        .option("compression", "gzip")
+        .option("parquet.block.size", (128L * 1024 * 1024).toString)
+        .option("parquet.page.size", (1024 * 1024).toString)
+        .mode("overwrite")
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 
   /** The frozen metadata CSV column order (common/txsummary.go:17-36). */
   val MetadataCsvColumns: Seq[String] = Seq(

@@ -138,9 +138,15 @@ object Sources {
   }
 
   /** S4: typed parquet archive scan with optional row cap
-    * (cmd/analyze/main.go:81-107 MAX semantics). */
+    * (cmd/analyze/main.go:81-107 MAX semantics). The archive's
+    * TIMESTAMP_MILLIS columns come back as epoch-ms longs, the shape all
+    * downstream operators use. */
   def readArchive(spark: SparkSession, path: String, max: Option[Int] = None): DataFrame = {
-    val df = spark.read.parquet(path)
+    val df0 = spark.read.parquet(path)
+    val df = df0.schema.fields.foldLeft(df0) { (d, f) =>
+      if (f.dataType == TimestampType) d.withColumn(f.name, unix_millis(col(f.name)))
+      else d
+    }
     max.fold(df)(df.limit)
   }
 }

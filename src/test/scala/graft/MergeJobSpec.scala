@@ -121,6 +121,46 @@ class MergeJobSpec extends AnyFunSuite {
     assert(reparsed.hash == r.getString(1))
   }
 
+  test("archive layout: TIMESTAMP_MILLIS annotation + field-exact round-trip") {
+    // mirrors the reference's TestParquet (common/common_test.go:58-127):
+    // one parsed tx -> archive -> read back -> every field equal
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tsms").toString
+    val one = txs.orderBy("hash").limit(1).cache()
+    Sinks.writeParquetArchive(one, s"$tmp/archive")
+
+    // physical check: the footer's timestamp columns carry the
+    // TIMESTAMP(MILLIS) logical annotation on INT64, like the reference's
+    // parquet tags (common/txsummary.go:42,65)
+    val part = new java.io.File(s"$tmp/archive").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val schema = footer.getFooter.getFileMetaData.getSchema
+      for (c <- Seq("timestamp", "includedBlockTimestamp")) {
+        val t = schema.getType(Seq(c): _*).asPrimitiveType()
+        assert(t.getPrimitiveTypeName.toString == "INT64", s"$c physical type")
+        assert(Option(t.getLogicalTypeAnnotation).map(_.toString).exists(_.startsWith("TIMESTAMP(MILLIS")),
+          s"$c logical annotation: ${t.getLogicalTypeAnnotation}")
+      }
+    } finally footer.close()
+
+    // logical check: read-back equals the source row, field for field
+    val back = graft.ops.Sources.readArchive(spark, s"$tmp/archive")
+    assert(back.schema.fieldNames.toSeq == one.schema.fieldNames.toSeq)
+    val a = one.collect()(0)
+    val b = back.collect()(0)
+    one.schema.fieldNames.zipWithIndex.foreach { case (name, i) =>
+      (a.get(i), b.get(i)) match {
+        case (x: Array[Byte], y: Array[Byte]) => assert(x.sameElements(y), name)
+        case (x: Seq[_], y: Seq[_]) => assert(x == y, name)
+        case (x, y) => assert(x == y, s"$name: $x != $y")
+      }
+    }
+  }
+
   test("sinks: parquet archive + metadata csv round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sinks").toString
     Sinks.writeParquetArchive(txs, s"$tmp/archive")
