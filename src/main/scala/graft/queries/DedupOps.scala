@@ -159,18 +159,24 @@ object DedupOps {
           i => col("text").substr(i, lit(3))))).as("s"))
         .cache()
       val sz = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // global document frequency per shingle: the char-3-gram domain is
+      // bounded by charset³, so this side broadcasts at ANY corpus size —
+      // the big shingle-row side never shuffles for the DF lookup
       val dfreq = sh2.groupBy("s").agg(count(lit(1)).as("df"))
-      val prefix = sh2.join(dfreq, Seq("s"))
+      val prefix = sh2.join(broadcast(dfreq), Seq("s"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
         .join(sz, Seq("doc_id"))
         .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
-      val a = prefix.select(col("lang"), col("source"), col("s"),
-        col("doc_id").as("doc_a"), col("n").as("na"))
-      val b = prefix.select(col("lang"), col("source"), col("s"),
-        col("doc_id").as("doc_b"), col("n").as("nb"))
+      // candidate join on ONE 64-bit hash of (lang, source, shingle)
+      // instead of the 3-string composite: the shuffle/compare cost of the
+      // wide join drops to a long key; a hash collision can only ADD a
+      // false candidate, which the exact verify below discards
+      val key = xxhash64(col("lang"), col("source"), col("s"))
+      val a = prefix.select(key.as("k"), col("doc_id").as("doc_a"), col("n").as("na"))
+      val b = prefix.select(key.as("k"), col("doc_id").as("doc_b"), col("n").as("nb"))
       // rare-shingle candidate join + the J>=t size bound (min/max >= t)
-      val cand = a.join(b, Seq("lang", "source", "s"))
+      val cand = a.join(b, Seq("k"))
         .filter(col("doc_a") < col("doc_b") &&
           col("na") >= col("nb") * t && col("nb") >= col("na") * t)
         .select("doc_a", "doc_b").distinct()

@@ -43,12 +43,21 @@ object MempoolParse {
     }).toDF("hash", "block_number", "block_ts_ms")
   }
 
+  /** One merge DAG per (session, dir), shared by the three queries that
+    * read it — exactly the reference's shape: a single merge job emits the
+    * archive, the trash side-output, and the analyzer input together
+    * (cmd/merge/transactions.go). Without this, each query re-ran the
+    * full 100k-row parse. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Merge.Output]
+
   def mergeOutput(s: SparkSession, dir: String): Merge.Output =
-    Merge.run(s, Merge.Inputs(
-      rawTxs = rawTxs(s, dir),
-      sourcelog = sourcelog(s, dir),
-      blacklist = Some(rawTxs(s, dir).filter(col("timestamp_ms") % 31 === 0).select("hash")),
-      blocks = Some(blocks(s, dir))))
+    memo.getOrElseUpdate((System.identityHashCode(s), dir),
+      Merge.run(s, Merge.Inputs(
+        rawTxs = rawTxs(s, dir),
+        sourcelog = sourcelog(s, dir),
+        blacklist = Some(rawTxs(s, dir).filter(col("timestamp_ms") % 31 === 0).select("hash")),
+        blocks = Some(blocks(s, dir)))))
 
   val defs: Map[String, QueryDef] = Map(
 
