@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch-throughput GC: the parse/merge path allocates heavily across all
+  // 32 task threads; ParallelGC measured faster than the default G1 here
+  "-XX:+UseParallelGC",
 )

@@ -311,4 +311,13 @@ object Fp256 {
   }
 
   def copy(x: Array[Long]): Array[Long] = java.util.Arrays.copyOf(x, 4)
+
+  /** Write x as 32 big-endian bytes at out(off..off+31). */
+  def toBytesBE(x: Array[Long], out: Array[Byte], off: Int): Unit = {
+    var i = 0
+    while (i < 32) {
+      out(off + i) = ((x(3 - i / 8) >>> (8 * (7 - i % 8))) & 0xff).toByte
+      i += 1
+    }
+  }
 }
