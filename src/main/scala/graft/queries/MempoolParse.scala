@@ -52,12 +52,16 @@ object MempoolParse {
     scala.collection.concurrent.TrieMap.empty[(Int, String), Merge.Output]
 
   def mergeOutput(s: SparkSession, dir: String): Merge.Output =
-    memo.getOrElseUpdate((System.identityHashCode(s), dir),
-      Merge.run(s, Merge.Inputs(
+    memo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val out = Merge.run(s, Merge.Inputs(
         rawTxs = rawTxs(s, dir),
         sourcelog = sourcelog(s, dir),
         blacklist = Some(rawTxs(s, dir).filter(col("timestamp_ms") % 31 === 0).select("hash")),
-        blocks = Some(blocks(s, dir)))))
+        blocks = Some(blocks(s, dir))))
+      // the archive side feeds all three reader queries — materialize the
+      // joined/sorted result once, not just the parse stage inside Merge
+      Merge.Output(out.transactions.cache(), out.trash)
+    })
 
   val defs: Map[String, QueryDef] = Map(
 
