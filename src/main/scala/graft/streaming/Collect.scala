@@ -62,25 +62,34 @@ object Collect {
       .option("maxFilesPerTrigger", 16)
       .json(inDir)
 
-  /** S7/S8 envelope decode as columnar transforms — the engine half of the
-    * bloXroute/Eden adapters (the WS dial/backoff loop is driver-side
-    * plumbing): from_json → per-source payload path → keccak hash via the
-    * parse expression. Mirrors the reference's skip-on-error `continue`
-    * branches: empty payloads and undecodable RLP are dropped. Produces
-    * exactly the plain [[feed]] row shape, so everything downstream
-    * (dedup, validate, sinks) is source-agnostic. */
+  /** S6-S8 envelope decode as columnar transforms — the engine half of the
+    * push-feed adapters (the WS dial/backoff loop is driver-side
+    * plumbing): bloXroute and Eden carry a 0x-hex RLP payload inside
+    * their message JSON (from_json path extraction); every other source
+    * (geth newPendingTransactions full-tx mode, alchemy, infura) pushes a
+    * tx JSON OBJECT, which [[graft.functions.EthTxEncode]] re-encodes to
+    * the canonical raw bytes. Mirrors the reference's skip-on-error
+    * `continue` branches: empty payloads and undecodable messages are
+    * dropped. Produces exactly the plain [[feed]] row shape, so
+    * everything downstream (dedup, validate, sinks) is source-agnostic. */
   def decodeEnvelopes(msgs: DataFrame, msgCol: String = "msg"): DataFrame =
     msgs
       .withColumn("e", from_json(col(msgCol), envelopeSchema))
-      .withColumn("payload",
+      .withColumn("raw_tx_hex",
         when(col("source") === "bloxroute", col("e.params.result.rawTx"))
-          .when(col("source") === "eden", col("e.params.result.rlp")))
-      .filter(col("payload").isNotNull && length(col("payload")) > 0)
-      .withColumn("raw_tx_hex", col("payload"))
+          .when(col("source") === "eden", col("e.params.result.rlp"))
+          .otherwise(rebuildRawTxUdf(col(msgCol))))
+      .filter(col("raw_tx_hex").isNotNull && length(col("raw_tx_hex")) > 0)
       .withColumn("hash", ParseTx.parse_raw_tx(col("raw_tx_hex")).getField("hash"))
       .filter(col("hash").isNotNull)
       .select(col("timestamp_ms"), col("hash"), col("raw_tx_hex"), col("source"))
       .withColumn("ts", timestamp_millis(col("timestamp_ms")))
+
+  /** S6: tx-object envelope → canonical raw hex (genuinely custom RLP
+    * re-encode, so a UDF like the parse projection itself). */
+  private val rebuildRawTxUdf =
+    udf((msg: String) =>
+      if (msg == null) None else graft.functions.EthTxEncode.fromRpcEnvelope(msg))
 
   /** A5: 30-minute-TTL streaming dedup on the tx hash
     * (dropDuplicatesWithinWatermark ≈ knownTxs map + sweeper). */

@@ -64,16 +64,33 @@ class CollectStreamSpec extends AnyFunSuite {
     } finally queries.foreach(_.stop())
   }
 
-  test("S7/S8: wrapped bloxroute/eden envelopes decode to the plain feed rows") {
+  test("S6-S8: raw-rlp and tx-object envelopes decode to the plain feed rows") {
     val in = Files.createTempDirectory("graft-env").toString
     val n = 60
+    // a geth/alchemy-style tx OBJECT envelope rebuilt from the fixture's
+    // own decoded fields (S6 path)
+    def rpcMsg(raw: String): String = {
+      val bytes = graft.functions.EthTx.unhex(raw.stripPrefix("0x"))
+      val l = graft.functions.Rlp.decode(bytes.drop(1))
+        .asInstanceOf[graft.functions.Rlp.Lst].items
+      def hx(i: Int) = "0x" + graft.functions.Rlp.toBigInt(l(i)).toString(16)
+      def hb(i: Int) = "0x" + graft.functions.Rlp.toBytes(l(i)).map("%02x".format(_)).mkString
+      (s"""{"params":{"result":{"type":"0x2","chainId":"${hx(0)}","nonce":"${hx(1)}",""" +
+        s""""maxPriorityFeePerGas":"${hx(2)}","maxFeePerGas":"${hx(3)}","gas":"${hx(4)}",""" +
+        s""""to":"${hb(5)}","value":"${hx(6)}","input":"${hb(7)}","accessList":[],""" +
+        s""""yParity":"${hx(9)}","r":"${hx(10)}","s":"${hx(11)}"}}}""").replace("\"", "\\\"")
+    }
     // the same txs as a plain feed, wrapped in each source's WS envelope
     val lines = (0 until n).map { i =>
       val (ts, _, raw) = TxFixtures.rawRow(i.toLong)
-      if (i % 2 == 0)
-        s"""{"timestamp_ms":$ts,"source":"bloxroute","msg":"{\\"params\\":{\\"result\\":{\\"rawTx\\":\\"$raw\\"}}}"}"""
-      else
-        s"""{"timestamp_ms":$ts,"source":"eden","msg":"{\\"params\\":{\\"result\\":{\\"rlp\\":\\"$raw\\"}}}"}"""
+      i % 3 match {
+        case 0 =>
+          s"""{"timestamp_ms":$ts,"source":"bloxroute","msg":"{\\"params\\":{\\"result\\":{\\"rawTx\\":\\"$raw\\"}}}"}"""
+        case 1 =>
+          s"""{"timestamp_ms":$ts,"source":"eden","msg":"{\\"params\\":{\\"result\\":{\\"rlp\\":\\"$raw\\"}}}"}"""
+        case _ =>
+          s"""{"timestamp_ms":$ts,"source":"local","msg":"${rpcMsg(raw)}"}"""
+      }
     } ++ Seq(
       // skip-on-error branches: empty payload, undecodable RLP, junk JSON
       """{"timestamp_ms":1,"source":"bloxroute","msg":"{\"params\":{\"result\":{\"rawTx\":\"\"}}}"}""",
@@ -89,7 +106,8 @@ class CollectStreamSpec extends AnyFunSuite {
       val out = spark.table("env_out")
       val expected = (0 until n).map { i =>
         val (ts, hash, raw) = TxFixtures.rawRow(i.toLong)
-        (ts, hash, raw, if (i % 2 == 0) "bloxroute" else "eden")
+        (ts, hash, raw,
+          Seq("bloxroute", "eden", "local")(i % 3))
       }.toSet
       val got = out.select("timestamp_ms", "hash", "raw_tx_hex", "source")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{EthTx, Keccak256}
+import graft.functions.{EthTx, EthTxEncode, Keccak256, Rlp, TxFixtures}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Golden vectors from the reference's own tests (FIXTURES.md §A1;
@@ -56,6 +56,38 @@ class EthTxSpec extends AnyFunSuite {
     val p = EthTx.decodeHex(incorrect)
     assert(p.hash == "0xdd00ae95e4dc13fdf92682137223d697e346852a61c268faa8806b59a8cb2c9b")
     assert("0x" + Keccak256.hex(p.rawTx) == correct)
+  }
+
+  test("S6 tx-object envelope re-encodes to the exact canonical raw bytes") {
+    // type 2: decode a fixture's fields, rebuild the RPC JSON object, and
+    // the encoder must reproduce the identical raw hex
+    def rpcJsonOf(raw: String): String = {
+      val bytes = EthTx.unhex(raw.stripPrefix("0x"))
+      val l = Rlp.decode(bytes.drop(1)).asInstanceOf[Rlp.Lst].items
+      def hx(i: Int) = "0x" + Rlp.toBigInt(l(i)).toString(16)
+      def hb(i: Int) = "0x" + Rlp.toBytes(l(i)).map("%02x".format(_)).mkString
+      s"""{"type":"0x2","chainId":"${hx(0)}","nonce":"${hx(1)}","maxPriorityFeePerGas":"${hx(2)}","maxFeePerGas":"${hx(3)}","gas":"${hx(4)}","to":"${hb(5)}","value":"${hx(6)}","input":"${hb(7)}","accessList":[],"yParity":"${hx(9)}","r":"${hx(10)}","s":"${hx(11)}"}"""
+    }
+    (0 until 50).foreach { i =>
+      val raw = TxFixtures.rawTxHex(i.toLong)
+      val env = s"""{"params":{"result":${rpcJsonOf(raw)}}}"""
+      assert(EthTxEncode.fromRpcEnvelope(env).contains(raw), s"fixture $i")
+    }
+    // legacy (type 0) with an EIP-155 v: encoder must reproduce the rlp
+    val legacyItems = Vector(
+      Rlp.fromBigInt(BigInt(7)), Rlp.fromBigInt(BigInt(30000000000L)),
+      Rlp.fromBigInt(BigInt(21000)), Rlp.Bytes(Array.fill[Byte](20)(0x11)),
+      Rlp.fromBigInt(BigInt(12345)), Rlp.Bytes(Array.emptyByteArray),
+      Rlp.fromBigInt(BigInt(38)), Rlp.fromBigInt(BigInt(99999)),
+      Rlp.fromBigInt(BigInt(88888)))
+    val legacyRaw = "0x" + Keccak256.hex(Rlp.encode(Rlp.Lst(legacyItems)))
+    val legacyJson =
+      """{"type":"0x0","nonce":"0x7","gasPrice":"0x6fc23ac00","gas":"0x5208","to":"0x1111111111111111111111111111111111111111","value":"0x3039","input":"0x","v":"0x26","r":"0x1869f","s":"0x15b38"}"""
+    assert(EthTxEncode.fromRpcEnvelope(
+      s"""{"params":{"result":$legacyJson}}""").contains(legacyRaw))
+    // junk and unsupported types are skipped, not thrown
+    assert(EthTxEncode.fromRpcEnvelope("not json").isEmpty)
+    assert(EthTxEncode.fromRpcEnvelope("""{"params":{"result":{"type":"0x7f"}}}""").isEmpty)
   }
 
   test("malformed input throws, not crashes") {
