@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.util.concurrent.{ArrayBlockingQueue, ConcurrentHashMap, Executors, TimeUnit}
+
+/** S17: SSE transaction fan-out (api/server.go:95-129, api/handler.go:15-53):
+  * an embedded `text/event-stream` endpoint that pushes each forwarded tx
+  * as `data: <0x-rlp-hex>\n\n` to every connected subscriber, with the
+  * reference's per-subscriber buffer of 100 and drop-if-full (the
+  * `select`/`default` send) so one slow client never blocks the rest.
+  *
+  * The reference's API server is a single process; matching that, the
+  * foreachBatch sink collects each (already allowlist-filtered, typically
+  * tiny) micro-batch to the driver and publishes from there — this is a
+  * live fan-out endpoint, not a data-scale operator.
+  */
+final class SseBroadcast(port: Int = 0) {
+
+  private val subscribers =
+    new ConcurrentHashMap[String, ArrayBlockingQueue[String]]()
+
+  /** Per-subscriber buffered channel (api/handler.go:29: `make(chan string, 100)`). */
+  private[graft] def register(uid: String): ArrayBlockingQueue[String] = {
+    val q = new ArrayBlockingQueue[String](100)
+    subscribers.put(uid, q)
+    q
+  }
+  private[graft] def unregister(uid: String): Unit = subscribers.remove(uid)
+
+  /** SendTx semantics (api/server.go:108-129): non-blocking offer to every
+    * subscriber; a full buffer drops the event for that subscriber only. */
+  def publish(txHex: String): Unit =
+    subscribers.values.forEach { q => q.offer(txHex); () }
+
+  def subscriberCount: Int = subscribers.size
+
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/api/txs/sse", new com.sun.net.httpserver.HttpHandler {
+    def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+      val uid = java.util.UUID.randomUUID().toString
+      val q = register(uid)
+      try {
+        x.getResponseHeaders.set("Content-Type", "text/event-stream")
+        x.getResponseHeaders.set("Cache-Control", "no-cache")
+        x.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+        x.sendResponseHeaders(200, 0) // chunked stream
+        val out = x.getResponseBody
+        while (true) {
+          val tx = q.poll(250, TimeUnit.MILLISECONDS)
+          if (tx != null) {
+            out.write(s"data: $tx\n\n".getBytes("UTF-8"))
+            out.flush()
+          }
+        }
+      } catch {
+        case _: Exception => // client went away — same as ctx.Done()
+      } finally {
+        unregister(uid)
+        x.close()
+      }
+    }
+  })
+  server.setExecutor(Executors.newCachedThreadPool())
+  server.start()
+
+  def address: String =
+    s"http://127.0.0.1:${server.getAddress.getPort}/api/txs/sse"
+
+  def close(): Unit = {
+    server.stop(0)
+    subscribers.clear()
+  }
+
+  /** foreachBatch sink: allowlist filter, then publish each row's raw tx
+    * hex to all current subscribers. */
+  def sink(
+      rawHexCol: String = "raw_tx_hex",
+      allowedSources: Seq[String] = Nil,
+      sourceCol: String = "source"): (DataFrame, Long) => Unit = { (batch, _) =>
+    val allowed =
+      if (allowedSources.isEmpty) batch
+      else batch.filter(col(sourceCol).isin(allowedSources: _*))
+    if (subscriberCount > 0) // api/server.go:113 early return
+      allowed.select(col(rawHexCol)).na.drop().collect()
+        .foreach(r => publish(r.getString(0)))
+  }
+}

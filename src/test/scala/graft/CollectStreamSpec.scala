@@ -206,6 +206,55 @@ class CollectStreamSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("S17: sse fan-out streams published txs; slow subscribers drop, not block") {
+    val sse = new graft.ops.SseBroadcast()
+    try {
+      import spark.implicits._
+      // no subscribers: publishing is a no-op (reference early return)
+      sse.publish("0xdead")
+      assert(sse.subscriberCount == 0)
+
+      // connect a real SSE client
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(sse.address)).build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+      assert(resp.headers().firstValue("Content-Type").orElse("") == "text/event-stream")
+      val reader = new Thread(() => {
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(resp.body(), "UTF-8"))
+        var line = rd.readLine()
+        while (line != null) {
+          if (line.startsWith("data: ")) received.add(line.stripPrefix("data: "))
+          line = rd.readLine()
+        }
+      })
+      reader.setDaemon(true); reader.start()
+      // wait for registration
+      val deadline = System.nanoTime() + 5000000000L
+      while (sse.subscriberCount == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(sse.subscriberCount == 1)
+
+      // publish a filtered batch through the sink
+      val n = 5
+      val batch = (0 until n).map { i =>
+        val (ts, hash, raw) = TxFixtures.rawRow(i.toLong)
+        (ts, hash, raw, if (i < 3) "local" else "blocked")
+      }.toDF("timestamp_ms", "hash", "raw_tx_hex", "source")
+      sse.sink(allowedSources = Seq("local"))(batch, 0L)
+      val got = (0 until 3).map(_ =>
+        received.poll(5, java.util.concurrent.TimeUnit.SECONDS)).toSet
+      assert(got == (0 until 3).map(i => TxFixtures.rawRow(i.toLong)._3).toSet)
+
+      // drop-if-full: an undrained subscriber buffers 100, then drops
+      val q = sse.register("slow-test")
+      (0 until 250).foreach(i => sse.publish(s"0x$i"))
+      assert(q.size == 100) // buffer cap, overflow dropped, publish never blocked
+      sse.unregister("slow-test")
+    } finally sse.close()
+  }
+
   test("per-minute source metrics window counts") {
     val in = Files.createTempDirectory("graft-feed3").toString
     writeFeed(in, 100)

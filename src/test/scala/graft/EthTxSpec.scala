@@ -88,6 +88,40 @@ class EthTxSpec extends AnyFunSuite {
     // junk and unsupported types are skipped, not thrown
     assert(EthTxEncode.fromRpcEnvelope("not json").isEmpty)
     assert(EthTxEncode.fromRpcEnvelope("""{"params":{"result":{"type":"0x7f"}}}""").isEmpty)
+
+    // type 1 (EIP-2930) with a non-empty access list
+    val addr = Array.fill[Byte](20)(0x22)
+    val key = Array.fill[Byte](32)(0x33)
+    val aclItem = Rlp.Lst(Vector(Rlp.Bytes(addr),
+      Rlp.Lst(Vector(Rlp.Bytes(key)))))
+    val t1Items = Vector(
+      Rlp.fromBigInt(BigInt(1)), Rlp.fromBigInt(BigInt(9)),
+      Rlp.fromBigInt(BigInt(5000000000L)), Rlp.fromBigInt(BigInt(30000)),
+      Rlp.Bytes(Array.fill[Byte](20)(0x44)), Rlp.fromBigInt(BigInt(0)),
+      Rlp.Bytes(EthTx.unhex("deadbeef")), Rlp.Lst(Vector(aclItem)),
+      Rlp.fromBigInt(BigInt(1)), Rlp.fromBigInt(BigInt(777)),
+      Rlp.fromBigInt(BigInt(888)))
+    val t1Raw = "0x01" + Keccak256.hex(Rlp.encode(Rlp.Lst(t1Items)))
+    val t1Json =
+      """{"type":"0x1","chainId":"0x1","nonce":"0x9","gasPrice":"0x12a05f200","gas":"0x7530","to":"0x4444444444444444444444444444444444444444","value":"0x0","input":"0xdeadbeef","accessList":[{"address":"0x2222222222222222222222222222222222222222","storageKeys":["0x3333333333333333333333333333333333333333333333333333333333333333"]}],"yParity":"0x1","r":"0x309","s":"0x378"}"""
+    assert(EthTxEncode.fromRpcEnvelope(
+      s"""{"params":{"result":$t1Json}}""").contains(t1Raw))
+
+    // type 3 (EIP-4844) payload-only, with blob hashes
+    val blobHash = "01" + "ab" * 31
+    val t3Items = Vector(
+      Rlp.fromBigInt(BigInt(1)), Rlp.fromBigInt(BigInt(2)),
+      Rlp.fromBigInt(BigInt(10)), Rlp.fromBigInt(BigInt(20)),
+      Rlp.fromBigInt(BigInt(21000)), Rlp.Bytes(Array.fill[Byte](20)(0x55)),
+      Rlp.fromBigInt(BigInt(0)), Rlp.Bytes(Array.emptyByteArray),
+      Rlp.Lst(Vector.empty), Rlp.fromBigInt(BigInt(3)),
+      Rlp.Lst(Vector(Rlp.Bytes(EthTx.unhex(blobHash)))),
+      Rlp.fromBigInt(BigInt(0)), Rlp.fromBigInt(BigInt(11)), Rlp.fromBigInt(BigInt(12)))
+    val t3Raw = "0x03" + Keccak256.hex(Rlp.encode(Rlp.Lst(t3Items)))
+    val t3Json =
+      s"""{"type":"0x3","chainId":"0x1","nonce":"0x2","maxPriorityFeePerGas":"0xa","maxFeePerGas":"0x14","gas":"0x5208","to":"0x5555555555555555555555555555555555555555","value":"0x0","input":"0x","accessList":[],"maxFeePerBlobGas":"0x3","blobVersionedHashes":["0x$blobHash"],"yParity":"0x0","r":"0xb","s":"0xc"}"""
+    assert(EthTxEncode.fromRpcEnvelope(
+      s"""{"params":{"result":$t3Json}}""").contains(t3Raw))
   }
 
   test("malformed input throws, not crashes") {
