@@ -15,7 +15,8 @@ object PlanCheck {
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_filter_threshold", "q_agg_pricing", "q_join_dim_chain",
-        "q_join_anti", "q_merge_pipeline", "q_sim_topk")
+        "q_join_anti", "q_merge_pipeline", "q_sim_topk",
+        "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_envelope_decode")
     names.foreach { n =>
       println(s"\n════════ $n ════════")
       SparkEntry.all(n).fn(spark, dir).explain("formatted")

@@ -53,6 +53,20 @@ object TxFixtures {
     (ts, hash, raw)
   }
 
+  /** geth/alchemy-style push envelope carrying the tx OBJECT (S6 wire
+    * shape) for a type-2 fixture raw tx — fields read back out of the
+    * fixture's own canonical encoding. */
+  def rpcEnvelopeJson(raw: String): String = {
+    val bytes = EthTx.unhex(raw.stripPrefix("0x"))
+    val l = Rlp.decode(bytes.drop(1)).asInstanceOf[Rlp.Lst].items
+    def hx(i: Int) = "0x" + Rlp.toBigInt(l(i)).toString(16)
+    def hb(i: Int) = "0x" + Rlp.toBytes(l(i)).map("%02x".format(_)).mkString
+    s"""{"params":{"result":{"type":"0x2","chainId":"${hx(0)}","nonce":"${hx(1)}",""" +
+      s""""maxPriorityFeePerGas":"${hx(2)}","maxFeePerGas":"${hx(3)}","gas":"${hx(4)}",""" +
+      s""""to":"${hb(5)}","value":"${hx(6)}","input":"${hb(7)}","accessList":[],""" +
+      s""""yParity":"${hx(9)}","r":"${hx(10)}","s":"${hx(11)}"}}}"""
+  }
+
   /** Sourcelog rows for tx index i: 1-3 sources with distinct receipt times. */
   def sourcelogRows(i: Long): Seq[(Long, String, String)] = {
     val (ts, hash, _) = rawRow(i)

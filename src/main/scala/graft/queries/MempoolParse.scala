@@ -92,6 +92,28 @@ object MempoolParse {
     "q_mempool_analyze" -> QueryDef.rowsOnly(
       "§3.2 analyzer: per-source landed/exclusive aggregate pack") { (s, dir) =>
       Analyze.perSourceStats(mergeOutput(s, dir).transactions)
+    },
+
+    // S6-S8 wire-envelope decode as a batch query (the same columnar
+    // transforms the streaming collector runs): bloXroute raw-hex, Eden
+    // raw-hex, and geth/alchemy tx-object envelopes over the fixture txs,
+    // decoded back to feed rows. The dump hash-checks that every envelope
+    // shape reproduces its tx hash.
+    "q_envelope_decode" -> QueryDef.rowsOnly(
+      "S6-S8: wire-envelope decode (raw-hex paths + tx-object RLP re-encode)") { (s, dir) =>
+      import s.implicits._
+      val n = math.min(nFor(dir), 20000L)
+      val envelopes = s.range(n).as[Long].mapPartitions(_.map { i =>
+        val (ts, _, raw) = TxFixtures.rawRow(i)
+        i % 3 match {
+          case 0 => (ts, "bloxroute", s"""{"params":{"result":{"rawTx":"$raw"}}}""")
+          case 1 => (ts, "eden", s"""{"params":{"result":{"rlp":"$raw"}}}""")
+          case _ => (ts, "local", TxFixtures.rpcEnvelopeJson(raw))
+        }
+      }).toDF("timestamp_ms", "source", "msg")
+      graft.streaming.Collect.decodeEnvelopes(envelopes)
+        .drop("ts")
+        .orderBy("timestamp_ms", "source")
     }
   )
 }
