@@ -23,6 +23,33 @@ object DedupOps {
       i => concat_ws(" ", slice(words, i + 1, lit(3)))))
   }
 
+  /** Blocked embedding-cosine near-dup pairs (vec_a < vec_b, cos ≥ 0.25,
+    * exact decimal dots) — shared by the pair query and the
+    * connected-components clustering. */
+  private[queries] def embeddingCosPairs(s: SparkSession, dir: String): DataFrame = {
+    val flat = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), (col("vec_id") / 100).cast("long").as("block"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("block"),
+        (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
+    val nrm = flat.groupBy("vec_id")
+      .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
+    val a = flat.select(col("label"), col("block"), col("i"),
+      col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = flat.select(col("label"), col("block"), col("i"),
+      col("vec_id").as("vec_b"), col("v").as("vb"))
+    val dots = a.join(b, Seq("label", "block", "i"))
+      .filter(col("vec_a") < col("vec_b"))
+      .groupBy("vec_a", "vec_b")
+      .agg(sum((col("va") * col("vb")).cast(DecimalType(28, 12))).as("dot"))
+    dots
+      .join(nrm.select(col("vec_id").as("vec_a"), col("n2").as("na")), Seq("vec_a"))
+      .join(nrm.select(col("vec_id").as("vec_b"), col("n2").as("nb")), Seq("vec_b"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= 0.25)
+  }
+
   /** docs ∪ deterministic near-dup copies (last two words dropped,
     * doc_id + 1,000,000) so recall is testable at any SF. */
   private def withPlanted(s: SparkSession, dir: String): DataFrame = {
@@ -211,28 +238,76 @@ object DedupOps {
         |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))), 6) AS cos_r
         |FROM dots JOIN nrm x ON vec_a = x.vec_id JOIN nrm y ON vec_b = y.vec_id
         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.25""".stripMargin) { (s, dir) =>
-      val flat = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), (col("vec_id") / 100).cast("long").as("block"),
-          posexplode(col("embedding")))
-        .select(col("vec_id"), col("label"), col("block"),
-          (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
-      val nrm = flat.groupBy("vec_id")
-        .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
-      val a = flat.select(col("label"), col("block"), col("i"),
-        col("vec_id").as("vec_a"), col("v").as("va"))
-      val b = flat.select(col("label"), col("block"), col("i"),
-        col("vec_id").as("vec_b"), col("v").as("vb"))
-      val dots = a.join(b, Seq("label", "block", "i"))
-        .filter(col("vec_a") < col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(sum((col("va") * col("vb")).cast(DecimalType(28, 12))).as("dot"))
-      val cos = dots
-        .join(nrm.select(col("vec_id").as("vec_a"), col("n2").as("na")), Seq("vec_a"))
-        .join(nrm.select(col("vec_id").as("vec_b"), col("n2").as("nb")), Seq("vec_b"))
-        .withColumn("cos", col("dot").cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-      cos.filter(col("cos") >= 0.25)
+      embeddingCosPairs(s, dir)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_r"))
+    },
+
+    // Connected-components dedup clustering (differential-tested against a
+    // DuckDB recursive CTE): near-dup PAIRS are not enough to dedup a
+    // corpus — transitive clusters are, with one canonical keeper each.
+    // Iterative min-label propagation to fixpoint: label(v) starts as
+    // vec_id, each round takes the min over direct neighbors; converges in
+    // diameter rounds (near-dup components are small and blocked, so the
+    // loop is short — at 100 TB swap in the large-star/small-star variant,
+    // which keeps the same per-round shuffle shape on (src) keys).
+    "q_dedup_clusters" -> QueryDef.sql(
+      "connected-components near-dup clusters (min-label propagation)",
+      """WITH RECURSIVE flat AS (
+        |  SELECT vec_id, label, vec_id // 100 AS block, i,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |nrm AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,12))) AS n2 FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    SUM(CAST(a.v * b.v AS DECIMAL(28,12))) AS dot
+        |  FROM flat a JOIN flat b ON a.label = b.label AND a.block = b.block
+        |    AND a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT vec_a, vec_b FROM dots JOIN nrm x ON vec_a = x.vec_id
+        |  JOIN nrm y ON vec_b = y.vec_id
+        |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.25),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v)
+        |SELECT v AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY v""".stripMargin) { (s, dir) =>
+      val pairs = embeddingCosPairs(s, dir).select("vec_a", "vec_b").cache()
+      val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        .cache()
+      var labels = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("vec_id").as("cluster_id")).localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        // one neighbor-min step + one pointer jump (label := label of my
+        // label) per round — the jump doubles propagation distance.
+        // localCheckpoint truncates the lineage each round; without it the
+        // self-join doubles the logical plan every iteration and planning
+        // blows up exponentially.
+        val nbrMin = edges
+          .join(labels.select(col("vec_id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
+          .groupBy("src").agg(min("nbr").as("nbr_min"))
+        val prop = labels
+          .join(nbrMin.select(col("src").as("vec_id"), col("nbr_min")), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster_id").as("old"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("c1"))
+        val updated = prop.as("p")
+          .join(prop.select(col("vec_id").as("c1"), col("c1").as("jump")).as("j"), Seq("c1"))
+          .select(col("vec_id"), least(col("c1"), col("jump")).as("cluster_id"),
+            (least(col("c1"), col("jump")) < col("old")).as("chg"))
+          .localCheckpoint() // eager: one job per round, constant-size plan
+        converged = updated
+          .agg(sum(when(col("chg"), 1L).otherwise(0L))).head.getLong(0) == 0
+        labels = updated.drop("chg")
+        rounds += 1
+      }
+      labels
     }
   )
 }

@@ -110,6 +110,54 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum("n_len").cast("long").as("total_chars"))
     },
 
+    // Benchmark decontamination (differential-tested): drop every training
+    // doc whose exact fingerprint appears in the held-out eval set — the
+    // standard test-set-overlap removal step of a training-data pipeline.
+    // The eval set is tiny next to the corpus, so its fingerprints
+    // BROADCAST and the anti-join never shuffles the training side.
+    "q_decontaminate" -> QueryDef.sql(
+      "decontamination: drop training docs sharing a fingerprint with the eval set",
+      """SELECT d.lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+        |FROM documents d
+        |WHERE d.doc_id % 97 <> 0
+        |  AND md5(d.text) NOT IN
+        |    (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0)
+        |GROUP BY d.lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val evalFps = docs.filter(col("doc_id") % 97 === 0)
+        .select(md5(col("text")).as("h")).distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("h", md5(col("text")))
+        .join(broadcast(evalFps), Seq("h"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").cast("long").as("total_chars"))
+    },
+
+    // Stratified sampling (differential-tested): a deterministic per-
+    // language quota — rank docs inside each language by a hash of their
+    // id and keep the first K. This is the data-mixing primitive (equal
+    // representation per stratum); hash order makes the sample stable
+    // across runs and engines. One shuffle on the stratum key; the
+    // rank-window is per-stratum, so skewed strata can be salted.
+    "q_sample_stratified" -> QueryDef.sql(
+      "stratified sampling: deterministic hash-ranked per-language quota",
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rk") <= 40)
+        .select("lang", "doc_id")
+    },
+
     // Heuristic n-gram language ID: per-language stopword evidence scores,
     // argmax prediction, confusion counts vs the labeled column.
     "q_lang_id" -> QueryDef.sql(
