@@ -137,8 +137,19 @@ object Collect {
     * lifecycle. Checkpointing per sink — exactly-once file output on top of
     * the at-least-once contract. */
   def run(spark: SparkSession, inDir: String, outDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Seq[StreamingQuery] = {
-    val validated = validate(dedup(feed(spark, inDir)))
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Seq[StreamingQuery] =
+    runWith(feed(spark, inDir), outDir, trigger)
+
+  /** Same collector wiring over raw wire envelopes (S6-S8 sources). */
+  def runEnvelopes(spark: SparkSession, inDir: String, outDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Seq[StreamingQuery] =
+    runWith(decodeEnvelopes(envelopeFeed(spark, inDir)), outDir, trigger)
+
+  /** The collector pipeline over any stream in the feed row shape —
+    * the source adapters above all normalize to it. */
+  def runWith(stream: DataFrame, outDir: String,
+      trigger: Trigger): Seq[StreamingQuery] = {
+    val validated = validate(dedup(stream))
 
     val txQuery = validated.filter(col("reason").isNull)
       .select(col("timestamp_ms"), col("hash"), col("raw_tx_hex"),
