@@ -67,6 +67,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rpc tx-object encode is the inverse of the parser for random fields") {
+    // random EIP-1559 field tuples → RPC JSON → EthTxEncode → EthTx.decode:
+    // the decoded summary must reproduce the generated fields
+    val genTx = for {
+      nonce <- Gen.chooseNum(0L, 1000000L)
+      tip <- Gen.chooseNum(1L, 500000000000L)
+      feeDelta <- Gen.chooseNum(0L, 500000000000L)
+      gas <- Gen.chooseNum(21000L, 30000000L)
+      hasTo <- Arbitrary.arbBool.arbitrary
+      to <- Gen.listOfN(20, Arbitrary.arbByte.arbitrary).map(_.toArray)
+      value <- Gen.chooseNum(0L, Long.MaxValue)
+      data <- Gen.chooseNum(0, 64).flatMap(n =>
+        Gen.listOfN(n, Arbitrary.arbByte.arbitrary).map(_.toArray))
+      yPar <- Gen.chooseNum(0, 1)
+      r <- Gen.chooseNum(1L, Long.MaxValue)
+      s <- Gen.chooseNum(1L, Long.MaxValue)
+    } yield (nonce, tip, tip + feeDelta, gas, hasTo, to, value, data, yPar, r, s)
+    samples(genTx, 200).foreach {
+      case (nonce, tip, feeCap, gas, hasTo, to, value, data, yPar, r, s) =>
+        def hex(b: Array[Byte]) = "0x" + b.map("%02x".format(_)).mkString
+        val toJson = if (hasTo) hex(to) else "0x"
+        val json =
+          s"""{"params":{"result":{"type":"0x2","chainId":"0x1","nonce":"0x${nonce.toHexString}",""" +
+            s""""maxPriorityFeePerGas":"0x${tip.toHexString}","maxFeePerGas":"0x${feeCap.toHexString}",""" +
+            s""""gas":"0x${gas.toHexString}","to":"$toJson","value":"0x${value.toHexString}",""" +
+            s""""input":"${hex(data)}","accessList":[],"yParity":"0x$yPar",""" +
+            s""""r":"0x${r.toHexString}","s":"0x${s.toHexString}"}}}"""
+        val raw = graft.functions.EthTxEncode.fromRpcEnvelope(json)
+        assert(raw.isDefined, json)
+        val p = EthTx.decodeHex(raw.get)
+        assert(p.txType == 2L)
+        assert(p.nonce == nonce.toString)
+        assert(p.gas == gas.toString)
+        assert(p.gasTipCap == tip.toString)
+        assert(p.gasFeeCap == feeCap.toString)
+        assert(p.value == value.toString)
+        assert(p.to == (if (hasTo) hex(to) else ""))
+        assert(p.dataSize == data.length.toLong)
+    }
+  }
+
   test("rlp: malformed inputs throw RlpException, never loop or OOM") {
     val bad = Seq(
       Array[Byte](0xb8.toByte), // truncated long-string header
