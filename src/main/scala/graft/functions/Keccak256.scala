@@ -120,9 +120,20 @@ object Keccak256 {
     v
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def hex(bytes: Array[Byte]): String = {
-    val sb = new StringBuilder(bytes.length * 2)
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    // nibble lookup, not per-byte format strings — a java.util.Formatter
+    // per byte cost ~1 us, which dominated the parse path's row formatting
+    // (hash/addresses) and fixture generation
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(i * 2) = HexChars(v >>> 4)
+      out(i * 2 + 1) = HexChars(v & 15)
+      i += 1
+    }
+    new String(out)
   }
 }

@@ -60,7 +60,7 @@ object TxFixtures {
     val bytes = EthTx.unhex(raw.stripPrefix("0x"))
     val l = Rlp.decode(bytes.drop(1)).asInstanceOf[Rlp.Lst].items
     def hx(i: Int) = "0x" + Rlp.toBigInt(l(i)).toString(16)
-    def hb(i: Int) = "0x" + Rlp.toBytes(l(i)).map("%02x".format(_)).mkString
+    def hb(i: Int) = "0x" + Keccak256.hex(Rlp.toBytes(l(i)))
     s"""{"params":{"result":{"type":"0x2","chainId":"${hx(0)}","nonce":"${hx(1)}",""" +
       s""""maxPriorityFeePerGas":"${hx(2)}","maxFeePerGas":"${hx(3)}","gas":"${hx(4)}",""" +
       s""""to":"${hb(5)}","value":"${hx(6)}","input":"${hb(7)}","accessList":[],""" +
