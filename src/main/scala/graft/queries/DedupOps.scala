@@ -303,7 +303,7 @@ object DedupOps {
             (least(col("c1"), col("jump")) < col("old")).as("chg"))
           .localCheckpoint() // eager: one job per round, constant-size plan
         converged = updated
-          .agg(sum(when(col("chg"), 1L).otherwise(0L))).head.getLong(0) == 0
+          .agg(sum(when(col("chg"), 1L).otherwise(0L))).head().getLong(0) == 0
         labels = updated.drop("chg")
         rounds += 1
       }
