@@ -140,8 +140,7 @@ object Sinks {
       else batch.filter(col(sourceCol).isin(allowedSources: _*))
     allowed.select(col(rawHexCol)).na.drop().foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val client = java.net.http.HttpClient.newBuilder()
-          .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+        val client = Sinks.fanoutClient // one per executor JVM, not per batch
         rows.foreach { r =>
           val rawHex = r.getString(0)
           val bytes = graft.functions.EthTx.unhex(
@@ -162,6 +161,12 @@ object Sinks {
         }
     }
   }
+
+  /** Shared executor-side HTTP client for the fan-out sink (an HttpClient
+    * owns a selector thread; one per JVM, not one per partition/batch). */
+  private lazy val fanoutClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5)).build()
 
   /** S15: hourly-bucketed file layout (collector/tx_processor.go:419-489):
     * dirs keyed by date + hour via partitionBy — the batch shape of the

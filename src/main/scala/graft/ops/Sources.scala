@@ -93,6 +93,9 @@ object Sources {
       .repartition(math.max(files.size, 1))
       .flatMap { pathStr =>
         val path = new org.apache.hadoop.fs.Path(pathStr)
+        // default hadoop conf in the task: correct for posix/defaultFS
+        // paths; a cluster with custom FS settings would broadcast the
+        // driver conf instead
         val raw = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
           .open(path)
         val zin = new java.util.zip.ZipInputStream(

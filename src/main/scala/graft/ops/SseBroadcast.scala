@@ -19,6 +19,7 @@ final class SseBroadcast(port: Int = 0) {
 
   private val subscribers =
     new ConcurrentHashMap[String, ArrayBlockingQueue[String]]()
+  @volatile private var closed = false
 
   /** Per-subscriber buffered channel (api/handler.go:29: `make(chan string, 100)`). */
   private[graft] def register(uid: String): ArrayBlockingQueue[String] = {
@@ -47,11 +48,20 @@ final class SseBroadcast(port: Int = 0) {
         x.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
         x.sendResponseHeaders(200, 0) // chunked stream
         val out = x.getResponseBody
-        while (true) {
+        var idlePolls = 0
+        while (!closed) {
           val tx = q.poll(250, TimeUnit.MILLISECONDS)
           if (tx != null) {
             out.write(s"data: $tx\n\n".getBytes("UTF-8"))
             out.flush()
+            idlePolls = 0
+          } else {
+            idlePolls += 1
+            if (idlePolls >= 20) { // ~5 s idle: SSE ping keepalive — also
+              out.write(": ping\n\n".getBytes("UTF-8")) // detects dead peers
+              out.flush()
+              idlePolls = 0
+            }
           }
         }
       } catch {
@@ -69,6 +79,7 @@ final class SseBroadcast(port: Int = 0) {
     s"http://127.0.0.1:${server.getAddress.getPort}/api/txs/sse"
 
   def close(): Unit = {
+    closed = true // handler loops exit on their next poll tick
     server.stop(0)
     subscribers.clear()
   }
