@@ -179,12 +179,14 @@ object DedupOps {
       val t = 0.7
       val docs = Tables.documents(s, dir)
       // shingle rows feed the DF count, the prefix ranking, and the verify
-      // sets — materialize once
+      // sets. Deliberately NOT cached: the explode is a narrow, codegen'd
+      // expansion of the small docs table — recomputing it per branch is
+      // far cheaper than parking the ~600x-larger row set in storage
+      // memory (caching it evicted other queries' data and itself to disk)
       val sh2 = docs.select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(transform(
           sequence(lit(1), greatest(length(col("text")) - 2, lit(0))),
           i => col("text").substr(i, lit(3))))).as("s"))
-        .cache()
       val sz = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // global document frequency per shingle: the char-3-gram domain is
       // bounded by charset³, so this side broadcasts at ANY corpus size —
