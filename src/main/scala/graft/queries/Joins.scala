@@ -15,6 +15,51 @@ object Joins {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // AS-OF join (differential-tested against DuckDB's native ASOF JOIN):
+    // each purchase matched to the same user's latest click at ts <= its
+    // own — the canonical time-series point-in-time join Spark lacks as a
+    // built-in. Spark-first shape: tag both streams, union, and carry the
+    // last click forward with an ignore-nulls window — ONE shuffle on the
+    // join key, no range join, no per-key collect. Ties at equal ts sort
+    // the click first (the inclusive >= bound); clicks are deduped to one
+    // per (user, ts) so the match is unique and deterministic.
+    "q_join_asof" -> QueryDef.sql(
+      "as-of join: latest click at-or-before each purchase, union + window",
+      """WITH clicks AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  COALESCE(c.click_id, -1) AS click_id,
+        |  CAST(COALESCE((epoch_us(p.ts) - epoch_us(c.ts)) // 1000, -1) AS BIGINT) AS delay_ms
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val tagged = clicks
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+          col("click_id"), lit(1).as("is_click"))
+        .unionByName(purch.select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("long").as("click_id"), lit(0).as("is_click")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_click").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("last_click_ts",
+          last(when(col("is_click") === 1, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_click") === 0)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("last_click_id"), lit(-1L)).as("click_id"),
+          coalesce(expr("(unix_micros(ts) - unix_micros(last_click_ts)) div 1000"),
+            lit(-1L)).as("delay_ms"))
+    },
+
     // J1 sources-attach (cmd/merge/transactions.go:111-136): per key, the
     // matching detail rows sorted by (ts, id) projected into an ordered list.
     // Spark shape: aggregate detail side first (partial agg before the
