@@ -151,6 +151,44 @@ object Core {
 
     // A13-A14: tumbling per-minute counters (collector/tx_processor.go:530-550)
     // as a batch query: date_trunc minute buckets.
+    // Sessionization (differential-tested): split each user's event stream
+    // into sessions at >30-minute gaps — lag marks session starts, a
+    // running sum numbers them, then one aggregate per session. Two
+    // windows + the aggregate all cluster on user_id, so the whole
+    // operator is ONE shuffle; the training-data analogue is grouping a
+    // crawl into page-visit sessions.
+    "q_sessionize" -> QueryDef.sql(
+      "sessionization: 30-min-gap session ids via lag + running sum",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM o)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  COUNT(*) AS n_events,
+        |  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000 AS BIGINT) AS duration_ms
+        |FROM s GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("is_new",
+          when(lag(col("ts"), 1).over(byUser).isNull ||
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+              > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_no", sum(col("is_new")).over(run))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000").as("duration_ms"))
+    },
+
     "q_window_minute" -> QueryDef.sql(
       "A13-A14: per-minute tumbling counts + exact uniques",
       """SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS n,
