@@ -21,11 +21,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: a scan + shuffle + parse-UDF touch, result discarded
+    // warm-up: a scan + shuffle, plus enough fixture/parse iterations to
+    // JIT the RLP/keccak/secp stack — otherwise whichever fixture-driven
+    // query happens to run first is billed several seconds of compiler
+    // warm-up that belongs to none of them
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
-      graft.functions.ParseTx.parseHex(graft.functions.TxFixtures.rawTxHex(1L))
+      var i = 0L
+      while (i < 3000) {
+        graft.functions.ParseTx.parseHex(graft.functions.TxFixtures.rawTxHex(i))
+        i += 1
+      }
     } catch { case _: Throwable => }
 
     val results = SparkEntry.all.toSeq.map { case (name, d) =>
