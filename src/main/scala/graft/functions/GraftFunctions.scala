@@ -45,15 +45,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("keccak256"),
       new ExpressionInfo(classOf[Keccak256Expr].getName, "keccak256"),
       (exprs: Seq[Expression]) => Keccak256Expr(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
   }
 }
 
 object GraftFunctions {
-  /** Make `keccak256(binary)` and `parse_raw_tx(hex string)` available to
-    * `spark.sql` / `expr` in an existing session. */
+  /** Make `keccak256(binary)`, `vec_dot(arr, arr)` and
+    * `parse_raw_tx(hex string)` available to `spark.sql` / `expr` in an
+    * existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "keccak256", exprs => Keccak256Expr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
     spark.udf.register("parse_raw_tx", ParseTx.parseRawTxUdf)
   }
 }

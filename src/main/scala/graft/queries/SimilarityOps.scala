@@ -74,15 +74,18 @@ object SimilarityOps {
       // candidates = same bucket as the query
       val cands = bucket.join(broadcast(qb), col("bucket") === col("qbucket"))
         .select("vec_id")
-      val qv = flat.filter(col("vec_id") === 0).select(col("i"), col("v").as("qv"))
-      val scored = flat.join(cands, Seq("vec_id")).filter(col("vec_id") =!= 0)
-        .join(broadcast(qv), Seq("i"))
-        .groupBy("vec_id")
-        .agg(
-          sum(col("v") * col("qv")).as("dot"),
-          sqrt(sum(col("v") * col("v"))).as("nrm"))
-      scored
-        .withColumn("cos", col("dot") / col("nrm")) // query norm cancels in ranking
+      // score candidates ARRAY-NATIVE with the codegen'd vec_dot
+      // expression: no explode, no per-candidate aggregation shuffle —
+      // one broadcast of the query vector and a narrow scan
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.VecOps.vec_dot
+      val qEmb = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      emb.join(cands, Seq("vec_id")).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qEmb))
+        .withColumn("cos",
+          vec_dot(col("embedding"), col("q_emb")) /
+            sqrt(vec_dot(col("embedding"), col("embedding")))) // q-norm cancels
         .orderBy(col("cos").desc, col("vec_id"))
         .select(col("vec_id"), round(col("cos"), 6).as("score"))
         .limit(10)
@@ -137,12 +140,17 @@ object SimilarityOps {
         .select("c")
 
       val cands = lists.join(broadcast(probes), Seq("c")).select("vec_id")
-      flat.join(cands, Seq("vec_id")).filter(col("vec_id") =!= 0)
-        .join(broadcast(q), Seq("i"))
-        .groupBy("vec_id")
-        .agg(sum(col("v") * col("qv")).as("dot"),
-          sqrt(sum(col("v") * col("v"))).as("nrm"))
-        .withColumn("cos", col("dot") / col("nrm"))
+      // array-native candidate scoring (codegen'd vec_dot, no explode)
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.VecOps.vec_dot
+      val qEmb = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      Tables.embeddings(s, dir)
+        .join(cands, Seq("vec_id")).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qEmb))
+        .withColumn("cos",
+          vec_dot(col("embedding"), col("q_emb")) /
+            sqrt(vec_dot(col("embedding"), col("embedding"))))
         .orderBy(col("cos").desc, col("vec_id"))
         .select(col("vec_id"), round(col("cos"), 6).as("score"))
         .limit(10)

@@ -27,6 +27,30 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(scan.distinct().count() > 0)
   }
 
+  test("vec_dot expression: exact dot product, array-native, codegen") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -0.5f), Array(2.0f, 2.0f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b")
+      .selectExpr("vec_dot(a, b) AS d")
+    val got = df.collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(32.0, 0.0, 0.0))
+    // over a real scan it stays in whole-stage codegen
+    val scan = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("vec_dot(embedding, embedding) AS n2")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_dot"), plan)
+    // differential vs the exploded-sum formulation on real embeddings
+    val viaExpr = scan.agg(sum("n2")).head().getDouble(0)
+    val viaExplode = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(explode(col("embedding")).as("v"))
+      .agg(sum(col("v").cast("double") * col("v").cast("double"))).head().getDouble(0)
+    assert(math.abs(viaExpr - viaExplode) < 1e-6 * math.abs(viaExplode))
+  }
+
   test("GraftExtensions wires the function injection") {
     // the extension builder runs against a fresh extensions registry (a
     // session picks it up via spark.sql.extensions at first creation)
