@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
+      (exprs: Seq[Expression]) => LshBucketExpr(exprs.head, exprs(1))))
   }
 }
 
@@ -61,6 +65,8 @@ object GraftFunctions {
       "keccak256", exprs => Keccak256Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bucket", exprs => LshBucketExpr(exprs.head, exprs(1)), "scala_udf")
     spark.udf.register("parse_raw_tx", ParseTx.parseRawTxUdf)
   }
 }

@@ -74,9 +74,86 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression computing a random-hyperplane LSH bucket id
+  * in one codegen pass over the embedding array: `lsh_bucket(emb, planes)`
+  * → LONG whose low `planes` bits are the sign pattern of `planes` sparse
+  * ternary projections. The hyperplane weights are derived from a
+  * splitmix64 avalanche of (plane, dim) — deterministic and
+  * data-independent, so the query side and the corpus side agree with no
+  * stored model and no shuffle: bucketing is a pure narrow map. This is
+  * the 100 TB shape — the bucket id becomes the candidate-join key and is
+  * the ONLY thing that shuffles.
+  */
+case class LshBucketExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) if right.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket requires (array<float|double>, int), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(arr: Any, planes: Any): Any =
+    LshOps.compute(arr.asInstanceOf[ArrayData], planes.asInstanceOf[Int], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, p) =>
+      s"${ev.value} = graft.functions.LshOps.compute($a, $p, $isFloat);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshBucketExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hyperplane weights + bucket loop for [[LshBucketExpr]] (plain static
+  * methods so generated code can call straight in, like Keccak256.hash). */
+object LshOps {
+  /** Sparse ternary weight in {-1, 0, 1} for (plane, dim): splitmix64 of
+    * the packed pair, reduced mod 3. Deterministic on every executor. */
+  def weight(plane: Int, dim: Int): Int = {
+    var z = ((plane.toLong << 32) | (dim & 0xffffffffL)) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    java.lang.Long.remainderUnsigned(z, 3L).toInt - 1
+  }
+
+  def compute(arr: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val n = arr.numElements()
+    var bucket = 0L
+    var h = 0
+    while (h < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val w = weight(h, i)
+        if (w != 0) {
+          val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          acc += v * w
+        }
+        i += 1
+      }
+      if (acc >= 0) bucket |= 1L << h
+      h += 1
+    }
+    bucket
+  }
+}
+
 object VecOps {
   /** Column API: dot product of two embedding columns. Requires
     * [[GraftFunctions.register]] (or the GraftExtensions session
     * extension) on the session, which is idempotent. */
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Column API: random-hyperplane LSH bucket id (low `planes` bits). */
+  def lsh_bucket(emb: Column, planes: Column): Column =
+    call_function("lsh_bucket", emb, planes)
 }

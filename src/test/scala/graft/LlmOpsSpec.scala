@@ -50,6 +50,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(topk.size == 10)
   }
 
+  test("ANN index sizes grow with the corpus; probe fraction shrinks") {
+    import graft.queries.SimilarityOps._
+    // sf0.001 has 500 vectors, sf0.1 has 2000 — the index must be larger
+    // at the larger corpus…
+    assert(lshPlanes(500) < lshPlanes(2000))
+    assert(ivfK(500) < ivfK(2000))
+    assert(ivfNprobe(ivfK(500)) <= ivfNprobe(ivfK(2000)))
+    // …and the fraction of the corpus a single probe touches must SHRINK
+    // (this is the bounded-candidate-set property that makes the 100 TB
+    // probe cost sublinear)
+    assert(lshProbeFraction(2000) < lshProbeFraction(500))
+    assert(ivfProbeFraction(2000) < ivfProbeFraction(500))
+    // asymptotics: at a billion vectors a probe touches a vanishing slice
+    assert(lshProbeFraction(1L << 30) < 1e-5)
+    assert(ivfProbeFraction(1L << 30) < 0.01)
+  }
+
+  test("ANN recall holds at the larger SF with the larger index") {
+    val sfBig = "/root/testdata/sf0.1"
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfBig)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("q_sim_ann_ivf")(spark, sfBig)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@10 at sf0.1 too low: $recall")
+
+    val lsh = SparkEntry.queries("q_sim_ann_lsh")(spark, sfBig).collect()
+    assert(lsh.nonEmpty)
+    val scores = lsh.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // multiprobe must keep the true neighborhood reachable: the exact
+    // top-10 and the LSH answer overlap
+    assert(exact.intersect(lsh.map(_.getLong(0)).toSet).nonEmpty,
+      "LSH multiprobe answer disjoint from exact top-10")
+  }
+
   test("multimodal stub: features are deterministic and batch-shaped") {
     val f1 = Multimodal.featuresDF(spark, sf).orderBy("media_id").collect()
     val f2 = Multimodal.featuresDF(spark, sf).orderBy("media_id").collect()
