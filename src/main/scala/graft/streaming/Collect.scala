@@ -62,6 +62,31 @@ object Collect {
       .option("maxFilesPerTrigger", 16)
       .json(inDir)
 
+  /** S6-S10 socket adapter: the reference's push-feed subscription minus
+    * only the remote dial (collector/node_conn.go:87-101 reads messages
+    * off an established connection and stamps them into TxIn — this is
+    * that read loop as a streaming source). Each line on the socket is
+    * one `{timestamp_ms, source, msg}` envelope, exactly what the remote
+    * WS/gRPC client would enqueue, and it flows through the same
+    * [[decodeEnvelopes]] columnar path as the file feed — so every engine
+    * stage downstream of the dial is shared and parity-tested. */
+  def socketEnvelopeFeed(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load() // value STRING: one JSON envelope per line
+      .select(from_json(col("value"), envelopeFeedSchema).as("e"))
+      .select(col("e.timestamp_ms").as("timestamp_ms"),
+        col("e.source").as("source"), col("e.msg").as("msg"))
+      .filter(col("timestamp_ms").isNotNull) // skip-on-error: junk lines drop
+
+  /** Full collector wiring over a live socket feed (S6-S10 minus dial). */
+  def runSocketEnvelopes(spark: SparkSession, host: String, port: Int,
+      outDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Seq[StreamingQuery] =
+    runWith(decodeEnvelopes(socketEnvelopeFeed(spark, host, port)), outDir, trigger)
+
   /** S6-S8 envelope decode as columnar transforms — the engine half of the
     * push-feed adapters (the WS dial/backoff loop is driver-side
     * plumbing): bloXroute and Eden carry a 0x-hex RLP payload inside

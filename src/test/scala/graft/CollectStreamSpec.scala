@@ -64,24 +64,24 @@ class CollectStreamSpec extends AnyFunSuite {
     } finally queries.foreach(_.stop())
   }
 
-  test("S6-S8: raw-rlp and tx-object envelopes decode to the plain feed rows") {
-    val in = Files.createTempDirectory("graft-env").toString
-    val n = 60
-    // a geth/alchemy-style tx OBJECT envelope rebuilt from the fixture's
-    // own decoded fields (S6 path)
-    def rpcMsg(raw: String): String = {
-      val bytes = graft.functions.EthTx.unhex(raw.stripPrefix("0x"))
-      val l = graft.functions.Rlp.decode(bytes.drop(1))
-        .asInstanceOf[graft.functions.Rlp.Lst].items
-      def hx(i: Int) = "0x" + graft.functions.Rlp.toBigInt(l(i)).toString(16)
-      def hb(i: Int) = "0x" + graft.functions.Rlp.toBytes(l(i)).map("%02x".format(_)).mkString
-      (s"""{"params":{"result":{"type":"0x2","chainId":"${hx(0)}","nonce":"${hx(1)}",""" +
-        s""""maxPriorityFeePerGas":"${hx(2)}","maxFeePerGas":"${hx(3)}","gas":"${hx(4)}",""" +
-        s""""to":"${hb(5)}","value":"${hx(6)}","input":"${hb(7)}","accessList":[],""" +
-        s""""yParity":"${hx(9)}","r":"${hx(10)}","s":"${hx(11)}"}}}""").replace("\"", "\\\"")
-    }
-    // the same txs as a plain feed, wrapped in each source's WS envelope
-    val lines = (0 until n).map { i =>
+  // a geth/alchemy-style tx OBJECT envelope rebuilt from the fixture's
+  // own decoded fields (S6 path)
+  private def rpcMsg(raw: String): String = {
+    val bytes = graft.functions.EthTx.unhex(raw.stripPrefix("0x"))
+    val l = graft.functions.Rlp.decode(bytes.drop(1))
+      .asInstanceOf[graft.functions.Rlp.Lst].items
+    def hx(i: Int) = "0x" + graft.functions.Rlp.toBigInt(l(i)).toString(16)
+    def hb(i: Int) = "0x" + graft.functions.Rlp.toBytes(l(i)).map("%02x".format(_)).mkString
+    (s"""{"params":{"result":{"type":"0x2","chainId":"${hx(0)}","nonce":"${hx(1)}",""" +
+      s""""maxPriorityFeePerGas":"${hx(2)}","maxFeePerGas":"${hx(3)}","gas":"${hx(4)}",""" +
+      s""""to":"${hb(5)}","value":"${hx(6)}","input":"${hb(7)}","accessList":[],""" +
+      s""""yParity":"${hx(9)}","r":"${hx(10)}","s":"${hx(11)}"}}}""").replace("\"", "\\\"")
+  }
+
+  /** The fixture txs wrapped in each source's WS envelope, plus the
+    * skip-on-error shapes (empty payload, undecodable RLP, junk JSON). */
+  private def envelopeLines(n: Int): Seq[String] =
+    (0 until n).map { i =>
       val (ts, _, raw) = TxFixtures.rawRow(i.toLong)
       i % 3 match {
         case 0 =>
@@ -92,10 +92,14 @@ class CollectStreamSpec extends AnyFunSuite {
           s"""{"timestamp_ms":$ts,"source":"local","msg":"${rpcMsg(raw)}"}"""
       }
     } ++ Seq(
-      // skip-on-error branches: empty payload, undecodable RLP, junk JSON
       """{"timestamp_ms":1,"source":"bloxroute","msg":"{\"params\":{\"result\":{\"rawTx\":\"\"}}}"}""",
       """{"timestamp_ms":2,"source":"eden","msg":"{\"params\":{\"result\":{\"rlp\":\"0xdeadbeef\"}}}"}""",
       """{"timestamp_ms":3,"source":"bloxroute","msg":"not json at all"}""")
+
+  test("S6-S8: raw-rlp and tx-object envelopes decode to the plain feed rows") {
+    val in = Files.createTempDirectory("graft-env").toString
+    val n = 60
+    val lines = envelopeLines(n)
     Files.writeString(java.nio.file.Paths.get(s"$in/envelopes.json"), lines.mkString("\n"))
 
     val q = Collect.decodeEnvelopes(Collect.envelopeFeed(spark, in))
@@ -113,6 +117,57 @@ class CollectStreamSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
       assert(got == expected) // hash derived from payload matches; errors skipped
     } finally q.stop()
+  }
+
+  test("S6-S10: socket-fed envelopes decode identically to the file feed") {
+    val n = 60
+    val lines = envelopeLines(n)
+
+    // loopback server plays the remote endpoint: the spark socket source
+    // dials it (the reference shape minus only the remote address) and
+    // reads the same wire envelopes the file feed carries
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val writer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(
+          new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+        lines.foreach(out.println)
+        out.flush()
+        // keep the connection open until the test closes the server —
+        // EOF mid-test would race the final micro-batch
+        Thread.sleep(30000)
+      } catch { case _: Throwable => }
+    })
+    writer.setDaemon(true)
+    writer.start()
+
+    val q = Collect.decodeEnvelopes(
+      Collect.socketEnvelopeFeed(spark, "127.0.0.1", server.getLocalPort))
+      .writeStream.format("memory").queryName("sock_out")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      // socket sources deliver asynchronously: poll until all decodable
+      // envelopes arrived (junk lines are dropped by the decode path)
+      val deadline = System.nanoTime() + 60000000000L
+      while (spark.table("sock_out").count() < n && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val got = spark.table("sock_out")
+        .select("timestamp_ms", "hash", "raw_tx_hex", "source")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      // identical rows to the file-feed decode of the same envelopes
+      val expected = (0 until n).map { i =>
+        val (ts, hash, raw) = TxFixtures.rawRow(i.toLong)
+        (ts, hash, raw, Seq("bloxroute", "eden", "local")(i % 3))
+      }.toSet
+      assert(got == expected)
+    } finally {
+      q.stop()
+      server.close()
+    }
   }
 
   test("full collector pipeline runs over envelope sources end-to-end") {
