@@ -102,17 +102,33 @@ object Sinks {
       write: DataFrame => Unit,
       keyCol: String = "hash",
       maxRetries: Int = 5,
-      backoffMs: Long = 3000): (DataFrame, Long) => Unit = { (batch, _) =>
+      backoffMs: Long = 3000,
+      metrics: Option[graft.streaming.CollectorMetrics] = None): (DataFrame, Long) => Unit = { (batch, _) =>
+    import graft.streaming.CollectorMetrics._
     val deduped = batch.dropDuplicates(keyCol)
     var attempt = 0
     var done = false
     while (!done) {
-      try { write(deduped); done = true }
-      catch {
+      try {
+        write(deduped)
+        done = true
+        metrics.foreach(_.add(ChBatchSaveSuccess, 1)) // clickhouse.go:212
+      } catch {
         case e: Exception if attempt < maxRetries =>
           attempt += 1
+          metrics.foreach { m => // clickhouse.go:219-232
+            m.add(ChErrors, 1)
+            m.add(ChErrorsBatchSave, 1)
+            m.add(ChBatchSaveRetries, 1)
+          }
           Thread.sleep(backoffMs * attempt)
-        case e: Exception => throw e
+        case e: Exception =>
+          metrics.foreach { m => // clickhouse.go:224 give-up path
+            m.add(ChErrors, 1)
+            m.add(ChErrorsBatchSave, 1)
+            m.add(ChBatchSaveGiveup, 1)
+          }
+          throw e
       }
     }
   }

@@ -170,13 +170,35 @@ object Collect {
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Seq[StreamingQuery] =
     runWith(decodeEnvelopes(envelopeFeed(spark, inDir)), outDir, trigger)
 
-  /** The collector pipeline over any stream in the feed row shape —
-    * the source adapters above all normalize to it. */
-  def runWith(stream: DataFrame, outDir: String,
-      trigger: Trigger): Seq[StreamingQuery] = {
-    val validated = validate(dedup(stream))
+  /** Create + register the metrics surface for this session: counters
+    * land in the returned [[CollectorMetrics]] as micro-batches commit.
+    * Pass the configured source tags to [[runWith]]'s `observeSources` to
+    * light up the per-stage observations. */
+  def instrument(spark: SparkSession): CollectorMetrics = {
+    val m = new CollectorMetrics
+    spark.streams.addListener(new GraftMetricsListener(m))
+    m
+  }
 
-    val txQuery = validated.filter(col("reason").isNull)
+  /** The collector pipeline over any stream in the feed row shape —
+    * the source adapters above all normalize to it. With `observeSources`
+    * set, the plans carry observe() nodes feeding the reference's
+    * tx_received counters (see [[CollectorMetrics]]): `received` is
+    * counted pre-dedup on the tx query's plan only (the trash query
+    * re-derives from the raw stream so nothing double-counts), `first`
+    * on the post-dedup valid branch, `trash` on the reject branch. */
+  def runWith(stream: DataFrame, outDir: String,
+      trigger: Trigger, observeSources: Option[Seq[String]] = None): Seq[StreamingQuery] = {
+    def obs(df: DataFrame, stage: String): DataFrame =
+      observeSources.map(CollectorMetrics.observed(df, stage, _)).getOrElse(df)
+
+    val validated = validate(dedup(obs(stream, "received")))
+    // independent plan for the trash query: no received-observation node,
+    // so the shared prefix runs twice but is only ever counted once
+    val validatedTrash =
+      if (observeSources.isDefined) validate(dedup(stream)) else validated
+
+    val txQuery = obs(validated.filter(col("reason").isNull), "first")
       .select(col("timestamp_ms"), col("hash"), col("raw_tx_hex"),
         col("source"), col("ts"))
       .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
@@ -190,7 +212,7 @@ object Collect {
       .trigger(trigger)
       .start()
 
-    val trashQuery = validated.filter(col("reason").isNotNull)
+    val trashQuery = obs(validatedTrash.filter(col("reason").isNotNull), "trash")
       .select(col("timestamp_ms"), col("hash"), col("source"),
         col("reason"), lit("").as("notes"))
       .writeStream

@@ -332,6 +332,63 @@ class CollectStreamSpec extends AnyFunSuite {
     } finally sse.close()
   }
 
+  test("metrics: reference-named counters reflect a known feed exactly") {
+    import graft.streaming.CollectorMetrics._
+    val in = Files.createTempDirectory("graft-feed-m").toString
+    val out = Files.createTempDirectory("graft-collect-m").toString
+    writeFeed(in, 200) // 300 rows received, 180 unique after dedup
+    val metrics = Collect.instrument(spark)
+    val queries = Collect.runWith(Collect.feed(spark, in), out,
+      Trigger.ProcessingTime(100), observeSources = Some(Seq("src0", "src1", "src2")))
+    try {
+      queries.foreach(_.processAllAvailable())
+      // progress events arrive asynchronously after batches commit
+      val deadline = System.nanoTime() + 30000000000L
+      while ((metrics.get(TxReceived) < 300 ||
+        metrics.get(TxReceivedFirst) + metrics.get(TxReceivedTrash) < 180) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+
+      assert(metrics.get(TxReceived) == 300) // pre-dedup, like tx_processor.go:207
+      val first = metrics.get(TxReceivedFirst)
+      val trash = metrics.get(TxReceivedTrash)
+      assert(first + trash == 180, s"first=$first trash=$trash") // dedup survivors split
+      assert(first > 0 && trash > 0)
+      // per-source labels: every row carried src0/src1/src2, nothing lands in other
+      val perSrc = Seq("src0", "src1", "src2")
+        .map(s => metrics.get(labeled(TxReceived, s))).sum
+      assert(perSrc == 300)
+      assert(metrics.get(labeled(TxReceived, "other")) == 0)
+      // prometheus text exposition
+      assert(metrics.render.contains("mempool_dumpster_tx_received_total 300"))
+    } finally queries.foreach(_.stop())
+  }
+
+  test("metrics: jdbc batch sink counts retries, errors and successes") {
+    import graft.streaming.CollectorMetrics._
+    val in = Files.createTempDirectory("graft-feed-m2").toString
+    writeFeed(in, 40)
+    val metrics = new graft.streaming.CollectorMetrics
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val sink = graft.ops.Sinks.jdbcBatchSink(
+      write = df => {
+        if (failures.getAndDecrement() > 0) sys.error("transient insert failure")
+        df.count(); ()
+      },
+      maxRetries = 5, backoffMs = 1, metrics = Some(metrics))
+    val q = Collect.dedup(Collect.feed(spark, in))
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", Files.createTempDirectory("chk-m").toString)
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      assert(metrics.get(ChBatchSaveRetries) == 2) // both injected failures retried
+      assert(metrics.get(ChErrors) == 2)
+      assert(metrics.get(ChErrorsBatchSave) == 2)
+      assert(metrics.get(ChBatchSaveSuccess) >= 1)
+      assert(metrics.get(ChBatchSaveGiveup) == 0)
+    } finally q.stop()
+  }
+
   test("per-minute source metrics window counts") {
     val in = Files.createTempDirectory("graft-feed3").toString
     writeFeed(in, 100)
