@@ -50,6 +50,112 @@ object DedupOps {
       .filter(col("cos") >= 0.25)
   }
 
+  /** Connected-components result: (vec_id, cluster_id) labels plus the
+    * number of contraction rounds the loop took (bounded-rounds proof
+    * surface for the specs). */
+  final case class CcResult(labels: DataFrame, rounds: Int)
+
+  /** Min-label propagation + pointer jumping: label(v) starts as vec_id,
+    * each round takes the min over direct neighbors, then jumps to the
+    * label's label (doubling propagation distance) — O(diameter/2) rounds.
+    * Right when components are small (near-dup clusters); the 100 TB
+    * general-graph path is [[starComponents]]. `edges` must carry BOTH
+    * directions of each pair. */
+  def minLabelComponents(edges: DataFrame, nodes: DataFrame): CcResult = {
+    var labels = nodes
+      .select(col("vec_id"), col("vec_id").as("cluster_id")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      // one neighbor-min step + one pointer jump (label := label of my
+      // label) per round — the jump doubles propagation distance.
+      // localCheckpoint truncates the lineage each round; without it the
+      // self-join doubles the logical plan every iteration and planning
+      // blows up exponentially.
+      val nbrMin = edges
+        .join(labels.select(col("vec_id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
+        .groupBy("src").agg(min("nbr").as("nbr_min"))
+      val prop = labels
+        .join(nbrMin.select(col("src").as("vec_id"), col("nbr_min")), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster_id").as("old"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("c1"))
+      val updated = prop.as("p")
+        .join(prop.select(col("vec_id").as("c1"), col("c1").as("jump")).as("j"), Seq("c1"))
+        .select(col("vec_id"), least(col("c1"), col("jump")).as("cluster_id"),
+          (least(col("c1"), col("jump")) < col("old")).as("chg"))
+        .localCheckpoint() // eager: one job per round, constant-size plan
+      converged = updated
+        .agg(sum(when(col("chg"), 1L).otherwise(0L))).head().getLong(0) == 0
+      labels = updated.drop("chg")
+      rounds += 1
+    }
+    CcResult(labels, rounds)
+  }
+
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * 100 TB general-graph path. State is just the edge set; each round is
+    * two hash-partitioned window-min passes on the node id (no per-node
+    * label table, no growing joins), edges monotonically bend toward each
+    * component's minimum, and convergence takes O(log² n) rounds even on
+    * adversarial long chains where min-label needs O(diameter).
+    *
+    *   large-star(u): every neighbor v > u re-attaches to
+    *                  m = min(Γ(u) ∪ {u})
+    *   small-star(u): every neighbor v ≤ u, and u itself, attach to m
+    *
+    * Convergence = edge-set fixpoint, detected by (count, hash-sum)
+    * checksum — one tiny aggregate per round instead of a full
+    * self-anti-join. `edges0` may be one-directional pairs; orientation
+    * and symmetry are handled here. */
+  def starComponents(edges0: DataFrame, nodes: DataFrame): CcResult = {
+    import org.apache.spark.sql.expressions.Window
+    def checksum(df: DataFrame): Seq[Any] = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast(DecimalType(38, 0)))).head()
+      Seq(r.get(0), r.get(1))
+    }
+    // canonical orientation src > dst, self-loops dropped
+    var edges = edges0.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint()
+    var sig = checksum(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      // large-star over the symmetrized neighborhood: (v, m) for v > u
+      val sym = edges.union(edges.select(col("dst"), col("src")).toDF("src", "dst"))
+      val ls = sym
+        .withColumn("m", least(min("dst").over(Window.partitionBy("src")), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")) // src > dst by construction
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // small-star over the now-oriented edges: every smaller neighbor
+      // and u itself attach to u's minimum neighbor
+      val withM = ls.withColumn("m", min("dst").over(Window.partitionBy("src")))
+      val ss = withM.select(col("dst").as("src"), col("m").as("dst"))
+        .union(withM.select(col("src"), col("m")).toDF("src", "dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct()
+        .localCheckpoint() // constant-size plan per round
+      val s2 = checksum(ss)
+      converged = s2 == sig
+      sig = s2
+      edges = ss
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge within $rounds rounds")
+    // at the fixpoint every edge points a node at its component minimum
+    val labels = nodes
+      .join(edges.select(col("src").as("vec_id"), col("dst").as("root")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("root"), col("vec_id")).as("cluster_id"))
+    CcResult(labels, rounds)
+  }
+
   /** docs ∪ deterministic near-dup copies (last two words dropped,
     * doc_id + 1,000,000) so recall is testable at any SF. */
   private def withPlanted(s: SparkSession, dir: String): DataFrame = {
@@ -282,34 +388,42 @@ object DedupOps {
       val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
         .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
         .cache()
-      var labels = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("vec_id").as("cluster_id")).localCheckpoint()
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        // one neighbor-min step + one pointer jump (label := label of my
-        // label) per round — the jump doubles propagation distance.
-        // localCheckpoint truncates the lineage each round; without it the
-        // self-join doubles the logical plan every iteration and planning
-        // blows up exponentially.
-        val nbrMin = edges
-          .join(labels.select(col("vec_id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
-          .groupBy("src").agg(min("nbr").as("nbr_min"))
-        val prop = labels
-          .join(nbrMin.select(col("src").as("vec_id"), col("nbr_min")), Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cluster_id").as("old"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("c1"))
-        val updated = prop.as("p")
-          .join(prop.select(col("vec_id").as("c1"), col("c1").as("jump")).as("j"), Seq("c1"))
-          .select(col("vec_id"), least(col("c1"), col("jump")).as("cluster_id"),
-            (least(col("c1"), col("jump")) < col("old")).as("chg"))
-          .localCheckpoint() // eager: one job per round, constant-size plan
-        converged = updated
-          .agg(sum(when(col("chg"), 1L).otherwise(0L))).head().getLong(0) == 0
-        labels = updated.drop("chg")
-        rounds += 1
-      }
-      labels
+      minLabelComponents(edges, Tables.embeddings(s, dir).select("vec_id")).labels
+    },
+
+    // The same clustering via large-star/small-star contraction — the
+    // 100 TB swap-in documented on q_dedup_clusters, differential-tested
+    // against the same DuckDB recursive-CTE oracle (and against min-label
+    // + a union-find ground truth on random graphs in DedupClusterSpec).
+    "q_dedup_clusters_star" -> QueryDef.sql(
+      "connected-components near-dup clusters (large-star/small-star contraction)",
+      """WITH RECURSIVE flat AS (
+        |  SELECT vec_id, label, vec_id // 100 AS block, i,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |nrm AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,12))) AS n2 FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    SUM(CAST(a.v * b.v AS DECIMAL(28,12))) AS dot
+        |  FROM flat a JOIN flat b ON a.label = b.label AND a.block = b.block
+        |    AND a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT vec_a, vec_b FROM dots JOIN nrm x ON vec_a = x.vec_id
+        |  JOIN nrm y ON vec_b = y.vec_id
+        |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.25),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v)
+        |SELECT v AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY v""".stripMargin) { (s, dir) =>
+      val pairs = embeddingCosPairs(s, dir)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      starComponents(pairs, Tables.embeddings(s, dir).select("vec_id")).labels
     }
   )
 }
