@@ -20,6 +20,16 @@ final class SseBroadcast(port: Int = 0) {
   private val subscribers =
     new ConcurrentHashMap[String, ArrayBlockingQueue[String]]()
   @volatile private var closed = false
+  @volatile private var draining = false
+  private val dropped = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Readiness flag (api/server.go drain semantics): false once a
+    * graceful shutdown has begun — new subscribers are refused with 503
+    * while in-flight events keep flowing to existing ones. */
+  def ready: Boolean = !closed && !draining
+
+  /** Rows the batch cap has kept off the driver since startup. */
+  def droppedRows: Long = dropped.get()
 
   /** Per-subscriber buffered channel (api/handler.go:29: `make(chan string, 100)`). */
   private[graft] def register(uid: String): ArrayBlockingQueue[String] = {
@@ -40,6 +50,11 @@ final class SseBroadcast(port: Int = 0) {
     new java.net.InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/api/txs/sse", new com.sun.net.httpserver.HttpHandler {
     def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+      if (!ready) { // drain/shutdown: refuse new subscribers
+        x.sendResponseHeaders(503, -1)
+        x.close()
+        return
+      }
       val uid = java.util.UUID.randomUUID().toString
       val q = register(uid)
       try {
@@ -84,17 +99,45 @@ final class SseBroadcast(port: Int = 0) {
     subscribers.clear()
   }
 
+  /** Graceful shutdown (api/server.go:84-93 + the readiness flip):
+    * immediately stop admitting subscribers (503), keep the handler loops
+    * delivering buffered in-flight events for up to `drainMs` (exiting
+    * early once every subscriber buffer is drained), then close. */
+  def shutdown(drainMs: Long = 2000): Unit = {
+    draining = true
+    val deadline = System.nanoTime() + drainMs * 1000000L
+    def buffered: Boolean = {
+      val it = subscribers.values.iterator()
+      var any = false
+      while (it.hasNext && !any) any = !it.next().isEmpty
+      any
+    }
+    while (System.nanoTime() < deadline && buffered) Thread.sleep(20)
+    close()
+  }
+
   /** foreachBatch sink: allowlist filter, then publish each row's raw tx
-    * hex to all current subscribers. */
+    * hex to all current subscribers. `maxRowsPerBatch` bounds the driver
+    * intake — forwarding is best-effort fan-out (subscriber buffers drop
+    * on overflow anyway), so an anomalous flood is capped and counted
+    * rather than funneled through the driver. */
   def sink(
       rawHexCol: String = "raw_tx_hex",
       allowedSources: Seq[String] = Nil,
-      sourceCol: String = "source"): (DataFrame, Long) => Unit = { (batch, _) =>
+      sourceCol: String = "source",
+      maxRowsPerBatch: Int = 10000): (DataFrame, Long) => Unit = { (batch, _) =>
     val allowed =
       if (allowedSources.isEmpty) batch
       else batch.filter(col(sourceCol).isin(allowedSources: _*))
-    if (subscriberCount > 0) // api/server.go:113 early return
-      allowed.select(col(rawHexCol)).na.drop().collect()
-        .foreach(r => publish(r.getString(0)))
+    if (subscriberCount > 0) { // api/server.go:113 early return
+      val rows = allowed.select(col(rawHexCol)).na.drop()
+        .limit(maxRowsPerBatch + 1).collect()
+      if (rows.length > maxRowsPerBatch) {
+        // only an overflowing batch pays for the exact count
+        val total = allowed.count()
+        dropped.addAndGet(total - maxRowsPerBatch)
+      }
+      rows.iterator.take(maxRowsPerBatch).foreach(r => publish(r.getString(0)))
+    }
   }
 }

@@ -332,6 +332,78 @@ class CollectStreamSpec extends AnyFunSuite {
     } finally sse.close()
   }
 
+  test("S17: sse batch guard bounds driver intake; framing unchanged") {
+    val sse = new graft.ops.SseBroadcast()
+    try {
+      import spark.implicits._
+      val q = sse.register("guard-test") // buffer 100: cap must be what bounds it
+      val batch = (0 until 120).map { i =>
+        (i.toLong, s"h$i", f"0xab$i%04x", "local")
+      }.toDF("timestamp_ms", "hash", "raw_tx_hex", "source")
+      sse.sink(maxRowsPerBatch = 50)(batch, 0L)
+      assert(q.size == 50) // driver intake capped at the configured bound
+      assert(sse.droppedRows == 70) // overflow counted, not silently eaten
+      assert(q.peek().startsWith("0xab")) // payload framing unchanged
+      sse.unregister("guard-test")
+    } finally sse.close()
+  }
+
+  test("S17: graceful drain keeps delivering in-flight events, 503s new connects") {
+    val sse = new graft.ops.SseBroadcast()
+    try {
+      // live subscriber
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(sse.address)).build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+      val reader = new Thread(() => {
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(resp.body(), "UTF-8"))
+        var line = rd.readLine()
+        while (line != null) {
+          if (line.startsWith("data: ")) received.add(line.stripPrefix("data: "))
+          line = rd.readLine()
+        }
+      })
+      reader.setDaemon(true); reader.start()
+      val regDeadline = System.nanoTime() + 5000000000L
+      while (sse.subscriberCount == 0 && System.nanoTime() < regDeadline) Thread.sleep(10)
+      assert(sse.subscriberCount == 1)
+
+      // an undrained holdback queue keeps the drain window open deterministically
+      sse.register("holdback")
+      (0 until 5).foreach(i => sse.publish(s"0xf1ll$i"))
+
+      val drainer = new Thread(() => sse.shutdown(drainMs = 5000))
+      drainer.start()
+      val drainDeadline = System.nanoTime() + 5000000000L
+      while (sse.ready && System.nanoTime() < drainDeadline) Thread.sleep(10)
+      assert(!sse.ready)
+
+      // in-flight events published during the drain still reach the live
+      // subscriber (the filler events arrive on this queue too — poll
+      // until the drain events show up)
+      (0 until 3).foreach(i => sse.publish(s"0xdra1n$i"))
+      val want = (0 until 3).map(i => s"0xdra1n$i").toSet
+      val got = scala.collection.mutable.Set[String]()
+      val readDeadline = System.nanoTime() + 8000000000L
+      while (!want.subsetOf(got) && System.nanoTime() < readDeadline) {
+        val v = received.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (v != null) got += v
+      }
+      assert(want.subsetOf(got), s"drain-window events not delivered: got $got")
+
+      // but new subscribers are refused while draining
+      val resp2 = client.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(sse.address)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp2.statusCode() == 503)
+
+      drainer.join(10000)
+      assert(sse.subscriberCount == 0) // drain completed and closed
+    } finally sse.close()
+  }
+
   test("metrics: reference-named counters reflect a known feed exactly") {
     import graft.streaming.CollectorMetrics._
     val in = Files.createTempDirectory("graft-feed-m").toString
