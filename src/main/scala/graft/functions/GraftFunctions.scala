@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
       (exprs: Seq[Expression]) => LshBucketExpr(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("parse_raw_tx"),
+      new ExpressionInfo(classOf[ParseRawTxExpr].getName, "parse_raw_tx"),
+      (exprs: Seq[Expression]) => ParseRawTxExpr(exprs.head)))
   }
 }
 
@@ -67,6 +71,7 @@ object GraftFunctions {
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", exprs => LshBucketExpr(exprs.head, exprs(1)), "scala_udf")
-    spark.udf.register("parse_raw_tx", ParseTx.parseRawTxUdf)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "parse_raw_tx", exprs => ParseRawTxExpr(exprs.head), "scala_udf")
   }
 }
