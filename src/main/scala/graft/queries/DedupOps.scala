@@ -424,6 +424,57 @@ object DedupOps {
       val pairs = embeddingCosPairs(s, dir)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       starComponents(pairs, Tables.embeddings(s, dir).select("vec_id")).labels
+    },
+
+    // End-to-end dedup APPLY (differential-tested): what a corpus run
+    // actually does with near-dup clusters — keep one canonical document
+    // per cluster (the minimum id, i.e. the cluster label itself) and
+    // report the surviving corpus per language. At this SF the keeper set
+    // broadcasts; at 100 TB it is one (long) row per kept doc, so the
+    // apply becomes a hash semi-join on doc_id — two narrow long columns
+    // shuffled, never the document text itself (project-before-shuffle).
+    "q_dedup_apply" -> QueryDef.sql(
+      "dedup apply: drop non-canonical near-dup cluster members, per-lang survivors",
+      """WITH RECURSIVE flat AS (
+        |  SELECT vec_id, label, vec_id // 100 AS block, i,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |nrm AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,12))) AS n2 FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    SUM(CAST(a.v * b.v AS DECIMAL(28,12))) AS dot
+        |  FROM flat a JOIN flat b ON a.label = b.label AND a.block = b.block
+        |    AND a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT vec_a, vec_b FROM dots JOIN nrm x ON vec_a = x.vec_id
+        |  JOIN nrm y ON vec_b = y.vec_id
+        |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.25),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+        |labels AS (
+        |  SELECT v AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+        |SELECT d.lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+        |FROM labels l JOIN documents d ON d.doc_id = l.vec_id
+        |WHERE l.vec_id = l.cluster_id
+        |GROUP BY d.lang""".stripMargin) { (s, dir) =>
+      val pairs = embeddingCosPairs(s, dir).select("vec_a", "vec_b").cache()
+      val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      val labels = minLabelComponents(edges, Tables.embeddings(s, dir).select("vec_id")).labels
+      val keepers = labels.filter(col("vec_id") === col("cluster_id"))
+        .select(col("vec_id").as("doc_id"))
+      Tables.documents(s, dir)
+        .join(broadcast(keepers), Seq("doc_id"), "left_semi")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").cast("long").as("kept_chars"))
     }
   )
 }

@@ -90,6 +90,116 @@ object SimilarityOps {
         .limit(10)
     },
 
+    // Batched exact top-k (differential-tested): MANY query vectors at
+    // once — the shape a retrieval/labeling pipeline actually runs, not
+    // one ad-hoc probe. The query block (Q × dim) broadcasts; the corpus
+    // scan streams past it once; the per-query top-k is a window over
+    // (qid), so adding queries never adds corpus passes. At 100 TB: one
+    // scan, one shuffle on (qid, vec_id) partial dots, Q bounded by the
+    // broadcast budget (a few thousand 64-dim queries ≈ MBs).
+    "q_sim_batch_topk" -> QueryDef.sql(
+      "batched cosine top-k: 5 query vectors, one corpus pass, per-query window",
+      """WITH flat AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |q AS (SELECT vec_id AS qid, i, v AS qv FROM flat WHERE vec_id < 5),
+        |nrm AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,12))) AS n2 FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.qid, f.vec_id, SUM(CAST(f.v * q.qv AS DECIMAL(28,12))) AS dot
+        |  FROM flat f JOIN q ON f.i = q.i WHERE f.vec_id >= 5 GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, d.vec_id,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE))) AS cos
+        |  FROM dots d JOIN nrm n ON d.vec_id = n.vec_id
+        |  JOIN nrm qn ON d.qid = qn.vec_id)
+        |SELECT qid, vec_id, round(cos, 6) AS cos_r FROM (
+        |  SELECT qid, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val flat = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
+      val q = flat.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("i"), col("v").as("qv"))
+      val nrm = flat.groupBy("vec_id")
+        .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
+      val qn = nrm.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("n2").as("qn2"))
+      flat.filter(col("vec_id") >= 5)
+        .join(broadcast(q), Seq("i"))
+        .groupBy("qid", "vec_id")
+        .agg(sum((col("v") * col("qv")).cast(DecimalType(28, 12))).as("dot"))
+        .join(nrm, Seq("vec_id"))
+        .join(broadcast(qn), Seq("qid"))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    },
+
+    // K-means topic clustering, EXACT and differential-tested: k = 8
+    // deterministic seeds (the first 8 vectors), one Lloyd update, final
+    // assignment — every distance an exact decimal sum, centroid means
+    // exact-decimal over doubles, ties broken by centroid id, so Spark
+    // and DuckDB agree bitwise. This is the oracle twin of the IVF
+    // quantizer above: same assignment shape (broadcast k×dim centroid
+    // block, map-side partial min), but the exact path the tests can
+    // hash. At 100 TB: swap the explode-join for the codegen vec_dot
+    // scoring and train on a sample exactly as q_sim_ann_ivf does.
+    "q_embed_kmeans" -> QueryDef.sql(
+      "k-means clustering: 8 fixed seeds, one exact-decimal Lloyd round + assignment",
+      """WITH flat AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |c0 AS (SELECT vec_id AS c, i, v AS cv FROM flat WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT f.vec_id, c0.c,
+        |    SUM(CAST((f.v - c0.cv) * (f.v - c0.cv) AS DECIMAL(28,12))) AS d2
+        |  FROM flat f JOIN c0 ON f.i = c0.i GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, c FROM (
+        |    SELECT vec_id, c,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT a1.c, f.i,
+        |    CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+        |  FROM flat f JOIN a1 ON f.vec_id = a1.vec_id GROUP BY 1, 2),
+        |d2t AS (
+        |  SELECT f.vec_id, c1.c,
+        |    SUM(CAST((f.v - c1.cv) * (f.v - c1.cv) AS DECIMAL(28,12))) AS d2
+        |  FROM flat f JOIN c1 ON f.i = c1.i GROUP BY 1, 2)
+        |SELECT vec_id, c AS cluster FROM (
+        |  SELECT vec_id, c,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+        |  FROM d2t) WHERE rk = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val flat = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
+      // argmin over the broadcast centroid block, tie-break by centroid id
+      def assignTo(cents: org.apache.spark.sql.DataFrame) =
+        flat.join(broadcast(cents), Seq("i"))
+          .groupBy("vec_id", "c")
+          .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
+            .cast(DecimalType(28, 12))).as("d2"))
+          .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
+          .filter(col("rk") === 1).select("vec_id", "c")
+      val c0 = flat.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
+      val a1 = assignTo(c0)
+      val c1 = flat.join(a1, Seq("vec_id"))
+        .groupBy("c", "i")
+        .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("cv"))
+      assignTo(c1).select(col("vec_id"), col("c").as("cluster"))
+    },
+
     // LSH-bucketed ANN, corpus-scaled + multiprobe. Plane count is derived
     // from N (expected bucket population stays ≈ LshTargetBucket), buckets
     // are computed by the native codegen `lsh_bucket` expression — a pure

@@ -158,6 +158,88 @@ object TextOps {
         .select("lang", "doc_id")
     },
 
+    // Repetition signals (the Gopher-style quality gates): per-doc
+    // top-unigram mass fraction and duplicate-bigram fraction, plus the
+    // repetitive/clean verdict. Everything is scan-local (explode + per-doc
+    // aggregates, one hash shuffle on doc_id) — linear at 100 TB.
+    "q_text_repetition" -> QueryDef.sql(
+      "repetition signals: top-word fraction + duplicate-bigram fraction per doc",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+        |uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |          CAST(MAX(c) AS BIGINT) AS top_c FROM wc GROUP BY doc_id),
+        |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |      FROM documents),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+        |       FROM d, generate_series(1, 600) t(i) WHERE i <= len(ws) - 1),
+        |bga AS (SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT b) AS n_bg_distinct
+        |        FROM bg GROUP BY doc_id)
+        |SELECT u.doc_id, u.n_words,
+        |  round(top_c * 1.0 / u.n_words, 6) AS top_word_frac,
+        |  round(1.0 - n_bg_distinct * 1.0 / n_bg, 6) AS dup_bigram_frac,
+        |  CASE WHEN top_c * 1.0 / u.n_words > 0.12
+        |    OR 1.0 - n_bg_distinct * 1.0 / n_bg > 0.1
+        |    THEN 'repetitive' ELSE 'ok' END AS verdict
+        |FROM uni u JOIN bga USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val words = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      val uni = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_words"), max("c").as("top_c"))
+      val ws = split(lower(trim(col("text"))), "\\s+")
+      val bg = docs.select(col("doc_id"),
+        explode(when(size(ws) >= 2, transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws(" ", slice(ws, i, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("b"))
+      val bga = bg.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bg"), countDistinct("b").as("n_bg_distinct"))
+      val topFrac = col("top_c") * 1.0 / col("n_words")
+      val dupFrac = lit(1.0) - col("n_bg_distinct") * 1.0 / col("n_bg")
+      uni.join(bga, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"),
+          round(topFrac, 6).as("top_word_frac"),
+          round(dupFrac, 6).as("dup_bigram_frac"),
+          when(topFrac > 0.12 || dupFrac > 0.1, "repetitive")
+            .otherwise("ok").as("verdict"))
+    },
+
+    // Cross-document duplicate n-gram mass (the exact-substring-dedup
+    // signal of Lee et al. 2022 at word-5-gram granularity): for each doc,
+    // the fraction of its distinct 5-grams that occur in at least one
+    // other document. The global document-frequency side joins on the
+    // gram itself — at 100 TB that is one shuffle keyed by a 64-bit
+    // xxhash of the gram (unbounded domain, so no broadcast), and the
+    // per-doc side is a narrow re-explode, never materialized.
+    "q_text_dup_ngrams" -> QueryDef.sql(
+      "cross-doc duplicate 5-gram fraction per doc (exact-substring-dedup signal)",
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+        |      FROM d, generate_series(1, 600) t(i) WHERE i <= len(ws) - 4),
+        |df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+        |    AS shared_frac
+        |FROM g JOIN df USING (g) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(lower(trim(col("text"))), "\\s+")
+      val grams = Tables.documents(s, dir).select(col("doc_id"),
+        explode(when(size(ws) >= 5,
+          array_distinct(transform(sequence(lit(1), size(ws) - 4),
+            i => concat_ws(" ", slice(ws, i, lit(5))))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      grams.join(dfreq, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("n_shared") * 1.0 / col("n_grams"), 6).as("shared_frac"))
+    },
+
     // Heuristic n-gram language ID: per-language stopword evidence scores,
     // argmax prediction, confusion counts vs the labeled column.
     "q_lang_id" -> QueryDef.sql(
