@@ -100,4 +100,56 @@ class LlmOpsSpec extends AnyFunSuite {
     val total = d.agg(sum("n_copies")).head.getLong(0)
     assert(total == Tables.documents(spark, sf).count())
   }
+
+  test("repetition signals: fractions bounded, verdict consistent") {
+    val r = SparkEntry.queries("q_text_repetition")(spark, sf).cache()
+    assert(r.count() == Tables.documents(spark, sf).count())
+    assert(r.filter(col("top_word_frac") <= 0 || col("top_word_frac") > 1).count() == 0)
+    assert(r.filter(col("dup_bigram_frac") < 0 || col("dup_bigram_frac") >= 1).count() == 0)
+    // the verdict must match its own thresholds
+    assert(r.filter(col("verdict") === "repetitive" &&
+      col("top_word_frac") <= 0.12 && col("dup_bigram_frac") <= 0.1).count() == 0)
+  }
+
+  test("dup-ngram fraction: bounded and consistent") {
+    val docs = Tables.documents(spark, sf)
+    val r = SparkEntry.queries("q_text_dup_ngrams")(spark, sf).cache()
+    assert(r.count() == docs.count())
+    assert(r.filter(col("shared_frac") < 0 || col("shared_frac") > 1).count() == 0)
+    assert(r.filter(col("n_shared") > col("n_grams")).count() == 0)
+    // identical texts (they exist in the corpus) must score shared_frac = 1
+    val nDupTexts = docs.groupBy("text").count().filter(col("count") > 1).count()
+    if (nDupTexts > 0)
+      assert(r.filter(col("shared_frac") === 1.0).count() > 0)
+  }
+
+  test("dedup apply keeps exactly one doc per cluster") {
+    val labels = SparkEntry.queries("q_dedup_clusters")(spark, sf).cache()
+    val kept = SparkEntry.queries("q_dedup_apply")(spark, sf)
+      .agg(sum("n_kept")).head.getLong(0)
+    val nClusters = labels.select("cluster_id").distinct().count()
+    assert(kept == nClusters, s"kept $kept docs but there are $nClusters clusters")
+  }
+
+  test("batch topk: every query gets exactly k ranked neighbors") {
+    val r = SparkEntry.queries("q_sim_batch_topk")(spark, sf).cache()
+    val perQ = r.groupBy("qid").count().collect()
+    assert(perQ.length == 5)
+    assert(perQ.forall(_.getLong(1) == 3))
+    // per-query scores descend
+    r.collect().groupBy(_.getLong(0)).values.foreach { rows =>
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      assert(scores.sorted.reverse.head == scores.max)
+    }
+  }
+
+  test("k-means: every vector labeled once, clusters from the seed set") {
+    val km = SparkEntry.queries("q_embed_kmeans")(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(km.count() == n)
+    assert(km.select("vec_id").distinct().count() == n)
+    val clusters = km.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(clusters.subsetOf((0L until 8L).toSet))
+    assert(clusters.size >= 2, "k-means collapsed to a single cluster")
+  }
 }

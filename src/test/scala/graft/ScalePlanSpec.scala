@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the properties that make the engine
+  * survive a 100 TB corpus are locked in here, not just claimed in
+  * comments: filters reach the parquet scan, partition pruning limits the
+  * files read, dimension joins broadcast, and bucketed tables join
+  * without a shuffle.
+  */
+class ScalePlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan as text. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val df = Tables.documents(spark, sf).filter(col("n_chars") > 100)
+      .select("doc_id", "n_chars")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(n_chars,100)"),
+      s"filter not pushed to scan:\n$scan")
+  }
+
+  test("column pruning: a two-column projection reads two columns") {
+    val df = Tables.documents(spark, sf).select("doc_id", "lang")
+    val scan = df.queryExecution.executedPlan.toString
+    // ReadSchema must NOT include the wide text column
+    assert(scan.contains("ReadSchema") && !scan.contains("text"),
+      s"text column not pruned from scan:\n$scan")
+  }
+
+  test("partition pruning: a lang filter reads only that partition's files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.documents(spark, sf)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("lang") === "en")
+    read.collect()
+    val scans = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filters on scan:\n${scan.toString}")
+    // the pruned scan must select exactly the one matching partition of 5
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+    assert(selected.length == 1 && selected.head.files.nonEmpty,
+      s"expected exactly the lang=en partition, got ${selected.length}")
+  }
+
+  test("dimension-chain join broadcasts the small sides") {
+    val plan = finalPlan(SparkEntry.queries("q_join_dim_chain")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"dim join did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dim join fell back to sort-merge (full shuffle of the fact side):\n$plan")
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+      docs.write.mode("overwrite").bucketBy(4, "doc_id")
+        .sortBy("doc_id").saveAsTable("b_docs")
+      docs.select(col("doc_id"), col("n_chars").as("nc2"))
+        .write.mode("overwrite").bucketBy(4, "doc_id")
+        .sortBy("doc_id").saveAsTable("b_meta")
+      val joined = spark.table("b_docs").join(spark.table("b_meta"), "doc_id")
+      val plan = finalPlan(joined)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == docs.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_meta")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("corpus aggregate uses map-side partial aggregation") {
+    // partial_count/partial_sum before the exchange = the map-side combine
+    // that keeps a 100 TB groupBy's shuffle proportional to #groups
+    val plan = finalPlan(SparkEntry.queries("q_text_tokens")(spark, sf))
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+}
