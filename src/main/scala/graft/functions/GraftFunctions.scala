@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("parse_raw_tx"),
       new ExpressionInfo(classOf[ParseRawTxExpr].getName, "parse_raw_tx"),
       (exprs: Seq[Expression]) => ParseRawTxExpr(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => WordNgramsExpr(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => CharNgramsExpr(exprs.head, exprs(1))))
   }
 }
 
@@ -73,5 +81,9 @@ object GraftFunctions {
       "lsh_bucket", exprs => LshBucketExpr(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "parse_raw_tx", exprs => ParseRawTxExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", exprs => WordNgramsExpr(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", exprs => CharNgramsExpr(exprs.head, exprs(1)), "scala_udf")
   }
 }

@@ -15,13 +15,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object DedupOps {
 
-  /** Word 3-shingle set of `text` (lowercased, distinct). */
-  private def shingles(text: Column): Column = {
-    val words = split(lower(trim(text)), "\\s+")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - 3, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(3)))))
-  }
+  /** Word 3-shingle set of `text` (lowercased, distinct) via the native
+    * codegen word_ngrams expression (the interpreted transform/slice
+    * lambda chain measured ~15x slower; session must have
+    * GraftFunctions.register'd, which every caller does). */
+  private def shingles(text: Column): Column =
+    array_distinct(graft.functions.TextNgrams.word_ngrams(lower(trim(text)), lit(3)))
 
   /** Blocked embedding-cosine near-dup pairs (vec_a < vec_b, cos ≥ 0.25,
     * exact decimal dots) — shared by the pair query and the
@@ -176,6 +175,7 @@ object DedupOps {
     // lambdas are interpreted in Spark and were 3× slower).
     "q_dedup_minhash" -> QueryDef.rowsOnly(
       "MinHash+LSH near-dup: shingle, minhash, band, bucket-join, verify") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       // shingle arrays feed three plan branches (signature agg + two verify
       // joins) — materialize once instead of recomputing the regex split
       val base = withPlanted(s, dir)
@@ -282,17 +282,19 @@ object DedupOps {
         |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
         |WHERE i * 1.0 / (x.n + y.n - i) >= 0.7""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
       val t = 0.7
       val docs = Tables.documents(s, dir)
       // shingle rows feed the DF count, the prefix ranking, and the verify
       // sets. Deliberately NOT cached: the explode is a narrow, codegen'd
-      // expansion of the small docs table — recomputing it per branch is
-      // far cheaper than parking the ~600x-larger row set in storage
-      // memory (caching it evicted other queries' data and itself to disk)
+      // expansion of the small docs table (native char_ngrams — the
+      // interpreted substr lambda chain it replaced was the dominant
+      // cost) — recomputing it per branch is far cheaper than parking the
+      // ~600x-larger row set in storage memory (caching it evicted other
+      // queries' data and itself to disk)
       val sh2 = docs.select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(length(col("text")) - 2, lit(0))),
-          i => col("text").substr(i, lit(3))))).as("s"))
+        explode(array_distinct(graft.functions.TextNgrams.char_ngrams(
+          col("text"), lit(3)))).as("s"))
       val sz = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // global document frequency per shingle: the char-3-gram domain is
       // bounded by charset³, so this side broadcasts at ANY corpus size —
