@@ -166,6 +166,52 @@ object DedupOps {
     docs.union(perturbed)
   }
 
+  /** The planted-docs CTE shared by the minhash and simhash oracles —
+    * the exact SQL twin of [[withPlanted]]. */
+  private val PlantedDocsSql =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    array_to_string(ws[1:greatest(len(ws)-2,1)], ' ')
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents))""".stripMargin
+
+  /** DuckDB twin of the md5-keyed simhash pipeline (generated: 8 hex-digit
+    * chunks → 128 majority votes → banded keys → hamming verify). */
+  private def simhashOracleSql: String = {
+    def hx(i: Int) = s"strpos('0123456789abcdef', substr(h, $i, 1)) - 1"
+    val chunks = (0 until 8).map(j => "(" +
+      (1 to 4).map(d => s"(${hx(4 * j + d)}) * ${math.pow(16, 4 - d).toLong}")
+        .mkString(" + ") + s") AS c$j").mkString(", ")
+    val votes = (for (j <- 0 until 8; b <- 0 until 16) yield
+      s"SUM(CASE WHEN ((c$j >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v${j}_$b")
+      .mkString(", ")
+    val maj = (0 until 8).map(j => "(" +
+      (0 until 16).map(b => s"CASE WHEN v${j}_$b >= 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ") + s") AS m$j").mkString(", ")
+    val bands = ((0 until 8).map(i => s"(CAST(m$i AS BIGINT) * 65536 + m${(i + 1) % 8})") ++
+      (0 until 8).map(i => s"(CAST(m$i AS BIGINT) * 65536 + m${(i + 2) % 8})")).mkString(", ")
+    val ham = (0 until 8).map(j => s"bit_count(CAST(xor(a.m$j, b.m$j) AS BIGINT))")
+      .mkString(" + ")
+    s"""WITH $PlantedDocsSql,
+       |w AS (SELECT doc_id, md5(unnest(string_split_regex(lower(trim(text)), '\\s+'))) AS h
+       |      FROM docs),
+       |ch AS (SELECT doc_id, $chunks FROM w),
+       |v AS (SELECT doc_id, $votes FROM ch GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $maj FROM v),
+       |blocked AS (
+       |  SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7,
+       |    unnest([$bands]) AS bkey,
+       |    unnest(range(16)) AS block
+       |  FROM fp)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($ham AS BIGINT) AS hamming
+       |FROM blocked a JOIN blocked b ON a.block = b.block AND a.bkey = b.bkey
+       |  AND a.doc_id < b.doc_id
+       |WHERE $ham <= 24""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // MinHash + LSH banding: shingle → 16 minhashes → 4 bands of 4 →
@@ -173,8 +219,35 @@ object DedupOps {
     // Plan shape: shingles are EXPLODED once and the 16 permutation minima
     // run as one codegen'd 16-column hash aggregate (per-row higher-order
     // lambdas are interpreted in Spark and were 3× slower).
-    "q_dedup_minhash" -> QueryDef.rowsOnly(
-      "MinHash+LSH near-dup: shingle, minhash, band, bucket-join, verify") { (s, dir) =>
+    //
+    // The permutation hash is the lexicographic MIN of md5("<k>:" ++
+    // shingle) — md5 is identical in Spark and DuckDB, so the ENTIRE
+    // sketch pipeline (signatures, band keys, candidate set, verify) is
+    // differential-tested, not just rows-counted. A fixed-width md5
+    // string compare is exactly a 128-bit integer compare, so the minima
+    // are well-defined; at 100 TB the md5 cost stays scan-local and the
+    // plan shape (one hash agg + one bucket join) is unchanged.
+    "q_dedup_minhash" -> QueryDef.sql(
+      "MinHash+LSH near-dup: shingle, md5 minhash, band, bucket-join, verify",
+      s"""WITH $PlantedDocsSql,
+         |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM docs),
+         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         |       FROM w, generate_series(1, 600) t(i) WHERE i <= len(ws) - 2),
+         |mh AS (SELECT doc_id, k, MIN(md5(k::VARCHAR || ':' || s)) AS mh
+         |       FROM sh CROSS JOIN range(16) t(k) GROUP BY doc_id, k),
+         |band AS (SELECT doc_id, k // 4 AS band, string_agg(mh, '' ORDER BY k) AS bkey
+         |         FROM mh GROUP BY doc_id, k // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+         |           AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+         |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+         |          JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(i * 1.0 / (sx.n + sy.n - i), 6) AS jaccard_r
+         |FROM inter JOIN sz sx ON doc_a = sx.doc_id JOIN sz sy ON doc_b = sy.doc_id
+         |WHERE i * 1.0 / (sx.n + sy.n - i) >= 0.6""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       // shingle arrays feed three plan branches (signature agg + two verify
       // joins) — materialize once instead of recomputing the regex split
@@ -182,11 +255,12 @@ object DedupOps {
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .cache()
       val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val minAggs = (0 until 16).map(k => min(xxhash64(col("s"), lit(k))).as(s"mh$k"))
+      val minAggs = (0 until 16).map(k =>
+        min(md5(concat(lit(s"$k:"), col("s")))).as(s"mh$k"))
       val sig = exploded.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
       val banded = sig.select(col("doc_id"),
         posexplode(array((0 until 4).map(b =>
-          hash((b * 4 until b * 4 + 4).map(k => col(s"mh$k")): _*)): _*)))
+          concat((b * 4 until b * 4 + 4).map(k => col(s"mh$k")): _*)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
         .filter(col("a.doc_id") < col("b.doc_id"))
@@ -215,41 +289,53 @@ object DedupOps {
     // hamming distance d collides on a band when both its chunks are
     // clean (prob ~(1-d)^32); 16 bands give near-dups >= 1 collision
     // with high probability (LlmOpsSpec asserts planted recall >= 0.8).
-    "q_dedup_simhash" -> QueryDef.rowsOnly(
-      "SimHash near-dup: 128-bit majority fingerprint, 32-bit block buckets, hamming verify") { (s, dir) =>
+    // The 128 fingerprint bits come from md5(word) — identical in Spark
+    // and DuckDB — held as eight 16-bit chunks (hex digits 4j+1..4j+4),
+    // so the whole pipeline (votes, fingerprint, band keys, candidate
+    // set, hamming verify) is differential-tested against a generated
+    // DuckDB twin instead of rows-counted.
+    "q_dedup_simhash" -> QueryDef.sql(
+      "SimHash near-dup: 128-bit md5 majority fingerprint, 32-bit block buckets, hamming verify",
+      simhashOracleSql) { (s, dir) =>
       // explode words once; the 128 per-bit majority votes run as one
       // codegen'd hash aggregate (sum columns) instead of interpreted
       // nested lambdas (30× faster at sf0.1)
       val wordRows = withPlanted(s, dir).select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .select(col("doc_id"),
-          xxhash64(col("w")).as("h0"), xxhash64(col("w"), lit(1)).as("h1"))
-      val bitAggs = (0 until 128).map { b =>
-        val h = if (b < 64) col("h0") else col("h1")
-        sum(when(shiftright(h, b % 64).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
-      }
-      val votes = wordRows.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      def half(lo: Int) = (lo until lo + 64).map(b =>
-        when(col(s"b$b") >= 0, lit(1L << (b % 64))).otherwise(lit(0L))).reduce(_ + _)
-      val fp = votes.select(col("doc_id"), half(0).as("sim0"), half(64).as("sim1"))
-      def chunk(j: Int): Column = {
-        val h = if (j < 4) col("sim0") else col("sim1")
-        shiftright(h, (j % 4) * 16).bitwiseAND(0xffffL)
-      }
-      val bands = (0 until 8).map(i => chunk(i) * 65536L + chunk((i + 1) % 8)) ++
-        (0 until 8).map(i => chunk(i) * 65536L + chunk((i + 2) % 8))
-      val blocked = fp.select(col("doc_id"), col("sim0"), col("sim1"),
-        posexplode(array(bands: _*)))
-        .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
-      val a = blocked.select(col("block"), col("key"),
-        col("doc_id").as("doc_a"), col("sim0").as("a0"), col("sim1").as("a1"))
-      val b = blocked.select(col("block"), col("key"),
-        col("doc_id").as("doc_b"), col("sim0").as("b0"), col("sim1").as("b1"))
-      a.join(b, Seq("block", "key"))
+        .select(col("doc_id"), md5(col("w")).as("h"))
+      // eight 16-bit chunks of the md5, projected ONCE per word row (the
+      // 128 vote aggregates below reference these columns, not the digit
+      // extraction — Catalyst would otherwise re-derive the hex math per
+      // aggregate expression)
+      val chunked = wordRows.select(col("doc_id") +: (0 until 8).map { j =>
+        (1 to 4).map(d =>
+          conv(substring(col("h"), 4 * j + d, 1), 16, 10).cast("int") *
+            lit(math.pow(16, 4 - d).toInt)).reduce(_ + _).as(s"c$j")
+      }: _*)
+      val bitAggs = (for (j <- 0 until 8; b <- 0 until 16) yield
+        sum(when(shiftright(col(s"c$j"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          .as(s"v${j}_$b")).toSeq
+      val votes = chunked.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      // majority chunk: bit b set iff the vote is non-negative
+      val fp = votes.select(col("doc_id") +: (0 until 8).map { j =>
+        (0 until 16).map(b =>
+          when(col(s"v${j}_$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as(s"m$j")
+      }: _*)
+      val bands = (0 until 8).map(i => col(s"m$i") * 65536L + col(s"m${(i + 1) % 8}")) ++
+        (0 until 8).map(i => col(s"m$i") * 65536L + col(s"m${(i + 2) % 8}"))
+      val blocked = fp.select(
+        col("doc_id") +: (0 until 8).map(j => col(s"m$j")) :+
+          posexplode(array(bands: _*)): _*)
+        .withColumnRenamed("pos", "block").withColumnRenamed("col", "bkey")
+      def side(tag: String) = blocked.select(
+        col("block") +: col("bkey") +: col("doc_id").as(s"doc_$tag") +:
+          (0 until 8).map(j => col(s"m$j").as(s"$tag$j")): _*)
+      val ham = (0 until 8).map(j =>
+        bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _)
+      side("a").join(side("b"), Seq("block", "bkey"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (bit_count(col("a0").bitwiseXOR(col("b0"))) +
-            bit_count(col("a1").bitwiseXOR(col("b1")))).as("hamming"))
+        .select(col("doc_a"), col("doc_b"), ham.cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 24)
     },

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for the large-scale training-data pipeline
   * (north-star extensions, SURVEY.md §7.2 step 6): token counting, quality
@@ -15,6 +16,20 @@ object TextOps {
   private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   private val StopRe = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
   private val PunctRe = "[^A-Za-z0-9\\s]"
+
+  /** PII scrubbing alternation (email | phone-shaped | long digit run) —
+    * the same pattern string compiles identically under Java regex (Spark)
+    * and RE2 (DuckDB), so the redaction is differential-testable. The
+    * classes are deliberately simple (no lookaround — RE2 has none). */
+  val PiiRe: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" + // email
+      "|\\b[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b" + // phone (xx-xxx-xxx-xxxx)
+      "|[0-9]{6,}"                                        // long digit run / account id
+
+  /** Redact every PII match in `c` with the `<PII>` placeholder. Shared by
+    * q_pii_redact and the planted-PII spec. */
+  def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, PiiRe, "<PII>")
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -264,6 +279,220 @@ object TextOps {
           when(sDe >= sEn && sDe >= sFr, "de")
             .when(sEn >= sFr, "en").otherwise("fr").as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    },
+
+    // N-gram-overlap decontamination (differential-tested): the stronger
+    // form of test-set-overlap removal — drop a training doc if it shares
+    // ANY word-13-gram with the held-out eval set (the exact-fingerprint
+    // variant above only catches verbatim copies). Eval-side grams are
+    // tiny next to the corpus, so they BROADCAST; the training side
+    // explodes its grams scan-locally, marks contaminated doc_ids, and
+    // anti-joins — the document text itself never shuffles.
+    "q_decontaminate_ngram" -> QueryDef.sql(
+      "n-gram decontamination: drop training docs sharing a 13-gram with the eval set",
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |             string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |eg AS (SELECT DISTINCT array_to_string(ws[i:i+12], ' ') AS g
+        |       FROM d, generate_series(1, 600) t(i)
+        |       WHERE doc_id % 97 = 0 AND i <= len(ws) - 12),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+12], ' ') AS g
+        |       FROM d, generate_series(1, 600) t(i)
+        |       WHERE doc_id % 97 <> 0 AND i <= len(ws) - 12),
+        |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg ON tg.g = eg.g)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM d
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextNgrams.word_ngrams(
+          lower(trim(col("text"))), lit(13)))).as("g"))
+      val evalGrams = grams(docs.filter(col("doc_id") % 97 === 0))
+        .select("g").distinct()
+      val contaminated = grams(docs.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(evalGrams), Seq("g"))
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").cast("long").as("total_chars"))
+    },
+
+    // Bigram-LM quality scoring (differential-tested): the CCNet-style
+    // perplexity gate — train bigram/unigram counts on the corpus itself,
+    // score each doc by its mean bigram negative log-likelihood
+    // nll = mean(ln C(w1) − ln C(w1,w2)). Per-bigram terms are truncated
+    // to DECIMAL(28,12) before summing, so scores are order-independent
+    // and bit-equal across engines. At 100 TB both count tables and the
+    // scoring join are term-keyed shuffles (unbounded vocab — no
+    // broadcast), and the per-doc mean is a doc-keyed partial aggregate.
+    "q_text_lm_score" -> QueryDef.sql(
+      "bigram-LM quality score: corpus-trained counts, per-doc mean NLL",
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |       FROM d, generate_series(1, 600) t(i) WHERE i <= len(ws) - 1),
+        |uc AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM(CAST(ln(CAST(uc.cu AS DOUBLE)) - ln(CAST(bc.cb AS DOUBLE))
+        |        AS DECIMAL(28,12))) AS nll
+        |  FROM bg JOIN uc ON bg.w1 = uc.w1
+        |  JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+        |  GROUP BY bg.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(CAST(nll AS DOUBLE) / n_bigrams, 6) AS mean_nll_r
+        |FROM scored""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val bg = Tables.documents(s, dir).select(col("doc_id"),
+        explode(graft.functions.TextNgrams.word_ngrams(
+          lower(trim(col("text"))), lit(2))).as("b"))
+        .select(col("doc_id"),
+          substring_index(col("b"), " ", 1).as("w1"),
+          substring_index(col("b"), " ", -1).as("w2"))
+      val uc = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      bg.join(uc, Seq("w1")).join(bc, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum((log(col("cu").cast("double")) - log(col("cb").cast("double")))
+            .cast(DecimalType(28, 12))).as("nll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll").cast("double") / col("n_bigrams"), 6).as("mean_nll_r"))
+    },
+
+    // BM25 retrieval (differential-tested): the inverted-index scoring a
+    // retrieval/labeling pipeline runs over a corpus. Posting lists are
+    // (term, doc, tf) rows; document stats (dl, avgdl, N) come from one
+    // pass; queries are a broadcast VALUES block, so adding queries never
+    // adds corpus passes. Per-term contributions accumulate as exact
+    // decimals (the double product is truncated to DECIMAL(28,12) before
+    // the sum), so the score — and therefore the top-k ranking — is
+    // order-of-summation independent and bit-equal across engines.
+    // At 100 TB: tf/df are term-keyed shuffles (unbounded domain — no
+    // broadcast), the scored join is term-keyed too, and the final top-k
+    // is a per-query window over candidates only.
+    "q_text_bm25" -> QueryDef.sql(
+      "BM25 retrieval: inverted index + idf scoring, 3 queries, top-5 docs each",
+      """WITH q(qid, term) AS (VALUES
+        |  (0,'spark'),(0,'join'),(0,'hash'),
+        |  (1,'scan'),(1,'filter'),(1,'merge'),
+        |  (2,'window'),(2,'agg'),(2,'stream')),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    SUM(CAST(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |        tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |        AS DECIMAL(28,12))) AS score
+        |  FROM q JOIN tf ON q.term = tf.term
+        |  JOIN df ON q.term = df.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats
+        |  GROUP BY q.qid, tf.doc_id)
+        |SELECT qid, doc_id, score_r FROM (
+        |  SELECT qid, doc_id, round(CAST(score AS DOUBLE), 6) AS score_r,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val q = Seq(
+        (0, "spark"), (0, "join"), (0, "hash"),
+        (1, "scan"), (1, "filter"), (1, "merge"),
+        (2, "window"), (2, "agg"), (2, "stream")).toDF("qid", "term")
+      val w = Tables.documents(s, dir).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      val tf = w.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      // df over the full vocabulary: term-keyed shuffle at scale (the
+      // domain is unbounded — only the QUERY block broadcasts)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val contrib = (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .cast(DecimalType(28, 12))
+      tf.join(broadcast(q), Seq("term"))
+        .join(dfreq, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(sum(contrib).as("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("doc_id"),
+          round(col("score").cast("double"), 6).as("score_r"))
+    },
+
+    // Sequence packing (differential-tested): the concat-then-chunk
+    // packing a pretraining run applies — documents are concatenated in a
+    // deterministic order per language stream and cut into fixed-capacity
+    // token bins; each doc's bin is the one containing its first token.
+    // The prefix sum is one window per stream; at 100 TB the stream is
+    // range-partitioned and the per-partition sums combine with one tiny
+    // offsets broadcast (two passes, no global sort).
+    "q_pack_sequences" -> QueryDef.sql(
+      "sequence packing: concat-then-chunk token bins per language (capacity 2048)",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      val cum = t.withColumn("cum", sum("n_tok").over(
+        Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.groupBy(col("lang"),
+          floor((col("cum") - col("n_tok")) / 2048).as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    },
+
+    // PII scrubbing (differential-tested): redact account-id / email /
+    // phone shapes and report the per-segment audit trail (match counts,
+    // before/after char mass). Scan-local + one small group-by — linear at
+    // 100 TB. The pattern set is [[PiiRe]]; the planted-PII spec proves
+    // the email/phone branches on synthetic rows (the test corpus only
+    // carries id-shaped digit runs).
+    "q_pii_redact" -> QueryDef.sql(
+      "PII scrubbing: redact ids/emails/phones, per-segment audit counts",
+      s"""SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  CAST(SUM(len(regexp_extract_all(c_name, '$PiiRe'))) AS BIGINT) AS n_pii,
+         |  CAST(SUM(length(c_name)) AS BIGINT) AS chars_before,
+         |  CAST(SUM(length(regexp_replace(c_name, '$PiiRe', '<PII>', 'g'))) AS BIGINT)
+         |    AS chars_after
+         |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(size(regexp_extract_all(col("c_name"), lit(PiiRe), lit(0))))
+            .cast("long").as("n_pii"),
+          sum(length(col("c_name"))).cast("long").as("chars_before"),
+          sum(length(redactPii(col("c_name")))).cast("long").as("chars_after"))
     }
   )
 }

@@ -27,7 +27,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(planted >= (nDocs * 0.8).toLong)
     // 128-bit fingerprint: same 0.1875 fractional distance bound as the
     // r1 64-bit/12 threshold
-    assert(pairs.agg(max("hamming")).head.getInt(0) <= 24)
+    assert(pairs.agg(max("hamming")).head.getLong(0) <= 24L)
   }
 
   test("IVF ANN achieves high recall vs exact top-k") {
@@ -151,5 +151,65 @@ class LlmOpsSpec extends AnyFunSuite {
     val clusters = km.select("cluster").distinct().collect().map(_.getLong(0)).toSet
     assert(clusters.subsetOf((0L until 8L).toSet))
     assert(clusters.size >= 2, "k-means collapsed to a single cluster")
+  }
+
+  test("n-gram decontamination is at least as strict as exact-fingerprint") {
+    val exact = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .agg(sum("n_kept")).head.getLong(0)
+    val ngram = SparkEntry.queries("q_decontaminate_ngram")(spark, sf)
+      .agg(sum("n_kept")).head.getLong(0)
+    // any verbatim copy shares all its 13-grams, so n-gram overlap drops a
+    // superset of the exact-dup contamination
+    assert(ngram <= exact, s"ngram kept $ngram > exact kept $exact")
+  }
+
+  test("bigram LM scores are non-negative (self-trained counts)") {
+    val r = SparkEntry.queries("q_text_lm_score")(spark, sf).cache()
+    // C(w1) >= C(w1,w2) always, so every per-bigram NLL term is >= 0
+    assert(r.filter(col("mean_nll_r") < 0).count() == 0)
+    assert(r.filter(col("n_bigrams") <= 0).count() == 0)
+  }
+
+  test("PII redaction scrubs planted emails, phones, and account ids") {
+    import spark.implicits._
+    val rows = Seq(
+      "contact john.doe+test@example.com for details",
+      "call 25-989-741-2988 before noon",
+      "account 123456789 is overdrawn, pin 1234 stays",
+      "nothing sensitive here").toDF("t")
+    val red = rows.select(graft.queries.TextOps.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(red(0) == "contact <PII> for details")
+    assert(red(1) == "call <PII> before noon")
+    // 6+ digit run redacted, 4-digit pin kept
+    assert(red(2) == "account <PII> is overdrawn, pin 1234 stays")
+    assert(red(3) == "nothing sensitive here")
+  }
+
+  test("BM25: 3 queries, 5 ranked docs each, scores descend") {
+    val r = SparkEntry.queries("q_text_bm25")(spark, sf).cache()
+    val perQ = r.groupBy("qid").count().collect()
+    assert(perQ.length == 3)
+    assert(perQ.forall(_.getLong(1) == 5))
+    r.collect().groupBy(_.getInt(0)).values.foreach { rows =>
+      val scores = rows.map(_.getDouble(2)).toSeq
+      assert(scores.forall(_ > 0))
+    }
+  }
+
+  test("sequence packing: bins fill to capacity, token mass conserved") {
+    val bins = SparkEntry.queries("q_pack_sequences")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    val totalTok = docs.select(
+      sum(size(split(trim(col("text")), "\\s+")).cast("long"))).head.getLong(0)
+    assert(bins.agg(sum("bin_tokens")).head.getLong(0) == totalTok)
+    // every non-final bin of a language stream holds >= capacity worth of
+    // doc starts: its last doc begins before the 2048 boundary, so bins are
+    // contiguous (no gaps in bin ids per lang)
+    import org.apache.spark.sql.expressions.Window
+    val gaps = bins.withColumn("prev",
+        lag("bin", 1).over(Window.partitionBy("lang").orderBy("bin")))
+      .filter(col("prev").isNotNull && col("bin") =!= col("prev") + 1)
+    assert(gaps.count() == 0, "bin ids must be contiguous per language")
   }
 }
