@@ -166,6 +166,32 @@ object DedupOps {
     docs.union(perturbed)
   }
 
+  /** MinHash permutation family: perm_k(s) = (a_k·h(s) + b_k) mod P over
+    * the 48-bit shingle hash h = first 12 hex digits of md5(s). One md5
+    * per shingle row instead of 16 (16× less hashing — md5 dominated the
+    * signature aggregate); a_k stays below 2^15 so a_k·h < 2^63 in signed
+    * 64-bit on BOTH engines. The constants are mirrored verbatim into the
+    * DuckDB oracle's VALUES block. */
+  private val MinhashP = 2305843009213693951L // 2^61 − 1
+  private val MinhashA: Seq[Long] = Seq(
+    14327, 25253, 9209, 30103, 17291, 5449, 28657, 12553,
+    21841, 7919, 31259, 16411, 3571, 26993, 11311, 19937)
+  private val MinhashB: Seq[Long] = Seq(
+    911, 104729, 68213, 7727, 49999, 15485863, 32452843, 982451653,
+    86028121, 533000401, 613651369, 3093077, 179424673, 57885161, 715225739, 2038074743)
+
+  /** 16 minhash minima as COLUMNS of one grouped aggregate (mirrors the
+    * Spark plan; the k-row CROSS JOIN shape measured 48× slower in
+    * DuckDB). */
+  private def minhashMinColsSql: String =
+    (0 until 16).map(k =>
+      s"MIN((${MinhashA(k)} * h + ${MinhashB(k)}) % $MinhashP) AS mh$k").mkString(", ")
+
+  private def minhashBandKeysSql: String =
+    (0 until 4).map(b => "(" +
+      (4 * b until 4 * b + 4).map(k => s"mh$k::VARCHAR").mkString(" || '_' || ") +
+      ")").mkString(", ")
+
   /** The planted-docs CTE shared by the minhash and simhash oracles —
     * the exact SQL twin of [[withPlanted]]. */
   private val PlantedDocsSql =
@@ -220,23 +246,24 @@ object DedupOps {
     // run as one codegen'd 16-column hash aggregate (per-row higher-order
     // lambdas are interpreted in Spark and were 3× slower).
     //
-    // The permutation hash is the lexicographic MIN of md5("<k>:" ++
-    // shingle) — md5 is identical in Spark and DuckDB, so the ENTIRE
-    // sketch pipeline (signatures, band keys, candidate set, verify) is
-    // differential-tested, not just rows-counted. A fixed-width md5
-    // string compare is exactly a 128-bit integer compare, so the minima
-    // are well-defined; at 100 TB the md5 cost stays scan-local and the
-    // plan shape (one hash agg + one bucket join) is unchanged.
+    // The permutation values are (a_k·h + b_k) mod (2^61−1) over the
+    // 48-bit shingle hash h = first 12 hex digits of md5(shingle) — md5
+    // and 64-bit integer arithmetic are identical in Spark and DuckDB, so
+    // the ENTIRE sketch pipeline (signatures, band keys, candidate set,
+    // verify) is differential-tested, not just rows-counted. One md5 per
+    // shingle row; the 16 permutation minima are cheap mul/mod columns in
+    // one codegen hash aggregate. At 100 TB everything before the bucket
+    // join is scan-local.
     "q_dedup_minhash" -> QueryDef.sql(
-      "MinHash+LSH near-dup: shingle, md5 minhash, band, bucket-join, verify",
+      "MinHash+LSH near-dup: shingle, md5+linear-perm minhash, band, bucket-join, verify",
       s"""WITH $PlantedDocsSql,
          |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM docs),
          |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
          |       FROM w, generate_series(1, 600) t(i) WHERE i <= len(ws) - 2),
-         |mh AS (SELECT doc_id, k, MIN(md5(k::VARCHAR || ':' || s)) AS mh
-         |       FROM sh CROSS JOIN range(16) t(k) GROUP BY doc_id, k),
-         |band AS (SELECT doc_id, k // 4 AS band, string_agg(mh, '' ORDER BY k) AS bkey
-         |         FROM mh GROUP BY doc_id, k // 4),
+         |hh AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h FROM sh),
+         |mh AS (SELECT doc_id, $minhashMinColsSql FROM hh GROUP BY doc_id),
+         |band AS (SELECT doc_id, unnest(range(4)) AS band,
+         |         unnest([$minhashBandKeysSql]) AS bkey FROM mh),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
          |           AND a.doc_id < b.doc_id),
@@ -255,12 +282,15 @@ object DedupOps {
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .cache()
       val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("h"))
       val minAggs = (0 until 16).map(k =>
-        min(md5(concat(lit(s"$k:"), col("s")))).as(s"mh$k"))
+        min((lit(MinhashA(k)) * col("h") + lit(MinhashB(k))) % MinhashP).as(s"mh$k"))
       val sig = exploded.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
       val banded = sig.select(col("doc_id"),
         posexplode(array((0 until 4).map(b =>
-          concat((b * 4 until b * 4 + 4).map(k => col(s"mh$k")): _*)): _*)))
+          concat_ws("_", (b * 4 until b * 4 + 4).map(k =>
+            col(s"mh$k").cast("string")): _*)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
         .filter(col("a.doc_id") < col("b.doc_id"))
@@ -304,14 +334,10 @@ object DedupOps {
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
         .select(col("doc_id"), md5(col("w")).as("h"))
       // eight 16-bit chunks of the md5, projected ONCE per word row (the
-      // 128 vote aggregates below reference these columns, not the digit
-      // extraction — Catalyst would otherwise re-derive the hex math per
-      // aggregate expression)
-      val chunked = wordRows.select(col("doc_id") +: (0 until 8).map { j =>
-        (1 to 4).map(d =>
-          conv(substring(col("h"), 4 * j + d, 1), 16, 10).cast("int") *
-            lit(math.pow(16, 4 - d).toInt)).reduce(_ + _).as(s"c$j")
-      }: _*)
+      // 128 vote aggregates below reference these columns, so the hex
+      // decode runs 8×, not 128×, per row)
+      val chunked = wordRows.select(col("doc_id") +: (0 until 8).map(j =>
+        conv(substring(col("h"), 4 * j + 1, 4), 16, 10).cast("int").as(s"c$j")): _*)
       val bitAggs = (for (j <- 0 until 8; b <- 0 until 16) yield
         sum(when(shiftright(col(s"c$j"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
           .as(s"v${j}_$b")).toSeq
