@@ -424,19 +424,20 @@ object DedupOps {
       val key = xxhash64(col("lang"), col("source"), col("s"))
       val a = prefix.select(key.as("k"), col("doc_id").as("doc_a"), col("n").as("na"))
       val b = prefix.select(key.as("k"), col("doc_id").as("doc_b"), col("n").as("nb"))
-      // rare-shingle candidate join + the J>=t size bound (min/max >= t)
+      // rare-shingle candidate join + the J>=t size bound (min/max >= t);
+      // the set sizes ride along so the verify below only needs the
+      // intersection (J = i / (na + nb - i)) — no array_union pass
       val cand = a.join(b, Seq("k"))
         .filter(col("doc_a") < col("doc_b") &&
           col("na") >= col("nb") * t && col("nb") >= col("na") * t)
-        .select("doc_a", "doc_b").distinct()
+        .select("doc_a", "doc_b", "na", "nb").distinct()
       // exact verification on the FULL shingle sets, candidates only
       val sets = sh2.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
+        .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
         .filter(col("jaccard") >= t)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard_r"))
     },
