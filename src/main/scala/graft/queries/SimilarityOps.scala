@@ -200,6 +200,73 @@ object SimilarityOps {
       assignTo(c1).select(col("vec_id"), col("c").as("cluster"))
     },
 
+    // Product quantization (differential-tested): the vector-compression
+    // path every 100 TB ANN deployment ships — 64 dims cut into 8
+    // subspaces of 8, one 16-centroid codebook per subspace (seeds = the
+    // first 16 vectors' subvectors, one exact-decimal Lloyd round over
+    // the deterministic 25 % sample), every vector encoded as 8 one-byte
+    // codes: 32× smaller than the float vectors, scored at query time
+    // via per-subspace lookup tables. Codebooks are k×dim tiny and
+    // BROADCAST; assignment is a scan-local argmin + one (vec, sub) keyed
+    // window — the corpus shuffles nothing but its codes. Composes with
+    // q_sim_ann_ivf as IVF-PQ (coarse lists + in-list PQ scoring).
+    "q_embed_pq" -> QueryDef.sql(
+      "product quantization: 8 subspaces × 16 codes, sample-trained, per-vector code table",
+      """WITH flat AS (
+        |  SELECT vec_id, i, (i - 1) // 8 AS sub, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |samp AS (SELECT * FROM flat WHERE vec_id % 4 = 0),
+        |c0 AS (SELECT vec_id AS c, i, v AS cv FROM flat WHERE vec_id < 16),
+        |d1 AS (
+        |  SELECT f.vec_id, f.sub, c0.c,
+        |    SUM(CAST((f.v - c0.cv) * (f.v - c0.cv) AS DECIMAL(28,12))) AS d2
+        |  FROM samp f JOIN c0 ON f.i = c0.i GROUP BY 1, 2, 3),
+        |a1 AS (
+        |  SELECT vec_id, sub, c FROM (
+        |    SELECT vec_id, sub, c,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT a1.c, f.i,
+        |    CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+        |  FROM samp f JOIN a1 ON f.vec_id = a1.vec_id AND f.sub = a1.sub
+        |  GROUP BY 1, 2),
+        |d2t AS (
+        |  SELECT f.vec_id, f.sub, c1.c,
+        |    SUM(CAST((f.v - c1.cv) * (f.v - c1.cv) AS DECIMAL(28,12))) AS d2
+        |  FROM flat f JOIN c1 ON f.i = c1.i GROUP BY 1, 2, 3)
+        |SELECT vec_id, CAST(sub AS BIGINT) AS subspace, c AS code FROM (
+        |  SELECT vec_id, sub, c,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rk
+        |  FROM d2t) WHERE rk = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val flat = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"),
+          floor((col("pos")) / 8).as("sub"), col("col").cast("double").as("v"))
+      val samp = flat.filter(col("vec_id") % 4 === 0)
+      val c0 = flat.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
+      // argmin over the broadcast codebook, per (vector, subspace):
+      // d2 groups are map-side partial, the window is (vec, sub) keyed
+      def assignTo(rows: org.apache.spark.sql.DataFrame,
+          cents: org.apache.spark.sql.DataFrame) =
+        rows.join(broadcast(cents), Seq("i"))
+          .groupBy("vec_id", "sub", "c")
+          .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
+            .cast(DecimalType(28, 12))).as("d2"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("c"))))
+          .filter(col("rk") === 1).select("vec_id", "sub", "c")
+      val a1 = assignTo(samp, c0)
+      val c1 = samp.join(a1, Seq("vec_id", "sub"))
+        .groupBy("c", "i")
+        .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("cv"))
+      assignTo(flat, c1)
+        .select(col("vec_id"), col("sub").as("subspace"), col("c").as("code"))
+    },
+
     // LSH-bucketed ANN, corpus-scaled + multiprobe. Plane count is derived
     // from N (expected bucket population stays ≈ LshTargetBucket), buckets
     // are computed by the native codegen `lsh_bucket` expression — a pure

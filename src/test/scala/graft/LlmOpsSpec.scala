@@ -153,6 +153,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(clusters.size >= 2, "k-means collapsed to a single cluster")
   }
 
+  test("product quantization: 8 codes per vector from 16-entry codebooks") {
+    val pq = SparkEntry.queries("q_embed_pq")(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(pq.count() == n * 8, "one code per (vector, subspace)")
+    assert(pq.groupBy("vec_id").count().filter(col("count") =!= 8).count() == 0)
+    assert(pq.filter(col("code") < 0 || col("code") > 15).count() == 0)
+    assert(pq.select("subspace").distinct().count() == 8)
+  }
+
   test("n-gram decontamination is at least as strict as exact-fingerprint") {
     val exact = SparkEntry.queries("q_decontaminate")(spark, sf)
       .agg(sum("n_kept")).head.getLong(0)
