@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -48,6 +49,74 @@ object SimilarityOps {
   def ivfProbeFraction(n: Long): Double = {
     val k = ivfK(n)
     ivfNprobe(k).toDouble / k
+  }
+
+  /** PQ building blocks shared by q_embed_pq and q_sim_ann_pq. */
+  private object Pq {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.DataFrame
+
+    /** (vec_id, i, sub, v): 1-based dim i, subspace sub = (i−1) div 8. */
+    def flat(s: SparkSession, dir: String): DataFrame =
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"),
+          floor(col("pos") / 8).as("sub"), col("col").cast("double").as("v"))
+
+    /** Nearest-codebook-entry per (vector, subspace): broadcast codebook
+      * join, map-side partial d² aggregate, (vec, sub) keyed window. */
+    def assign(rows: DataFrame, cents: DataFrame): DataFrame =
+      rows.join(broadcast(cents), Seq("i"))
+        .groupBy("vec_id", "sub", "c")
+        .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
+          .cast(DecimalType(28, 12))).as("d2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("c"))))
+        .filter(col("rk") === 1).select("vec_id", "sub", "c")
+
+    /** Trained codebook (c, i, cv): seeds = first 16 vectors, one
+      * exact-decimal Lloyd round over the deterministic 25 % sample. */
+    def codebook(flatDf: DataFrame): DataFrame = {
+      val samp = flatDf.filter(col("vec_id") % 4 === 0)
+      val c0 = flatDf.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
+      val a1 = assign(samp, c0)
+      samp.join(a1, Seq("vec_id", "sub"))
+        .groupBy("c", "i")
+        .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("cv"))
+    }
+
+    /** The shared SQL chain: flat → sample-trained codebook c1 → codes. */
+    val OracleCtes: String =
+      """flat AS (
+        |  SELECT vec_id, i, (i - 1) // 8 AS sub, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |samp AS (SELECT * FROM flat WHERE vec_id % 4 = 0),
+        |c0 AS (SELECT vec_id AS c, i, v AS cv FROM flat WHERE vec_id < 16),
+        |d1 AS (
+        |  SELECT f.vec_id, f.sub, c0.c,
+        |    SUM(CAST((f.v - c0.cv) * (f.v - c0.cv) AS DECIMAL(28,12))) AS d2
+        |  FROM samp f JOIN c0 ON f.i = c0.i GROUP BY 1, 2, 3),
+        |a1 AS (
+        |  SELECT vec_id, sub, c FROM (
+        |    SELECT vec_id, sub, c,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT a1.c, f.i,
+        |    CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+        |  FROM samp f JOIN a1 ON f.vec_id = a1.vec_id AND f.sub = a1.sub
+        |  GROUP BY 1, 2),
+        |d2t AS (
+        |  SELECT f.vec_id, f.sub, c1.c,
+        |    SUM(CAST((f.v - c1.cv) * (f.v - c1.cv) AS DECIMAL(28,12))) AS d2
+        |  FROM flat f JOIN c1 ON f.i = c1.i GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, sub, c FROM (
+        |    SELECT vec_id, sub, c,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rk
+        |    FROM d2t) WHERE rk = 1)""".stripMargin
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -212,59 +281,54 @@ object SimilarityOps {
     // q_sim_ann_ivf as IVF-PQ (coarse lists + in-list PQ scoring).
     "q_embed_pq" -> QueryDef.sql(
       "product quantization: 8 subspaces × 16 codes, sample-trained, per-vector code table",
-      """WITH flat AS (
-        |  SELECT vec_id, i, (i - 1) // 8 AS sub, CAST(embedding[i] AS DOUBLE) AS v
-        |  FROM embeddings, generate_series(1, 64) t(i)),
-        |samp AS (SELECT * FROM flat WHERE vec_id % 4 = 0),
-        |c0 AS (SELECT vec_id AS c, i, v AS cv FROM flat WHERE vec_id < 16),
-        |d1 AS (
-        |  SELECT f.vec_id, f.sub, c0.c,
-        |    SUM(CAST((f.v - c0.cv) * (f.v - c0.cv) AS DECIMAL(28,12))) AS d2
-        |  FROM samp f JOIN c0 ON f.i = c0.i GROUP BY 1, 2, 3),
-        |a1 AS (
-        |  SELECT vec_id, sub, c FROM (
-        |    SELECT vec_id, sub, c,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rk
-        |    FROM d1) WHERE rk = 1),
-        |c1 AS (
-        |  SELECT a1.c, f.i,
-        |    CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
-        |  FROM samp f JOIN a1 ON f.vec_id = a1.vec_id AND f.sub = a1.sub
-        |  GROUP BY 1, 2),
-        |d2t AS (
-        |  SELECT f.vec_id, f.sub, c1.c,
-        |    SUM(CAST((f.v - c1.cv) * (f.v - c1.cv) AS DECIMAL(28,12))) AS d2
-        |  FROM flat f JOIN c1 ON f.i = c1.i GROUP BY 1, 2, 3)
-        |SELECT vec_id, CAST(sub AS BIGINT) AS subspace, c AS code FROM (
-        |  SELECT vec_id, sub, c,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rk
-        |  FROM d2t) WHERE rk = 1""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val flat = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), (col("pos") + 1).as("i"),
-          floor((col("pos")) / 8).as("sub"), col("col").cast("double").as("v"))
-      val samp = flat.filter(col("vec_id") % 4 === 0)
-      val c0 = flat.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
-      // argmin over the broadcast codebook, per (vector, subspace):
-      // d2 groups are map-side partial, the window is (vec, sub) keyed
-      def assignTo(rows: org.apache.spark.sql.DataFrame,
-          cents: org.apache.spark.sql.DataFrame) =
-        rows.join(broadcast(cents), Seq("i"))
-          .groupBy("vec_id", "sub", "c")
-          .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
-            .cast(DecimalType(28, 12))).as("d2"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("c"))))
-          .filter(col("rk") === 1).select("vec_id", "sub", "c")
-      val a1 = assignTo(samp, c0)
-      val c1 = samp.join(a1, Seq("vec_id", "sub"))
-        .groupBy("c", "i")
-        .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
-          count(lit(1))).as("cv"))
-      assignTo(flat, c1)
+      s"""WITH ${Pq.OracleCtes}
+         |SELECT vec_id, CAST(sub AS BIGINT) AS subspace, c AS code
+         |FROM codes""".stripMargin) { (s, dir) =>
+      val flat = Pq.flat(s, dir)
+      Pq.assign(flat, Pq.codebook(flat))
         .select(col("vec_id"), col("sub").as("subspace"), col("c").as("code"))
+    },
+
+    // PQ-ADC search (differential-tested): the query path over the
+    // compressed corpus — build the query's per-subspace lookup table
+    // (16×8 partial distances to every codebook entry, exact decimals),
+    // then score every vector as the sum of 8 LUT entries selected by its
+    // codes. The corpus side touches ONLY the code table (8 bytes/vector)
+    // — never the float vectors — which is the entire point of PQ at
+    // 100 TB; the LUT broadcasts. Top-k by exact-decimal distance, so
+    // Spark and DuckDB rank identically.
+    "q_sim_ann_pq" -> QueryDef.sql(
+      "ANN: PQ-ADC search — LUT over codebooks, score codes only, top-10",
+      s"""WITH ${Pq.OracleCtes},
+         |q AS (SELECT i, (i - 1) // 8 AS sub, v FROM flat WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT c1.c, q.sub,
+         |    SUM(CAST((q.v - c1.cv) * (q.v - c1.cv) AS DECIMAL(28,12))) AS pd
+         |  FROM q JOIN c1 ON q.i = c1.i GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT codes.vec_id, SUM(pd) AS d2
+         |  FROM codes JOIN lut ON codes.sub = lut.sub AND codes.c = lut.c
+         |  WHERE codes.vec_id <> 0 GROUP BY 1)
+         |SELECT vec_id, round(CAST(d2 AS DOUBLE), 6) AS adc_r
+         |FROM sc ORDER BY d2, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val flat = Pq.flat(s, dir)
+      // the 128-row codebook feeds BOTH the corpus encoding and the query
+      // LUT — cache it so the Lloyd training chain runs once
+      val c1 = Pq.codebook(flat).cache()
+      val codes = Pq.assign(flat, c1)
+      val q = flat.filter(col("vec_id") === 0)
+        .select(col("i"), col("sub"), col("v").as("qv"))
+      val lut = q.join(broadcast(c1), Seq("i"))
+        .groupBy("c", "sub")
+        .agg(sum(((col("qv") - col("cv")) * (col("qv") - col("cv")))
+          .cast(DecimalType(28, 12))).as("pd"))
+      codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(lut), Seq("sub", "c"))
+        .groupBy("vec_id")
+        .agg(sum("pd").as("d2"))
+        .orderBy(col("d2"), col("vec_id"))
+        .select(col("vec_id"), round(col("d2").cast("double"), 6).as("adc_r"))
+        .limit(10)
     },
 
     // LSH-bucketed ANN, corpus-scaled + multiprobe. Plane count is derived
