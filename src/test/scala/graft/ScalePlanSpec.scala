@@ -91,4 +91,28 @@ class ScalePlanSpec extends AnyFunSuite {
     val plan = finalPlan(SparkEntry.queries("q_text_tokens")(spark, sf))
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
+
+  test("BM25 broadcasts the query block and stats, never the corpus") {
+    val plan = finalPlan(SparkEntry.queries("q_text_bm25")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query block did not broadcast:\n$plan")
+    // no cartesian product anywhere — the only nested-loop join allowed is
+    // the single-row stats broadcast
+    assert(!plan.contains("CartesianProduct"), s"cartesian in BM25 plan:\n$plan")
+  }
+
+  test("PQ-ADC scores from broadcast LUT + codes, no shuffle of vectors") {
+    val plan = finalPlan(SparkEntry.queries("q_sim_ann_pq")(spark, sf))
+    // the LUT and codebook joins must broadcast; the corpus side only
+    // aggregates its codes (map-side partial min/sum)
+    assert(plan.contains("BroadcastHashJoin"), s"LUT did not broadcast:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in ADC plan:\n$plan")
+  }
+
+  test("decontamination anti-joins against a broadcast eval side") {
+    val plan = finalPlan(SparkEntry.queries("q_decontaminate_ngram")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams / contaminated ids did not broadcast:\n$plan")
+  }
 }
