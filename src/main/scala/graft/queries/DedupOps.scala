@@ -25,7 +25,7 @@ object DedupOps {
   /** Blocked embedding-cosine near-dup pairs (vec_a < vec_b, cos ≥ 0.25,
     * exact decimal dots) — shared by the pair query and the
     * connected-components clustering. */
-  private[queries] def embeddingCosPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def embeddingCosPairs(s: SparkSession, dir: String): DataFrame = {
     val flat = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), (col("vec_id") / 100).cast("long").as("block"),
         posexplode(col("embedding")))
