@@ -152,4 +152,30 @@ object Sources {
     }
     max.fold(df)(df.limit)
   }
+
+  /** Fixed schema for JSONL training-corpus documents — same shape as the
+    * documents parquet table (doc_id, text, lang, source, n_chars). */
+  val documentsJsonlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Training-corpus JSONL reader (corpora ship as JSON-lines, one doc per
+    * line, commonly gzip'd — Spark infers the codec from the extension).
+    * Fixed schema, NO inference (a schema-inference pass would read the
+    * whole 100 TB corpus twice); malformed lines follow the same
+    * drop-don't-fail policy as the CSV readers (F3), with the raw line
+    * kept in `_corrupt_record` for a dead-letter side-channel until the
+    * caller drops it. Returns only valid rows. */
+  def readDocumentsJsonl(spark: SparkSession, paths: String*): DataFrame =
+    spark.read
+      .schema(documentsJsonlSchema.add(StructField("_corrupt_record", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(paths: _*)
+      .filter(col("_corrupt_record").isNull &&
+        col("doc_id").isNotNull && col("text").isNotNull)
+      .drop("_corrupt_record")
 }

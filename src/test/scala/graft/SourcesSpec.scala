@@ -79,4 +79,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(zipped.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(zipped).count() == 0)
   }
+
+  test("JSONL corpus reader: plain + gzip parity with parquet, bad lines dropped") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // round-trip the real table through plain and gzip'd JSON-lines
+    docs.coalesce(1).write.mode("overwrite").json(s"$dir/plain")
+    docs.coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").json(s"$dir/gz")
+    // a file with malformed + schema-violating lines mixed in
+    Files.writeString(Paths.get(s"$dir/plain/bad.json"),
+      """not json at all
+        |{"doc_id": "NaN-ish", "text": 3}
+        |{"doc_id": 999999, "text": "ok doc", "lang": "en", "source": "web", "n_chars": 6}
+        |""".stripMargin)
+    val n = docs.count()
+    val plain = graft.ops.Sources.readDocumentsJsonl(spark, s"$dir/plain")
+    val gz = graft.ops.Sources.readDocumentsJsonl(spark, s"$dir/gz")
+    // the two bad lines vanish, the one valid extra line survives
+    assert(plain.count() == n + 1)
+    assert(plain.filter(col("doc_id") === 999999L).count() == 1)
+    assert(gz.count() == n)
+    // field-exact parity with the parquet rows
+    assert(gz.exceptAll(docs).count() == 0 && docs.exceptAll(gz).count() == 0)
+  }
 }
