@@ -115,4 +115,18 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"eval grams / contaminated ids did not broadcast:\n$plan")
   }
+
+  test("minhash signatures run as one partial hash aggregate, no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q_dedup_minhash")(spark, sf))
+    // the 16 permutation minima must partial-aggregate map-side so only
+    // one signature row per doc shuffles, never the shingle rows
+    assert(plan.contains("partial_min"), s"no map-side signature minima:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in minhash plan:\n$plan")
+  }
+
+  test("simhash votes run as one partial hash aggregate, no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q_dedup_simhash")(spark, sf))
+    assert(plan.contains("partial_sum"), s"no map-side vote sums:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in simhash plan:\n$plan")
+  }
 }
