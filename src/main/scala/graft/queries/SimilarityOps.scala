@@ -331,6 +331,101 @@ object SimilarityOps {
         .limit(10)
     },
 
+    // IVF + PQ-ADC composed (differential-tested): the full shape of a
+    // production vector index — a coarse quantizer narrows the search to
+    // nprobe inverted lists, and ONLY those lists' members are scored,
+    // from their 8-byte PQ codes via the query LUT. The coarse quantizer
+    // here is the exact-decimal k-means (the oracle twin of the
+    // vec_dot-scored q_sim_ann_ivf), so every stage — lists, codes, LUT,
+    // scores, ranking — hash-matches DuckDB. At 100 TB: list id is the
+    // partition key, a probe reads nprobe/k of the code table (N·8 bytes
+    // total), and the float vectors are touched only at train time.
+    "q_sim_ann_ivfpq" -> QueryDef.sql(
+      "ANN: IVF-PQ — coarse k-means lists, in-list PQ-ADC scoring, top-10",
+      s"""WITH ${Pq.OracleCtes},
+         |cd1 AS (
+         |  SELECT f.vec_id, c0.c,
+         |    SUM(CAST((f.v - c0.cv) * (f.v - c0.cv) AS DECIMAL(28,12))) AS d2
+         |  FROM flat f JOIN c0 ON f.i = c0.i WHERE c0.c < 8 GROUP BY 1, 2),
+         |ca1 AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+         |    FROM cd1) WHERE rk = 1),
+         |cc1 AS (
+         |  SELECT ca1.c, f.i,
+         |    CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+         |  FROM flat f JOIN ca1 ON f.vec_id = ca1.vec_id GROUP BY 1, 2),
+         |cd2 AS (
+         |  SELECT f.vec_id, cc1.c,
+         |    SUM(CAST((f.v - cc1.cv) * (f.v - cc1.cv) AS DECIMAL(28,12))) AS d2
+         |  FROM flat f JOIN cc1 ON f.i = cc1.i GROUP BY 1, 2),
+         |lists AS (
+         |  SELECT vec_id, c AS list FROM (
+         |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+         |    FROM cd2) WHERE rk = 1),
+         |probes AS (
+         |  SELECT c AS list FROM cd2 WHERE vec_id = 0 ORDER BY d2, c LIMIT 2),
+         |q AS (SELECT i, (i - 1) // 8 AS sub, v FROM flat WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT c1.c, q.sub,
+         |    SUM(CAST((q.v - c1.cv) * (q.v - c1.cv) AS DECIMAL(28,12))) AS pd
+         |  FROM q JOIN c1 ON q.i = c1.i GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT lists.vec_id FROM lists JOIN probes ON lists.list = probes.list
+         |  WHERE lists.vec_id <> 0),
+         |sc AS (
+         |  SELECT codes.vec_id, SUM(pd) AS d2
+         |  FROM codes JOIN cand ON codes.vec_id = cand.vec_id
+         |  JOIN lut ON codes.sub = lut.sub AND codes.c = lut.c
+         |  GROUP BY 1)
+         |SELECT vec_id, round(CAST(d2 AS DOUBLE), 6) AS adc_r
+         |FROM sc ORDER BY d2, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val flat = Pq.flat(s, dir).cache()
+      // coarse quantizer: 8 exact-decimal k-means centroids (seeds = the
+      // first 8 vectors, one Lloyd round over the full corpus — the same
+      // chain q_embed_kmeans hashes against DuckDB)
+      def coarseAssign(cents: org.apache.spark.sql.DataFrame) =
+        flat.join(broadcast(cents), Seq("i"))
+          .groupBy("vec_id", "c")
+          .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
+            .cast(DecimalType(28, 12))).as("d2"))
+      val c0 = flat.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
+      def argmin(d: org.apache.spark.sql.DataFrame) = d
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
+        .filter(col("rk") === 1).select("vec_id", "c")
+      val ca1 = argmin(coarseAssign(c0))
+      val cc1 = flat.join(ca1, Seq("vec_id"))
+        .groupBy("c", "i")
+        .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("cv"))
+      val cd2 = coarseAssign(cc1).cache()
+      val lists = argmin(cd2).withColumnRenamed("c", "list")
+      val probes = cd2.filter(col("vec_id") === 0)
+        .orderBy(col("d2"), col("c")).limit(2)
+        .select(col("c").as("list"))
+      // fine quantizer: the shared PQ chain (codes + query LUT)
+      val c1 = Pq.codebook(flat).cache()
+      val codes = Pq.assign(flat, c1)
+      val q = flat.filter(col("vec_id") === 0)
+        .select(col("i"), col("sub"), col("v").as("qv"))
+      val lut = q.join(broadcast(c1), Seq("i"))
+        .groupBy("c", "sub")
+        .agg(sum(((col("qv") - col("cv")) * (col("qv") - col("cv")))
+          .cast(DecimalType(28, 12))).as("pd"))
+      val cand = lists.join(broadcast(probes), Seq("list"))
+        .filter(col("vec_id") =!= 0).select("vec_id")
+      codes.join(cand, Seq("vec_id"))
+        .join(broadcast(lut), Seq("sub", "c"))
+        .groupBy("vec_id")
+        .agg(sum("pd").as("d2"))
+        .orderBy(col("d2"), col("vec_id"))
+        .select(col("vec_id"), round(col("d2").cast("double"), 6).as("adc_r"))
+        .limit(10)
+    },
+
     // LSH-bucketed ANN, corpus-scaled + multiprobe. Plane count is derived
     // from N (expected bucket population stays ≈ LshTargetBucket), buckets
     // are computed by the native codegen `lsh_bucket` expression — a pure
