@@ -477,4 +477,32 @@ class CollectStreamSpec extends AnyFunSuite {
       assert(out.columns.toSeq == Seq("minute", "source", "n_all", "n_unique_approx"))
     } finally q.stop()
   }
+
+  test("corpus intake: gate + TTL dedup + lang-partitioned sink end-to-end") {
+    import graft.streaming.CorpusIntake
+    val in = Files.createTempDirectory("graft-corpus-in").toString
+    val out = Files.createTempDirectory("graft-corpus-out").toString
+    def doc(id: Long, text: String, lang: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "$lang", "source": "web", "n_chars": ${text.length}}"""
+    val good = "the quick brown fox is said to jump over the lazy dog and " * 5
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(
+        doc(1, good, "en"),
+        doc(2, good, "en"),            // exact dup of 1 (same fingerprint)
+        doc(3, "too short", "en"),     // poor → dead-letter
+        doc(4, good + "unique tail", "de")).mkString("\n"))
+    val queries = CorpusIntake.run(spark, in, out)
+    try {
+      queries.foreach(_.awaitTermination())
+      val acc = spark.read.parquet(s"$out/accepted")
+      val rej = spark.read.parquet(s"$out/rejected")
+      // dup suppressed, poor rejected, both languages landed
+      assert(acc.count() == 2, s"expected 2 accepted, got ${acc.count()}")
+      assert(acc.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+      assert(rej.collect().map(_.getLong(0)).toSeq == Seq(3L))
+      // the sink is language-partitioned on disk
+      assert(new java.io.File(s"$out/accepted/lang=en").exists())
+      assert(new java.io.File(s"$out/accepted/lang=de").exists())
+    } finally queries.foreach(q => if (q.isActive) q.stop())
+  }
 }
