@@ -281,6 +281,34 @@ object TextOps {
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
     },
 
+    // Corpus data-card rollup (differential-tested): the per-(language,
+    // source) release statistics every corpus ships — doc/char/token mass
+    // and token-length quantiles. One scan, one small group-by; the exact
+    // percentile is per-group so skewed strata can be salted at 100 TB
+    // (or swapped for approx_percentile when exactness isn't contractual).
+    "q_corpus_stats" -> QueryDef.sql(
+      "corpus data card: per (lang, source) doc/char/token mass + length quantiles",
+      """WITH t AS (
+        |  SELECT lang, source, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+        |  round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens
+        |FROM t GROUP BY lang, source""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          sum("n_tok").cast("long").as("total_tokens"),
+          round(expr("percentile(n_tok, 0.5)"), 6).as("p50_tokens"),
+          round(expr("percentile(n_tok, 0.9)"), 6).as("p90_tokens"))
+    },
+
     // N-gram-overlap decontamination (differential-tested): the stronger
     // form of test-set-overlap removal — drop a training doc if it shares
     // ANY word-13-gram with the held-out eval set (the exact-fingerprint
