@@ -62,12 +62,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // same attribution pin for the dedup family's shared near-dup pair
+    // set: materialize it here and bill the cost to the pair query itself
+    // (q_dedup_embedding_cos), so the three clustering consumers measure
+    // only their own incremental work.
+    val pairsSec: Double = {
+      val t0 = System.nanoTime()
+      try { queries.DedupOps.pairsCache(spark, sfDir).count() }
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val results = SparkEntry.all.toSeq.map { case (name, d) =>
       val t0 = System.nanoTime()
       val ok = try { d.fn(spark, sfDir).count(); true }
       catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
-      val attributed = if (name == "q_mempool_merge") sec + mergeSec else sec
+      val attributed = name match {
+        case "q_mempool_merge"      => sec + mergeSec
+        case "q_dedup_embedding_cos" => sec + pairsSec
+        case _                      => sec
+      }
       name -> (if (ok) attributed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
