@@ -281,6 +281,31 @@ object TextOps {
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
     },
 
+    // Data-mixing weights (differential-tested): per-language sampling
+    // rates that move the corpus toward an equal-share language mix —
+    // the planning step ahead of q_sample_stratified's quota draw.
+    // Over-represented strata get rate = target/n, under-represented cap
+    // at 1.0 (single-pass variant; iterative reallocation of the shortfall
+    // is a driver-side loop over this same tiny aggregate). Two tiny
+    // aggregates; the corpus itself is never reshuffled.
+    "q_mix_weights" -> QueryDef.sql(
+      "data-mixing weights: per-language sampling rate toward equal shares",
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_langs FROM c)
+        |SELECT lang, n AS n_docs,
+        |  round(LEAST(1.0, (total * 1.0 / n_langs) / n), 6) AS sample_rate,
+        |  CAST(FLOOR(n * LEAST(1.0, (total * 1.0 / n_langs) / n)) AS BIGINT)
+        |    AS expected_kept
+        |FROM c CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val c = Tables.documents(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum("n").cast("long").as("total"), count(lit(1)).as("n_langs"))
+      val rate = least(lit(1.0), (col("total") * 1.0 / col("n_langs")) / col("n"))
+      c.crossJoin(broadcast(t))
+        .select(col("lang"), col("n").as("n_docs"),
+          round(rate, 6).as("sample_rate"),
+          floor(col("n") * rate).cast("long").as("expected_kept"))
+    },
+
     // Corpus data-card rollup (differential-tested): the per-(language,
     // source) release statistics every corpus ships — doc/char/token mass
     // and token-length quantiles. One scan, one small group-by; the exact
