@@ -297,6 +297,14 @@ object SimilarityOps {
     // — never the float vectors — which is the entire point of PQ at
     // 100 TB; the LUT broadcasts. Top-k by exact-decimal distance, so
     // Spark and DuckDB rank identically.
+    //
+    // Accuracy note (measured): ADC d2 tracks exact L2 within ~0.26-0.30
+    // mean relative error on all three SF datasets (LlmOpsSpec bound).
+    // Top-k overlap with exact is chance-dominated HERE because iid
+    // synthetic embeddings concentrate pairwise distances below the
+    // quantization noise; on structured real embeddings the standard
+    // production recipe is ADC top-R then exact re-rank (compose with
+    // q_sim_topk over the candidate ids).
     "q_sim_ann_pq" -> QueryDef.sql(
       "ANN: PQ-ADC search — LUT over codebooks, score codes only, top-10",
       s"""WITH ${Pq.OracleCtes},
