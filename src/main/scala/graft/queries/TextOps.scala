@@ -281,6 +281,24 @@ object TextOps {
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
     },
 
+    // Sketch-based vocabulary cardinality: per-language unique-token
+    // counts via HyperLogLog++ (approx_count_distinct, rsd 2 %). At
+    // 100 TB an exact distinct over the token domain shuffles the full
+    // token stream; the HLL sketch partial-aggregates map-side into a
+    // few-KB register set per group — the standard cardinality path for
+    // corpus vocab/fingerprint stats. No DuckDB oracle (HLL register
+    // layouts differ across engines); LlmOpsSpec bounds the relative
+    // error against the exact distinct at <= 5 %.
+    "q_vocab_sketch" -> QueryDef.rowsOnly(
+      "vocabulary cardinality: per-lang HLL unique tokens + exact token mass") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          approx_count_distinct(col("w"), 0.02).as("approx_vocab"))
+    },
+
     // Data-mixing weights (differential-tested): per-language sampling
     // rates that move the corpus toward an equal-share language mix —
     // the planning step ahead of q_sample_stratified's quota draw.

@@ -187,6 +187,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pq.select("subspace").distinct().count() == 8)
   }
 
+  test("HLL vocab sketch within 5% of the exact distinct count") {
+    val sk = SparkEntry.queries("q_vocab_sketch")(spark, sf)
+    val words = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val exact = words.groupBy("lang").agg(countDistinct("w").as("exact_vocab"))
+    val errs = sk.join(exact, Seq("lang"))
+      .select((abs(col("approx_vocab") - col("exact_vocab")) /
+        col("exact_vocab")).as("rel"))
+    assert(errs.filter(col("rel") > 0.05).count() == 0,
+      "HLL estimate off by more than 5% for some language")
+  }
+
   test("n-gram decontamination is at least as strict as exact-fingerprint") {
     val exact = SparkEntry.queries("q_decontaminate")(spark, sf)
       .agg(sum("n_kept")).head.getLong(0)
