@@ -31,6 +31,45 @@ object TextOps {
   def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(c, PiiRe, "<PII>")
 
+  /** Water-filling quota allocation — the iterative completion of
+    * q_mix_weights' single pass: split `budget` docs equally across
+    * strata, give each under-populated stratum everything it has, and
+    * re-allocate the freed budget to the rest until fixpoint. Runs on the
+    * driver over one tiny aggregate row per stratum (the corpus itself is
+    * never touched); ties in the final equal share go to the
+    * lexicographically-smallest keys so the result is deterministic.
+    *
+    * Invariants (property-tested): Σquota = min(budget, Σcounts); no
+    * quota exceeds its population; every stratum that did NOT hit its
+    * population cap receives within 1 of the max such share. */
+  def waterFillQuotas(counts: Map[String, Long], budget: Long): Map[String, Long] = {
+    require(counts.values.forall(_ >= 0) && budget >= 0)
+    val out = collection.mutable.Map.empty[String, Long]
+    var open = counts.filter(_._2 > 0)
+    var remaining = math.min(budget, counts.values.sum)
+    var settled = false
+    while (!settled && open.nonEmpty && remaining > 0) {
+      val share = remaining / open.size
+      val exhausted = open.filter(_._2 <= share)
+      if (exhausted.isEmpty || share == 0) {
+        // everyone can absorb the equal share; spread the remainder one
+        // doc each to the first keys in sorted order
+        val keys = open.keys.toSeq.sorted
+        val extra = (remaining % open.size).toInt
+        keys.zipWithIndex.foreach { case (k, i) =>
+          out(k) = share + (if (i < extra) 1L else 0L)
+        }
+        remaining = 0
+        settled = true
+      } else {
+        exhausted.foreach { case (k, n) => out(k) = n }
+        remaining -= exhausted.values.sum
+        open = open -- exhausted.keys
+      }
+    }
+    counts.keys.map(k => k -> out.getOrElse(k, 0L)).toMap
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Whitespace + BPE-ish regex token counting per language.

@@ -116,4 +116,26 @@ class PropertySpec extends AnyFunSuite {
       Array[Byte](0x81.toByte)) // short string missing byte
     bad.foreach(b => intercept[Exception](Rlp.decode(b)))
   }
+
+  test("water-fill quotas: invariants hold for 200 random count/budget sets") {
+    import graft.queries.TextOps.waterFillQuotas
+    val genCase: Gen[(Map[String, Long], Long)] = for {
+      n <- Gen.chooseNum(1, 12)
+      counts <- Gen.listOfN(n, Gen.chooseNum(0L, 10000L))
+      budget <- Gen.chooseNum(0L, 30000L)
+    } yield (counts.zipWithIndex.map { case (c, i) => s"s$i" -> c }.toMap, budget)
+    samples(genCase, 200).foreach { case (counts, budget) =>
+      val q = waterFillQuotas(counts, budget)
+      assert(q.keySet == counts.keySet)
+      // full budget used up to availability
+      assert(q.values.sum == math.min(budget, counts.values.sum),
+        s"budget not exhausted: $counts budget=$budget -> $q")
+      // no stratum over-drawn
+      assert(counts.forall { case (k, n) => q(k) <= n }, s"$counts -> $q")
+      // equalization: non-capped strata all sit within 1 of each other
+      val open = q.filter { case (k, v) => v < counts(k) }.values
+      if (open.nonEmpty)
+        assert(open.max - open.min <= 1, s"unequal open shares: $counts budget=$budget -> $q")
+    }
+  }
 }
