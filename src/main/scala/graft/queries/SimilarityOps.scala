@@ -579,6 +579,45 @@ object SimilarityOps {
         .orderBy(col("cos").desc, col("vec_id"))
         .select(col("vec_id"), round(col("cos"), 6).as("score"))
         .limit(10)
+    },
+
+    // Random projection (differential-tested): Johnson–Lindenstrauss
+    // dimensionality reduction 64 → 16 with a deterministic ±1 sign
+    // matrix (sign(j,i) = +1 iff the first md5 nibble of "j_i" is < 8),
+    // scaled by 1/√16 — the cheap preprocessing step before LSH/clustering
+    // when the embedding dim is large. The sign matrix is 16×64 and
+    // BROADCAST; the corpus side is one scan with a map-side partial
+    // decimal sum per (vector, output dim), so the shuffle carries 16
+    // rows per vector. At 100 TB: precompute the 16 sign vectors as array
+    // literals and score with the codegen vec_dot (no explode at all);
+    // the exploded exact-decimal chain here is the hash-checkable twin.
+    "q_embed_rp" -> QueryDef.sql(
+      "random projection (JL): 64-dim -> 16-dim via deterministic ±1 signs / sqrt(16)",
+      """WITH flat AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |sgn AS (
+        |  SELECT i, j,
+        |    CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+        |      BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END AS sg
+        |  FROM generate_series(1, 64) a(i), generate_series(1, 16) b(j))
+        |SELECT f.vec_id, CAST(s.j AS BIGINT) AS dim,
+        |  round(CAST(SUM(CAST(f.v * s.sg AS DECIMAL(28,12))) AS DOUBLE) / 4, 6) AS r
+        |FROM flat f JOIN sgn s ON f.i = s.i
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val flat = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
+      val sgn = s.range(1, 65).select(col("id").as("i"))
+        .crossJoin(s.range(1, 17).select(col("id").as("j")))
+        .withColumn("sg", when(
+          substring(md5(concat(col("j").cast("string"), lit("_"),
+            col("i").cast("string")).cast("binary")), 1, 1) <= "7", 1.0)
+          .otherwise(-1.0))
+      flat.join(broadcast(sgn), Seq("i"))
+        .groupBy(col("vec_id"), col("j").as("dim"))
+        .agg(round(sum((col("v") * col("sg")).cast(DecimalType(28, 12)))
+          .cast("double") / 4, 6).as("r"))
     }
   )
 }

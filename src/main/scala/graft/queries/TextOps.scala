@@ -603,6 +603,89 @@ object TextOps {
             .cast("long").as("n_pii"),
           sum(length(col("c_name"))).cast("long").as("chars_before"),
           sum(length(redactPii(col("c_name")))).cast("long").as("chars_after"))
+    },
+
+    // Line-level boilerplate removal (differential-tested): the
+    // within-document counterpart of q_dedup_apply — RefinedWeb/CCNet drop
+    // repeated LINES (headers, nav bars, license banners) from every
+    // document rather than dropping whole documents. This corpus has no
+    // newlines, so a "line" is a fixed 5-word segment; any segment that
+    // appears in ≥2 distinct documents is removed everywhere and the
+    // document is re-assembled from the surviving segments in order. At
+    // 100 TB: segments shuffle once on their content (the dup set is
+    // boilerplate — small — and AQE broadcasts the join), re-assembly is
+    // one doc-keyed aggregate, and the text column never shuffles twice.
+    "q_text_line_dedup" -> QueryDef.sql(
+      "boilerplate span removal: drop 5-word segments shared by >=2 docs, reassemble",
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS chunk
+        |  FROM d, generate_series(0, 40) t(i) WHERE i*5 < len(ws)),
+        |dup AS (
+        |  SELECT chunk, 1 AS dd FROM ch GROUP BY chunk
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |k AS (
+        |  SELECT ch.doc_id, ch.idx, ch.chunk, dup.dd IS NOT NULL AS is_dup
+        |  FROM ch LEFT JOIN dup ON ch.chunk = dup.chunk),
+        |p AS (
+        |  SELECT doc_id, COUNT(*) AS n_chunks,
+        |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |    COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+        |      FILTER (WHERE NOT is_dup), '') AS clean
+        |  FROM k GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_dropped,
+        |  CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5
+        |FROM p""".stripMargin) { (s, dir) =>
+      val ch = Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast((size(ws)+4)/5 as int) - 1)," +
+            " k -> concat_ws(' ', slice(ws, k*5+1, 5)))")))
+        .select(col("doc_id"), col("pos").as("idx"), col("col").as("chunk"))
+      val dup = ch.groupBy("chunk")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("chunk"), lit(1).as("dd"))
+      ch.join(dup, Seq("chunk"), "left")
+        .withColumn("is_dup", col("dd").isNotNull)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(when(!col("is_dup"),
+              struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk"))).as("clean"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+          length(col("clean")).cast("long").as("clean_len"),
+          md5(col("clean").cast("binary")).as("clean_md5"))
+    },
+
+    // Deterministic output sharding (differential-tested): the writer-side
+    // primitive of a training pipeline — every document is assigned a
+    // shard by a hash of its id (first md5 nibble → 16 shards here), and
+    // the per-shard doc/token masses prove the assignment balances. At
+    // 100 TB the shard id is the repartition/partitionBy key for the
+    // final corpus write; shard count scales as corpus_bytes /
+    // target_shard_bytes by widening the nibble to more hex digits, and
+    // balance holds because md5 is uniform in the id, not the content.
+    "q_corpus_shard" -> QueryDef.sql(
+      "training-shard assignment: md5-nibble shard id + per-shard balance stats",
+      """SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM (
+        |  SELECT *, instr('0123456789abcdef',
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard
+        |  FROM documents)
+        |GROUP BY shard""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("shard",
+          expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), " "))).cast("long").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
     }
   )
 }

@@ -258,4 +258,59 @@ class LlmOpsSpec extends AnyFunSuite {
       .filter(col("prev").isNotNull && col("bin") =!= col("prev") + 1)
     assert(gaps.count() == 0, "bin ids must be contiguous per language")
   }
+
+  test("line dedup: shared segments removed, unique text survives intact") {
+    val r = SparkEntry.queries("q_text_line_dedup")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(r.count() == docs.count(), "every doc must survive (possibly empty)")
+    // the corpus plants near-dup pairs, so shared segments must exist…
+    assert(r.agg(sum("n_dropped")).head.getLong(0) > 0, "nothing was dropped")
+    // …and dropping is bounded by what exists
+    assert(r.filter(col("n_dropped") > col("n_chunks")).count() == 0)
+    // a doc with nothing dropped reassembles to its exact original text
+    val intact = r.filter(col("n_dropped") === 0).select("doc_id", "clean_md5")
+    val orig = docs.select(col("doc_id"),
+      md5(trim(col("text")).cast("binary")).as("orig_md5"))
+    val broken = intact.join(orig, Seq("doc_id"))
+      .filter(col("clean_md5") =!= col("orig_md5"))
+    assert(broken.count() == 0, "untouched docs must reassemble bit-exact")
+  }
+
+  test("corpus sharding balances docs and tokens across all 16 shards") {
+    val r = SparkEntry.queries("q_corpus_shard")(spark, sf).cache()
+    assert(r.count() == 16, "md5 nibble must populate all 16 shards")
+    val counts = r.select("n_docs").collect().map(_.getLong(0))
+    val (mn, mx) = (counts.min, counts.max)
+    // md5 is uniform in doc_id: no shard may be pathologically skewed
+    assert(mx <= mn * 3, s"shard skew: min=$mn max=$mx")
+    val total = SparkEntry.queries("q_corpus_shard")(spark, sf)
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("random projection keeps near-dup vectors closer than random pairs") {
+    // the property that makes JL projection useful as a dedup/blocking
+    // preprocessor: genuinely-similar vectors (the cos ≥ 0.25 pairs the
+    // exact near-dup query finds) must stay closer in the 16-dim image
+    // than unrelated pairs. (A tight per-pair ε needs more target dims
+    // than 16 — on iid synthetic vectors distances concentrate, so we
+    // assert the separation of MEANS, which is what blocking relies on.)
+    val proj = SparkEntry.queries("q_embed_rp")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray }
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val near = SparkEntry.queries("q_dedup_embedding_cos")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.nonEmpty, "fixture must contain near-dup vector pairs")
+    val nearSet = near.toSet
+    val rand = (0L until 400L).map(i => (i, i + 57L))
+      .filterNot(nearSet.contains).filter { case (a, b) =>
+        proj.contains(a) && proj.contains(b) }
+    val nearMean = near.map { case (a, b) => d2(proj(a), proj(b)) }.sum / near.size
+    val randMean = rand.map { case (a, b) => d2(proj(a), proj(b)) }.sum / rand.size
+    assert(nearMean < randMean * 0.8,
+      s"projection lost the near-dup structure: near=$nearMean rand=$randMean")
+  }
 }
