@@ -176,6 +176,49 @@ object SimilarityOps {
   def warmPqIndex(s: SparkSession, dir: String): Long = Pq.trained(s, dir)._2.count()
   def warmCoarseKmeans(s: SparkSession, dir: String): Long = Coarse.d2(s, dir).count()
 
+  /** Final k-means assignment (vec_id, cluster) — argmin over the shared
+    * cached distance table. The Spark twin of the `clus` CTE below; shared
+    * by q_embed_kmeans and q_dedup_semantic. */
+  private def kmeansClusters(s: SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    Coarse.d2(s, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c").as("cluster"))
+  }
+
+  /** The exact-decimal k-means CTE chain (8 fixed seeds, one Lloyd round,
+    * final assignment in `clus`) — the DuckDB twin of [[kmeansClusters]],
+    * shared verbatim by the q_embed_kmeans and q_dedup_semantic oracles. */
+  private val KmeansOracleCtes: String =
+    """flat AS (
+      |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, generate_series(1, 64) t(i)),
+      |c0 AS (SELECT vec_id AS c, i, v AS cv FROM flat WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT f.vec_id, c0.c,
+      |    SUM(CAST((f.v - c0.cv) * (f.v - c0.cv) AS DECIMAL(28,12))) AS d2
+      |  FROM flat f JOIN c0 ON f.i = c0.i GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT vec_id, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |c1 AS (
+      |  SELECT a1.c, f.i,
+      |    CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+      |  FROM flat f JOIN a1 ON f.vec_id = a1.vec_id GROUP BY 1, 2),
+      |d2t AS (
+      |  SELECT f.vec_id, c1.c,
+      |    SUM(CAST((f.v - c1.cv) * (f.v - c1.cv) AS DECIMAL(28,12))) AS d2
+      |  FROM flat f JOIN c1 ON f.i = c1.i GROUP BY 1, 2),
+      |clus AS (
+      |  SELECT vec_id, c AS cluster FROM (
+      |    SELECT vec_id, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+      |    FROM d2t) WHERE rk = 1)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Brute-force cosine top-k of a fixed query vector (vec_id=0), exact
@@ -278,39 +321,68 @@ object SimilarityOps {
     // scoring and train on a sample exactly as q_sim_ann_ivf does.
     "q_embed_kmeans" -> QueryDef.sql(
       "k-means clustering: 8 fixed seeds, one exact-decimal Lloyd round + assignment",
-      """WITH flat AS (
-        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-        |  FROM embeddings, generate_series(1, 64) t(i)),
-        |c0 AS (SELECT vec_id AS c, i, v AS cv FROM flat WHERE vec_id < 8),
-        |d1 AS (
-        |  SELECT f.vec_id, c0.c,
-        |    SUM(CAST((f.v - c0.cv) * (f.v - c0.cv) AS DECIMAL(28,12))) AS d2
-        |  FROM flat f JOIN c0 ON f.i = c0.i GROUP BY 1, 2),
-        |a1 AS (
-        |  SELECT vec_id, c FROM (
-        |    SELECT vec_id, c,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
-        |    FROM d1) WHERE rk = 1),
-        |c1 AS (
-        |  SELECT a1.c, f.i,
-        |    CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
-        |  FROM flat f JOIN a1 ON f.vec_id = a1.vec_id GROUP BY 1, 2),
-        |d2t AS (
-        |  SELECT f.vec_id, c1.c,
-        |    SUM(CAST((f.v - c1.cv) * (f.v - c1.cv) AS DECIMAL(28,12))) AS d2
-        |  FROM flat f JOIN c1 ON f.i = c1.i GROUP BY 1, 2)
-        |SELECT vec_id, c AS cluster FROM (
-        |  SELECT vec_id, c,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
-        |  FROM d2t) WHERE rk = 1""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      s"""WITH $KmeansOracleCtes
+         |SELECT vec_id, cluster FROM clus""".stripMargin) { (s, dir) =>
       // final assignment = argmin over the shared cached distance table
       // (also the IVF-PQ coarse quantizer — trained once per dataset)
-      Coarse.d2(s, dir)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("c").as("cluster"))
+      kmeansClusters(s, dir)
+    },
+
+    // SemDeDup (differential-tested): semantic deduplication à la Abbas et
+    // al. 2023 — block the corpus by LEARNED k-means clusters (not by a
+    // hash prefix), compute pairwise cosine only inside each cluster, and
+    // drop every vector that has a lower-id cluster-mate above the
+    // similarity threshold (keep-first). The coarse clustering is the same
+    // trained-once exact-decimal k-means as q_embed_kmeans / IVF-PQ, so
+    // the whole chain hash-matches DuckDB. At 100 TB the production knob
+    // is k ∝ N / targetClusterSize: cluster population — and therefore
+    // per-cluster pairwise work — stays CONSTANT as the corpus grows, and
+    // the cluster id is the one shuffle key (same partitioning the IVF
+    // index already maintains, so the blocks are free if both run).
+    "q_dedup_semantic" -> QueryDef.sql(
+      "SemDeDup: k-means-blocked pairwise cosine, drop lower-priority near-dups",
+      s"""WITH $KmeansOracleCtes,
+         |nrm AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,12))) AS n2
+         |        FROM flat GROUP BY vec_id),
+         |m AS (SELECT clus.cluster, f.vec_id, f.i, f.v
+         |      FROM flat f JOIN clus ON f.vec_id = clus.vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    SUM(CAST(a.v * b.v AS DECIMAL(28,12))) AS dot
+         |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.i = b.i
+         |    AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT DISTINCT d.vec_b AS vec_id
+         |  FROM dots d JOIN nrm x ON d.vec_a = x.vec_id
+         |  JOIN nrm y ON d.vec_b = y.vec_id
+         |  WHERE CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.25)
+         |SELECT c.vec_id, c.cluster,
+         |  CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM clus c LEFT JOIN dup ON c.vec_id = dup.vec_id""".stripMargin) { (s, dir) =>
+      val clus = kmeansClusters(s, dir)
+      val flat = Pq.flat(s, dir).select("vec_id", "i", "v")
+      val nrm = flat.groupBy("vec_id")
+        .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
+      val m = flat.join(clus, Seq("vec_id"))
+      val a = m.select(col("cluster"), col("i"),
+        col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = m.select(col("cluster"), col("i"),
+        col("vec_id").as("vec_b"), col("v").as("vb"))
+      val dots = a.join(b, Seq("cluster", "i"))
+        .filter(col("vec_a") < col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(sum((col("va") * col("vb")).cast(DecimalType(28, 12))).as("dot"))
+      val dup = dots
+        .join(nrm.select(col("vec_id").as("vec_a"), col("n2").as("na")), Seq("vec_a"))
+        .join(nrm.select(col("vec_id").as("vec_b"), col("n2").as("nb")), Seq("vec_b"))
+        .filter(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >= 0.25)
+        .select(col("vec_b").as("vec_id")).distinct()
+      clus.join(dup.withColumn("isdup", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          when(col("isdup").isNull, 1).otherwise(0).as("kept"))
     },
 
     // Product quantization (differential-tested): the vector-compression

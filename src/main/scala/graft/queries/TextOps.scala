@@ -338,6 +338,211 @@ object TextOps {
           approx_count_distinct(col("w"), 0.02).as("approx_vocab"))
     },
 
+    // Per-language vocabulary heavy hitters (differential-tested): the
+    // top-10 most frequent tokens per language with counts — the corpus
+    // profiling step behind tokenizer training and stopword lists. The
+    // term count is a map-side partial aggregate (only (lang, term)
+    // partials shuffle, never the token stream); the top-k window runs
+    // over the aggregated term table, which is vocab-sized, not
+    // corpus-sized. At 100 TB add a per-partition partial top-k before
+    // the window so the rank shuffle carries k rows per partition.
+    "q_vocab_topk" -> QueryDef.sql(
+      "vocabulary heavy hitters: top-10 tokens per language by frequency",
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1, 2)
+        |SELECT lang, w, c FROM (
+        |  SELECT lang, w, c,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk
+        |  FROM wc)
+        |WHERE rk <= 10""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("w"))))
+        .filter(col("rk") <= 10)
+        .select("lang", "w", "c")
+    },
+
+    // Count-min sketch (differential-tested): estimate term frequencies
+    // from 4 × 256 counters instead of a vocab-sized table — the
+    // bounded-memory frequency structure for streaming/low-memory corpus
+    // profiling. Four md5-keyed hash rows; a term's estimate is the MIN of
+    // its four bucket sums, so est ≥ exact always and est ≤ exact + εN
+    // w.h.p. (ε = e/256). The query reports estimate vs exact for the
+    // global top-20 terms; LlmOpsSpec asserts both bounds. At 100 TB the
+    // sketch is a 1 KB array merged map-side (partial aggregation of
+    // (row, bucket) keys); the exact term table here exists only as the
+    // differential twin.
+    "q_vocab_cms" -> QueryDef.sql(
+      "count-min sketch: 4x256 counters, top-20 term estimates vs exact",
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+        |hb AS (
+        |  SELECT h, w, c,
+        |    (instr('0123456789abcdef',
+        |       substr(md5(CAST(h AS VARCHAR) || '_' || w), 1, 1)) - 1) * 16
+        |    + instr('0123456789abcdef',
+        |       substr(md5(CAST(h AS VARCHAR) || '_' || w), 2, 1)) - 1 AS b
+        |  FROM wc, generate_series(0, 3) t(h)),
+        |cms AS (SELECT h, b, CAST(SUM(c) AS BIGINT) AS bc FROM hb GROUP BY 1, 2),
+        |top AS (
+        |  SELECT w, c FROM (
+        |    SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM wc)
+        |  WHERE rk <= 20)
+        |SELECT top.w, top.c AS c_exact, MIN(cms.bc) AS c_est
+        |FROM top JOIN hb ON top.w = hb.w
+        |JOIN cms ON hb.h = cms.h AND hb.b = cms.b
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wc = Tables.documents(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val hb = wc.crossJoin(s.range(0, 4).select(col("id").as("h")))
+        .withColumn("hash",
+          md5(concat(col("h").cast("string"), lit("_"), col("w")).cast("binary")))
+        .withColumn("b",
+          (expr("instr('0123456789abcdef', substr(hash, 1, 1))") - 1) * 16 +
+            expr("instr('0123456789abcdef', substr(hash, 2, 1))") - 1)
+        .select("h", "b", "w", "c")
+      val cms = hb.groupBy("h", "b").agg(sum("c").cast("long").as("bc"))
+      val top = wc
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("w"))))
+        .filter(col("rk") <= 20)
+        .select(col("w"), col("c").as("c_exact"))
+      top.join(hb.select("w", "h", "b"), Seq("w"))
+        .join(cms, Seq("h", "b"))
+        .groupBy("w", "c_exact")
+        .agg(min("bc").as("c_est"))
+    },
+
+    // DSIR-style importance selection (differential-tested): Data
+    // Selection via Importance Resampling (Xie et al. 2023) — score every
+    // doc by how much more likely its hashed-unigram features are under a
+    // TARGET distribution (here: the English subset as the quality-domain
+    // proxy) than under the RAW corpus distribution, then keep the top
+    // slice. Features are md5-hashed into 256 buckets; both bucket
+    // distributions are Laplace-smoothed; a doc's score is its mean
+    // per-token log importance weight, accumulated exactly per (doc,
+    // bucket) so ranking is engine-independent. At 100 TB: both bucket
+    // tables are 256-row aggregates that BROADCAST, so scoring is one
+    // corpus scan + a doc-keyed partial aggregate — no term-keyed shuffle
+    // at all (the hashing bounds the feature domain; that is the point of
+    // DSIR over exact-LM scoring).
+    "q_select_dsir" -> QueryDef.sql(
+      "DSIR importance selection: hashed-unigram target/raw log-ratio, top-50 docs",
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    (instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+        |    + instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1 AS b
+        |  FROM w),
+        |tstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM tb WHERE lang = 'en'),
+        |rstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM tb),
+        |tcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tb
+        |         WHERE lang = 'en' GROUP BY b),
+        |rcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tb GROUP BY b),
+        |lw AS (
+        |  SELECT r.b,
+        |    ln((COALESCE(t.ct, 0) + 1.0) / (nt + 256.0))
+        |      - ln((r.cr + 1.0) / (nr + 256.0)) AS lw
+        |  FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b
+        |  CROSS JOIN tstat CROSS JOIN rstat),
+        |db AS (SELECT doc_id, b, COUNT(*) AS n FROM tb GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT db.doc_id, CAST(SUM(db.n) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(db.n * lw.lw AS DECIMAL(28,12))) AS logw
+        |  FROM db JOIN lw ON db.b = lw.b GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(logw AS DOUBLE) / n_tokens, 6) AS mean_logw_r
+        |FROM sc
+        |ORDER BY CAST(logw AS DOUBLE) / n_tokens DESC, doc_id
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      val tb = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .withColumn("hash", md5(col("w").cast("binary")))
+        .withColumn("b",
+          (expr("instr('0123456789abcdef', substr(hash, 1, 1))") - 1) * 16 +
+            expr("instr('0123456789abcdef', substr(hash, 2, 1))") - 1)
+        .select("doc_id", "lang", "b")
+      val tcnt = tb.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val rcnt = tb.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tstat = tb.filter(col("lang") === "en")
+        .agg(count(lit(1)).as("nt"))
+      val rstat = tb.agg(count(lit(1)).as("nr"))
+      val lw = rcnt.join(tcnt, Seq("b"), "left")
+        .crossJoin(broadcast(tstat)).crossJoin(broadcast(rstat))
+        .select(col("b"),
+          (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + 256.0)) -
+            log((col("cr") + 1.0) / (col("nr") + 256.0))).as("lw"))
+      val db = tb.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      db.join(broadcast(lw), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum("n").cast("long").as("n_tokens"),
+          sum((col("n") * col("lw")).cast(DecimalType(28, 12))).as("logw"))
+        .withColumn("mw", col("logw").cast("double") / col("n_tokens"))
+        .orderBy(col("mw").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), round(col("mw"), 6).as("mean_logw_r"))
+        .limit(50)
+    },
+
+    // The full filter funnel with per-stage attrition (differential-
+    // tested): the RefinedWeb-style report every production pipeline
+    // prints — how many docs each gate removes, applied in sequence:
+    // length → stopword evidence → exact dedup (earliest keeper) →
+    // eval-set decontamination. The flag stages are computed in ONE scan
+    // (conditional aggregation); dedup adds its digest-keyed shuffle and
+    // decon its broadcast anti-join — exactly the costs the stages
+    // themselves have, so the report is free relative to running the
+    // pipeline. Stage ids keep the funnel ordered without string sorts.
+    "q_filter_funnel" -> QueryDef.sql(
+      "filter funnel: per-stage surviving-doc counts (length -> stopwords -> dedup -> decon)",
+      s"""WITH s1 AS (SELECT * FROM documents WHERE length(text) >= 50),
+         |s2 AS (SELECT * FROM s1
+         |       WHERE len(regexp_extract_all(text, '$StopRe')) >= 1),
+         |s3 AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM s2
+         |       GROUP BY md5(text)),
+         |s4 AS (
+         |  SELECT doc_id FROM s3
+         |  WHERE doc_id % 97 <> 0
+         |    AND h NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0))
+         |SELECT 0 AS stage, 'all' AS gate, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM documents
+         |UNION ALL SELECT 1, 'min_length', CAST(COUNT(*) AS BIGINT) FROM s1
+         |UNION ALL SELECT 2, 'stopword_evidence', CAST(COUNT(*) AS BIGINT) FROM s2
+         |UNION ALL SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s3
+         |UNION ALL SELECT 4, 'decontaminate', CAST(COUNT(*) AS BIGINT) FROM s4""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val s1 = docs.filter(length(col("text")) >= 50)
+      val s2 = s1.filter(
+        size(regexp_extract_all(col("text"), lit(StopRe), lit(0))) >= 1)
+      val s3 = s2.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      val evalFps = docs.filter(col("doc_id") % 97 === 0)
+        .select(md5(col("text")).as("h")).distinct()
+      val s4 = s3.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalFps), Seq("h"), "left_anti")
+      def stage(id: Int, gate: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(id).as("stage"), lit(gate).as("gate"), col("n_docs"))
+      stage(0, "all", docs)
+        .unionAll(stage(1, "min_length", s1))
+        .unionAll(stage(2, "stopword_evidence", s2))
+        .unionAll(stage(3, "exact_dedup", s3))
+        .unionAll(stage(4, "decontaminate", s4))
+    },
+
     // Data-mixing weights (differential-tested): per-language sampling
     // rates that move the corpus toward an equal-share language mix —
     // the planning step ahead of q_sample_stratified's quota draw.

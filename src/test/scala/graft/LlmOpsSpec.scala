@@ -313,4 +313,60 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nearMean < randMean * 0.8,
       s"projection lost the near-dup structure: near=$nearMean rand=$randMean")
   }
+
+  test("count-min sketch never undercounts and stays within the eps*N bound") {
+    val r = SparkEntry.queries("q_vocab_cms")(spark, sf).cache()
+    assert(r.count() == 20)
+    // the deterministic CMS guarantee: min-of-rows can only overcount
+    assert(r.filter(col("c_est") < col("c_exact")).count() == 0, "CMS undercounted")
+    // the probabilistic guarantee, checked concretely on this corpus:
+    // overestimate ≤ εN with ε = e/width
+    val n = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+"))).count()
+    val bound = math.ceil(math.E / 256.0 * n).toLong
+    val worst = r.agg(max(col("c_est") - col("c_exact"))).head.getLong(0)
+    assert(worst <= bound, s"CMS overestimate $worst exceeds eps*N=$bound")
+  }
+
+  test("DSIR selection prefers the target-domain (English) documents") {
+    val langs = SparkEntry.queries("q_select_dsir")(spark, sf)
+      .join(Tables.documents(spark, sf), Seq("doc_id"))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 5 languages ≈ 10 docs each under a uniform draw of 50; the hashed
+    // importance weights must pull the target language far above that
+    assert(langs.getOrElse("en", 0L) >= 20L, s"top-50 not English-heavy: $langs")
+  }
+
+  test("SemDeDup keeps a canonical member per cluster and finds dups") {
+    val r = SparkEntry.queries("q_dedup_semantic")(spark, sf).cache()
+    assert(r.count() == Tables.embeddings(spark, sf).count())
+    // the lowest-id member of every cluster survives by construction
+    val clustersAll = r.select("cluster").distinct().count()
+    val clustersKept = r.filter(col("kept") === 1).select("cluster").distinct().count()
+    assert(clustersKept == clustersAll, "a cluster lost all its members")
+    assert(r.filter(col("kept") === 0).count() > 0, "no semantic dups found")
+  }
+
+  test("filter funnel counts are monotonically non-increasing") {
+    val rows = SparkEntry.queries("q_filter_funnel")(spark, sf)
+      .orderBy("stage").collect()
+    assert(rows.length == 5)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: ${counts.mkString(",")}")
+    assert(counts.head == Tables.documents(spark, sf).count())
+  }
+
+  test("vocab top-k reports the true frequency of the top English term") {
+    val r = SparkEntry.queries("q_vocab_topk")(spark, sf).cache()
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(r.count() == langs * 10)
+    val top = r.filter(col("lang") === "en").orderBy(col("c").desc).head
+    val exact = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") === top.getString(1)).count()
+    assert(top.getLong(2) == exact,
+      s"top term '${top.getString(1)}' count ${top.getLong(2)} != exact $exact")
+  }
 }
