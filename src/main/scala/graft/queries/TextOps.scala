@@ -525,22 +525,33 @@ object TextOps {
          |UNION ALL SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s3
          |UNION ALL SELECT 4, 'decontaminate', CAST(COUNT(*) AS BIGINT) FROM s4""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val s1 = docs.filter(length(col("text")) >= 50)
-      val s2 = s1.filter(
-        size(regexp_extract_all(col("text"), lit(StopRe), lit(0))) >= 1)
-      val s3 = s2.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      val f1 = length(col("text")) >= 50
+      val f2 = f1 && size(regexp_extract_all(col("text"), lit(StopRe), lit(0))) >= 1
+      // stages 0-2 are flag predicates: ONE corpus scan, one conditional
+      // aggregate (no per-stage re-scan)
+      val flagCounts = docs.select(f1.cast("long").as("p1"), f2.cast("long").as("p2"))
+        .agg(count(lit(1)).as("n0"), sum("p1").as("n1"), sum("p2").as("n2"))
+      val head = flagCounts.select(explode(array(
+        struct(lit(0).as("stage"), lit("all").as("gate"), col("n0").as("n_docs")),
+        struct(lit(1).as("stage"), lit("min_length").as("gate"), col("n1").as("n_docs")),
+        struct(lit(2).as("stage"), lit("stopword_evidence").as("gate"), col("n2").as("n_docs"))))
+        .as("r")).select("r.*")
+      // stages 3-4 share one digest-keyed pass: keepers per md5, then a
+      // broadcast eval-fingerprint mark — both counts from one aggregate
       val evalFps = docs.filter(col("doc_id") % 97 === 0)
         .select(md5(col("text")).as("h")).distinct()
-      val s4 = s3.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(evalFps), Seq("h"), "left_anti")
-      def stage(id: Int, gate: String, df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(id).as("stage"), lit(gate).as("gate"), col("n_docs"))
-      stage(0, "all", docs)
-        .unionAll(stage(1, "min_length", s1))
-        .unionAll(stage(2, "stopword_evidence", s2))
-        .unionAll(stage(3, "exact_dedup", s3))
-        .unionAll(stage(4, "decontaminate", s4))
+        .withColumn("in_eval", lit(1))
+      val tailCounts = docs.filter(f2)
+        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+        .join(broadcast(evalFps), Seq("h"), "left")
+        .agg(count(lit(1)).as("n3"),
+          sum((col("doc_id") % 97 =!= 0 && col("in_eval").isNull)
+            .cast("long")).as("n4"))
+      val tail = tailCounts.select(explode(array(
+        struct(lit(3).as("stage"), lit("exact_dedup").as("gate"), col("n3").as("n_docs")),
+        struct(lit(4).as("stage"), lit("decontaminate").as("gate"), col("n4").as("n_docs"))))
+        .as("r")).select("r.*")
+      head.unionAll(tail)
     },
 
     // Data-mixing weights (differential-tested): per-language sampling

@@ -129,4 +129,42 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), s"no map-side vote sums:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in simhash plan:\n$plan")
   }
+
+  test("DSIR scores via broadcast bucket tables, no cartesian") {
+    // the 256-row weight table must broadcast so scoring is one corpus
+    // scan + a doc-keyed aggregate — the entire point of hashed features
+    val plan = finalPlan(SparkEntry.queries("q_select_dsir")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket weight table did not broadcast:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in DSIR plan:\n$plan")
+  }
+
+  test("filter funnel reads the corpus at most three times") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q_filter_funnel")(spark, sf)
+    df.collect()
+    // stages 0-2 fold into one conditional-aggregation scan; stages 3-4
+    // share one digest pass; the eval split is the third — a per-stage
+    // re-scan design would read the corpus five times
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
+    }
+    assert(scans.length <= 3,
+      s"funnel re-scans the corpus: ${scans.length} document scans")
+  }
+
+  test("SemDeDup pairwise stays cluster-blocked: no cartesian product") {
+    val plan = finalPlan(SparkEntry.queries("q_dedup_semantic")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic dedup plan degenerated to all-pairs:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("count-min sketch aggregates partially; no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q_vocab_cms")(spark, sf))
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in CMS plan:\n$plan")
+  }
 }
