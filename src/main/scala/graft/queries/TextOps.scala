@@ -647,6 +647,31 @@ object TextOps {
           sum("n_chars").cast("long").as("total_chars"))
     },
 
+    // Bloom-filter decontamination: the scale path for when the eval-set
+    // fingerprint list outgrows an exact broadcast (hundreds of benchmarks
+    // × millions of grams). The eval fingerprints compress into a ~1 %
+    // false-positive Bloom filter — kilobytes instead of the exact set —
+    // broadcast to every task; membership is a scan-local probe with NO
+    // join at all on the training side. Bloom semantics: no false
+    // negatives, so every truly-contaminated doc is still dropped; the FP
+    // rate costs a bounded sliver of clean docs (LlmOpsSpec pins both
+    // properties against the exact q_decontaminate). No DuckDB oracle —
+    // Bloom bit layouts are engine-specific.
+    "q_decontaminate_bloom" -> QueryDef.rowsOnly(
+      "decontamination via broadcast Bloom filter: no false negatives, ~1% over-drop") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val evalH = docs.filter(col("doc_id") % 97 === 0)
+        .select(md5(col("text")).as("h"))
+      val bf = evalH.stat.bloomFilter("h", math.max(evalH.count(), 1L), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((h: String) => bfB.value.mightContain(h))
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .filter(!mightContain(md5(col("text"))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").cast("long").as("total_chars"))
+    },
+
     // Bigram-LM quality scoring (differential-tested): the CCNet-style
     // perplexity gate — train bigram/unigram counts on the corpus itself,
     // score each doc by its mean bigram negative log-likelihood

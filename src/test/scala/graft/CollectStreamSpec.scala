@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TxFixtures
-import graft.streaming.Collect
+import graft.streaming.{Collect, FeedConnector}
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -168,6 +168,62 @@ class CollectStreamSpec extends AnyFunSuite {
       q.stop()
       server.close()
     }
+  }
+
+  test("S6-S10: connection manager survives drops, reconnects, spools every line") {
+    val per = 30
+    val total = 90
+    val lines = envelopeLines(total).take(total) // clean envelopes only
+    // flaky endpoint: serves `per` lines per connection then DROPS it —
+    // the connector must redial (node_conn.go reconnect loop semantics)
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val feeder = new Thread(() => {
+      try {
+        while (served.get() < total) {
+          val sock = server.accept()
+          val out = new java.io.PrintWriter(
+            new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+          val start = served.get()
+          lines.slice(start, start + per).foreach(out.println)
+          out.flush()
+          served.addAndGet(per)
+          Thread.sleep(100) // let the client drain before the drop
+          sock.close()
+        }
+        // stay accept-able for the final redial(s), serving nothing
+        while (true) { server.accept() }
+      } catch { case _: Throwable => }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+
+    val spool = Files.createTempDirectory("graft-spool").toString
+    val conn = new FeedConnector("127.0.0.1", server.getLocalPort, spool, "blx",
+      baseBackoffMs = 20, flushEvery = 8, soTimeoutMs = 50).start()
+    try {
+      val deadline = System.nanoTime() + 30000000000L
+      while (conn.linesReceived < total && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(conn.linesReceived == total,
+        s"connector lost lines: ${conn.linesReceived} of $total")
+      assert(conn.connects >= 3, s"expected >=3 dials, got ${conn.connects}")
+    } finally {
+      conn.stop()
+      server.close()
+    }
+    // the spool is the envelope feed's input dir: batch-decode it and
+    // compare against the same rows the file/socket feeds produce
+    val got = Collect.decodeEnvelopes(
+      spark.read.schema(Collect.envelopeFeedSchema).json(spool))
+      .select("timestamp_ms", "hash", "raw_tx_hex", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val expected = (0 until total).map { i =>
+      val (ts, hash, raw) = TxFixtures.rawRow(i.toLong)
+      (ts, hash, raw, Seq("bloxroute", "eden", "local")(i % 3))
+    }.toSet
+    assert(got == expected)
   }
 
   test("full collector pipeline runs over envelope sources end-to-end") {

@@ -358,6 +358,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(counts.head == Tables.documents(spark, sf).count())
   }
 
+  test("Bloom decontamination drops every contaminated doc, over-drops ~1%") {
+    val exact = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bloom = SparkEntry.queries("q_decontaminate_bloom")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // no false negatives: the Bloom keep-set is a subset of the exact one
+    bloom.foreach { case (lang, n) =>
+      assert(n <= exact(lang), s"$lang: bloom kept $n > exact ${exact(lang)}")
+    }
+    // the 1% FP rate may over-drop only a bounded sliver of clean docs
+    val (eTot, bTot) = (exact.values.sum, bloom.values.sum)
+    assert(bTot >= (eTot * 0.95).toLong, s"bloom over-dropped: $bTot of $eTot")
+  }
+
   test("vocab top-k reports the true frequency of the top English term") {
     val r = SparkEntry.queries("q_vocab_topk")(spark, sf).cache()
     val langs = Tables.documents(spark, sf).select("lang").distinct().count()
