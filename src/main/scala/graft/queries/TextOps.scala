@@ -14,7 +14,7 @@ object TextOps {
 
   // regex shared verbatim by Spark and DuckDB: word / number / punct tokens
   private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  private val StopRe = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+  private[graft] val StopRe = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
   private val PunctRe = "[^A-Za-z0-9\\s]"
 
   /** PII scrubbing alternation (email | phone-shaped | long digit run) —
