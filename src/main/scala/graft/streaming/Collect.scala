@@ -123,6 +123,46 @@ object Collect {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("hash")
 
+  /** One feed row as a typed record (the custom-state path needs an
+    * Encoder; the column order matches [[feed]]'s output). */
+  final case class FeedRow(timestamp_ms: Long, hash: String,
+      raw_tx_hex: String, source: String, ts: java.sql.Timestamp)
+
+  /** A5 via CUSTOM per-key state: the reference collector's `knownTxs`
+    * TTL map (collector/consts.go:10-11, tx_processor.go:201-232)
+    * implemented literally with
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` — first arrival of a
+    * hash emits and records state, later arrivals inside the 30-minute
+    * TTL are suppressed, and the state entry EVICTS on event-time timeout
+    * exactly like the map's cleanup loop. Same semantics as [[dedup]]
+    * (CollectStreamSpec asserts parity); this is the extension point for
+    * pipelines that need richer per-key state than suppression — arrival
+    * counts, per-source first-seen, inclusion status — where the built-in
+    * dropDuplicates cannot go. State is hash-partitioned and per-key
+    * constant-size, so it scales exactly like the built-in's state store. */
+  def dedupStateful(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import stream.sparkSession.implicits._
+    stream
+      .select("timestamp_ms", "hash", "raw_tx_hex", "source", "ts")
+      .withWatermark("ts", "30 minutes")
+      .as[FeedRow]
+      .groupByKey(_.hash)
+      .flatMapGroupsWithState[Long, FeedRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[FeedRow], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // duplicate within the TTL
+          else {
+            val first = rows.minBy(_.timestamp_ms)
+            state.update(first.timestamp_ms)
+            state.setTimeoutTimestamp(first.ts.getTime, "30 minutes")
+            Iterator.single(first)
+          }
+      }
+      .toDF()
+  }
+
   /** F2 validation split: adds a `reason` column (null = valid). Runs the
     * full parse so signature/blob problems are caught like the collector's
     * inline validation (collector/tx_processor.go:355-416). */

@@ -39,6 +39,29 @@ class CollectStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful TTL dedup (flatMapGroupsWithState) matches the built-in path") {
+    val in = Files.createTempDirectory("graft-feed-st").toString
+    writeFeed(in, 200)
+    val qa = Collect.dedup(Collect.feed(spark, in))
+      .writeStream.format("memory").queryName("dedup_builtin")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    val qb = Collect.dedupStateful(Collect.feed(spark, in))
+      .writeStream.format("memory").queryName("dedup_state")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      qa.processAllAvailable()
+      qb.processAllAvailable()
+      def rows(t: String) = spark.table(t)
+        .select("timestamp_ms", "hash", "raw_tx_hex", "source")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      val (a, b) = (rows("dedup_builtin"), rows("dedup_state"))
+      assert(b.length == b.map(_._2).distinct.length, "stateful path emitted a dup")
+      assert(a.toSet == b.toSet,
+        s"paths disagree: builtin=${a.length} stateful=${b.length}")
+      assert(b.length == 180) // 200 + 100 re-sent, every 10th hash repeats
+    } finally { qa.stop(); qb.stop() }
+  }
+
   test("validation split + hourly bucketed file sink end-to-end") {
     val in = Files.createTempDirectory("graft-feed2").toString
     val out = Files.createTempDirectory("graft-collect").toString
