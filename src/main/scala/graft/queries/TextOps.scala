@@ -902,6 +902,64 @@ object TextOps {
           md5(col("clean").cast("binary")).as("clean_md5"))
     },
 
+    // Exact-substring SPAN removal (differential-tested): the apply side
+    // of Lee et al. 2022's exact-substring dedup at word granularity —
+    // where q_text_line_dedup drops fixed non-overlapping segments, this
+    // cuts EVERY word position covered by any cross-doc duplicate
+    // 5-gram (overlapping grams merge into maximal spans by position
+    // union) and reassembles the survivors in order. Shuffle shape at
+    // 100 TB: one gram-content shuffle for the document frequencies
+    // (swap the gram string for a 64-bit xxhash key like
+    // q_text_dup_ngrams), a narrow position explode for coverage, and
+    // one doc-keyed aggregate to rebuild — the text itself never joins.
+    "q_text_span_dedup" -> QueryDef.sql(
+      "exact-substring span removal: cut positions covered by cross-doc dup 5-grams, reassemble",
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |gr AS (SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS g
+        |       FROM d, generate_series(1, 600) t(i) WHERE i <= len(ws) - 4),
+        |dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT gr.doc_id, gr.i + o AS p
+        |        FROM gr JOIN dup ON gr.g = dup.g, generate_series(0, 4) s(o)),
+        |w AS (SELECT doc_id, i AS p, ws[i] AS w FROM d, generate_series(1, 600) t(i)
+        |      WHERE i <= len(ws)),
+        |kept AS (SELECT w.doc_id, w.p, w.w FROM w LEFT JOIN cov
+        |         ON w.doc_id = cov.doc_id AND w.p = cov.p WHERE cov.p IS NULL),
+        |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |          string_agg(w, ' ' ORDER BY p) AS clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  COALESCE(n_kept, 0) AS n_kept,
+        |  md5(COALESCE(clean, '')) AS clean_md5
+        |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val grams = docs.select(col("doc_id"), posexplode(
+        graft.functions.TextNgrams.word_ngrams(lower(trim(col("text"))), lit(5))))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+      val dup = grams.groupBy("g")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("g")
+      val covered = grams.join(dup, Seq("g"))
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("p"))
+        .distinct()
+      val words = docs.select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+      val reb = words.join(covered, Seq("doc_id", "p"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("p"), col("w")))),
+            x => x.getField("w"))).as("clean"))
+      docs.select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_words"))
+        .join(reb, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("clean"), lit("")).cast("binary")).as("clean_md5"))
+    },
+
     // Deterministic output sharding (differential-tested): the writer-side
     // primitive of a training pipeline — every document is assigned a
     // shard by a hash of its id (first md5 nibble → 16 shards here), and

@@ -372,6 +372,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bTot >= (eTot * 0.95).toLong, s"bloom over-dropped: $bTot of $eTot")
   }
 
+  test("span removal cuts planted dup spans, leaves unique docs bit-intact") {
+    val r = SparkEntry.queries("q_text_span_dedup")(spark, sf).cache()
+    assert(r.count() == Tables.documents(spark, sf).count())
+    // planted near-dup pairs share long word runs: both members must lose
+    // words to the cross-doc duplicate-5-gram spans
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 1000000L).select("doc_id")
+    val touched = r.join(planted, Seq("doc_id"))
+    assert(touched.filter(col("n_kept") === col("n_words")).count() == 0,
+      "a planted near-dup doc kept all its words")
+    // an untouched doc's reassembly must be bit-exact: md5 of its own
+    // whitespace-normalized words
+    val expect = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(concat_ws(" ",
+        split(lower(trim(col("text"))), "\\s+")).cast("binary")).as("own_md5"))
+    val intact = r.filter(col("n_kept") === col("n_words"))
+    assert(intact.count() > 0, "no doc survived untouched")
+    assert(intact.join(expect, Seq("doc_id"))
+      .filter(col("clean_md5") =!= col("own_md5")).count() == 0,
+      "reassembly corrupted an untouched doc")
+  }
+
   test("vocab top-k reports the true frequency of the top English term") {
     val r = SparkEntry.queries("q_vocab_topk")(spark, sf).cache()
     val langs = Tables.documents(spark, sf).select("lang").distinct().count()
