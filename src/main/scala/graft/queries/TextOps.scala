@@ -109,6 +109,41 @@ object TextOps {
           .when(length(col("text")) >= 50, "fair").otherwise("poor").as("quality"))
     },
 
+    // Character-entropy quality signal (differential-tested): Shannon
+    // entropy of the per-doc character distribution in nats — the cheap
+    // gibberish/repetition gate (binary junk and repeated-char spam score
+    // low; natural text sits near 2.6-3.0). Computed as
+    // ln(n) − Σ k·ln(k) / n with the per-character terms truncated to
+    // exact decimals, so the score is order-independent and bit-equal
+    // across engines. Scan-local: one (doc, char) partial aggregate, one
+    // doc-keyed reduce — linear at 100 TB.
+    "q_text_entropy" -> QueryDef.sql(
+      "character entropy per doc (nats) + low-entropy verdict",
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |            FROM documents),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+        |e AS (
+        |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+        |    SUM(CAST(k * ln(CAST(k AS DOUBLE)) AS DECIMAL(28,12))) AS slk
+        |  FROM cc GROUP BY doc_id)
+        |SELECT doc_id, n AS n_chars_tot,
+        |  round(ln(n) - CAST(slk AS DOUBLE) / n, 6) AS entropy_r,
+        |  CASE WHEN ln(n) - CAST(slk AS DOUBLE) / n < 2.0
+        |    THEN 'low' ELSE 'ok' END AS verdict
+        |FROM e""".stripMargin) { (s, dir) =>
+      val cc = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+      val ent = log(col("n").cast("double")) - col("slk").cast("double") / col("n")
+      cc.groupBy("doc_id")
+        .agg(sum("k").as("n"),
+          sum((col("k") * log(col("k").cast("double")))
+            .cast(DecimalType(28, 12))).as("slk"))
+        .select(col("doc_id"), col("n").cast("long").as("n_chars_tot"),
+          round(ent, 6).as("entropy_r"),
+          when(ent < 2.0, "low").otherwise("ok").as("verdict"))
+    },
+
     // Document fingerprinting: md5 of whitespace-normalized lowercase text
     // (md5 is identical in Spark and DuckDB → differential-testable).
     "q_text_fingerprint" -> QueryDef.sql(
