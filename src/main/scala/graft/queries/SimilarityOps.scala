@@ -81,15 +81,17 @@ object SimilarityOps {
           floor(col("pos") / 8).as("sub"), col("col").cast("double").as("v"))
 
     /** Nearest-codebook-entry per (vector, subspace): broadcast codebook
-      * join, map-side partial d² aggregate, (vec, sub) keyed window. */
+      * join, map-side partial d² aggregate, then a single min(struct)
+      * argmin — same (d2, c) ordering as the oracle's ROW_NUMBER window
+      * (decimal compare, tie on c) without the per-(vec, sub) sort pass. */
     def assign(rows: DataFrame, cents: DataFrame): DataFrame =
       rows.join(broadcast(cents), Seq("i"))
         .groupBy("vec_id", "sub", "c")
         .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
           .cast(DecimalType(28, 12))).as("d2"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("c"))))
-        .filter(col("rk") === 1).select("vec_id", "sub", "c")
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("c"))).as("best"))
+        .select(col("vec_id"), col("sub"), col("best.c").as("c"))
 
     /** Trained codebook (c, i, cv): seeds = first 16 vectors, one
       * exact-decimal Lloyd round over the deterministic 25 % sample. */
