@@ -247,6 +247,34 @@ object TextOps {
         .select("lang", "doc_id")
     },
 
+    // Data-mixing APPLY (rows-only: the water-fill loop is inherently
+    // iterative, so no single SQL oracle): per-language populations →
+    // [[waterFillQuotas]] on the driver (one tiny aggregate row per
+    // stratum — the corpus is never collected) → the same deterministic
+    // hash-ranked draw as q_sample_stratified, with the PER-STRATUM quota
+    // the water-fill allocated instead of a flat constant. Completes the
+    // q_mix_weights → quota → draw chain; LlmOpsSpec pins the invariants
+    // (Σkept = min(budget, N), no stratum over-drawn, under-populated
+    // strata taken whole).
+    "q_sample_mixed" -> QueryDef.rowsOnly(
+      "data-mixing apply: water-filled per-language quotas drawn by hash rank") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val quotas = waterFillQuotas(counts, budget = 200L)
+      val qdf = broadcast(quotas.toSeq.toDF("lang", "quota"))
+      docs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .join(qdf, Seq("lang"))
+        .filter(col("rk") <= col("quota"))
+        .groupBy("lang")
+        .agg(max("quota").as("quota"), count(lit(1)).as("n_kept"))
+    },
+
     // Repetition signals (the Gopher-style quality gates): per-doc
     // top-unigram mass fraction and duplicate-bigram fraction, plus the
     // repetitive/clean verdict. Everything is scan-local (explode + per-doc

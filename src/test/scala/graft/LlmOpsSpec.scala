@@ -394,6 +394,19 @@ class LlmOpsSpec extends AnyFunSuite {
       "reassembly corrupted an untouched doc")
   }
 
+  test("mixing apply: water-filled quotas drawn exactly, budget conserved") {
+    val r = SparkEntry.queries("q_sample_mixed")(spark, sf).cache()
+    val pops = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val rows = r.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    // every stratum draws exactly min(quota, population) and never more
+    rows.foreach { case (lang, quota, kept) =>
+      assert(kept == math.min(quota, pops(lang)), s"$lang: $kept of quota $quota")
+    }
+    assert(rows.map(_._3).sum == math.min(200L, pops.values.sum),
+      "budget not conserved")
+  }
+
   test("vocab top-k reports the true frequency of the top English term") {
     val r = SparkEntry.queries("q_vocab_topk")(spark, sf).cache()
     val langs = Tables.documents(spark, sf).select("lang").distinct().count()
