@@ -29,13 +29,19 @@ object CorpusBuild {
 
   def run(spark: SparkSession, in: Inputs): Result = {
     val docs = in.docs
-    val f1 = length(col("text")) >= 50
-    val f2 = f1 && size(regexp_extract_all(col("text"), lit(TextOps.StopRe), lit(0))) >= 1
+    // the SAME gate predicates the differential-tested q_filter_funnel
+    // uses — one definition, no drift
+    val f1 = TextOps.gateMinLength
+    val f2 = TextOps.gateStopword
 
-    // gate, then redact — the digest (and the corpus) must never carry PII
+    // gate, then redact — the digest (and the corpus) must never carry
+    // PII. Cached: the regex+digest pass is the expensive narrow work and
+    // feeds dedup, decon, the funnel tail, AND the final write — without
+    // the cache the chain re-executes once per downstream action.
     val gated = docs.filter(f2)
       .withColumn("text", TextOps.redactPii(col("text")))
       .withColumn("h", md5(col("text")))
+      .cache()
 
     // earliest-keeper exact dedup: only (digest, doc_id) shuffles; the
     // kept rows come back via a digest-keyed semi-join

@@ -31,6 +31,15 @@ object TextOps {
   def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(c, PiiRe, "<PII>")
 
+  /** The corpus quality-gate predicates, shared by q_filter_funnel and
+    * the CorpusBuild job so the differential-tested query and the CLI can
+    * never drift apart: minimum length, then stopword evidence. */
+  private[graft] def gateMinLength: org.apache.spark.sql.Column =
+    length(col("text")) >= 50
+  private[graft] def gateStopword: org.apache.spark.sql.Column =
+    gateMinLength &&
+      size(regexp_extract_all(col("text"), lit(StopRe), lit(0))) >= 1
+
   /** Water-filling quota allocation — the iterative completion of
     * q_mix_weights' single pass: split `budget` docs equally across
     * strata, give each under-populated stratum everything it has, and
@@ -120,7 +129,7 @@ object TextOps {
     "q_text_entropy" -> QueryDef.sql(
       "character entropy per doc (nats) + low-entropy verdict",
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
-        |            FROM documents),
+        |            FROM documents WHERE length(text) > 0),
         |cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
         |e AS (
         |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
@@ -131,7 +140,11 @@ object TextOps {
         |  CASE WHEN ln(n) - CAST(slk AS DOUBLE) / n < 2.0
         |    THEN 'low' ELSE 'ok' END AS verdict
         |FROM e""".stripMargin) { (s, dir) =>
+      // empty docs carry no character distribution: excluded on BOTH
+      // sides (Spark split("", "") yields [""] where DuckDB yields [] —
+      // without the guard an empty doc exists only in the Spark result)
       val cc = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
         .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
       val ent = log(col("n").cast("double")) - col("slk").cast("double") / col("n")
@@ -588,8 +601,8 @@ object TextOps {
          |UNION ALL SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s3
          |UNION ALL SELECT 4, 'decontaminate', CAST(COUNT(*) AS BIGINT) FROM s4""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val f1 = length(col("text")) >= 50
-      val f2 = f1 && size(regexp_extract_all(col("text"), lit(StopRe), lit(0))) >= 1
+      val f1 = gateMinLength
+      val f2 = gateStopword
       // stages 0-2 are flag predicates: ONE corpus scan, one conditional
       // aggregate (no per-stage re-scan)
       val flagCounts = docs.select(f1.cast("long").as("p1"), f2.cast("long").as("p2"))

@@ -134,12 +134,18 @@ object Collect {
     * `KeyValueGroupedDataset.flatMapGroupsWithState` — first arrival of a
     * hash emits and records state, later arrivals inside the 30-minute
     * TTL are suppressed, and the state entry EVICTS on event-time timeout
-    * exactly like the map's cleanup loop. Same semantics as [[dedup]]
-    * (CollectStreamSpec asserts parity); this is the extension point for
-    * pipelines that need richer per-key state than suppression — arrival
-    * counts, per-source first-seen, inclusion status — where the built-in
-    * dropDuplicates cannot go. State is hash-partitioned and per-key
-    * constant-size, so it scales exactly like the built-in's state store. */
+    * exactly like the map's cleanup loop. Keep rule within a micro-batch:
+    * EARLIEST timestamp wins (the same deterministic rule as the batch
+    * merge's A1 dedup), which strengthens [[dedup]]'s arrival-order keep —
+    * the two paths emit identical rows whenever same-hash duplicates are
+    * byte-identical re-sends (the collector case; CollectStreamSpec
+    * asserts that parity), and differ only in WHICH payload represents a
+    * hash when sources disagree in one batch. This is the extension point
+    * for pipelines needing richer per-key state than suppression —
+    * arrival counts, per-source first-seen, inclusion status — where the
+    * built-in dropDuplicates cannot go. State is hash-partitioned and
+    * per-key constant-size, so it scales exactly like the built-in's
+    * state store. */
   def dedupStateful(stream: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import stream.sparkSession.implicits._

@@ -24,7 +24,17 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * capped exponential backoff between FAILED attempts, backoff reset on a
   * successful dial. Lines flush to the spool in small batches and on a
   * `soTimeoutMs` read-timeout tick, write-then-atomic-rename so the file
-  * source never observes a partial file.
+  * source never observes a partial file. Robustness contracts:
+  *
+  *  - Line assembly is byte-accurate across read-timeout ticks: a sender
+  *    pausing mid-line only delays the line, never splits it.
+  *  - A line truncated by a CONNECTION DROP is discarded, not spooled —
+  *    a half message is wire loss, not a record.
+  *  - A failed spool write keeps the batch buffered and retries on the
+  *    next tick; it never kills the read loop.
+  *  - The spool file sequence resumes after the largest existing file on
+  *    restart, so an old spool is never overwritten (the file source
+  *    tracks seen files by name — replacing one would lose BOTH copies).
   */
 final class FeedConnector(
     host: String,
@@ -58,12 +68,28 @@ final class FeedConnector(
 
   private def loop(): Unit = {
     var backoff = baseBackoffMs
-    var fileSeq = 0
+    var fileSeq = nextSeq()
     val batch = scala.collection.mutable.ArrayBuffer.empty[String]
     def flushBatch(): Unit = if (batch.nonEmpty) {
-      fileSeq = flush(batch.toSeq, fileSeq)
-      batch.clear()
+      try {
+        fileSeq = flush(batch.toSeq, fileSeq)
+        batch.clear()
+      } catch {
+        // disk hiccup or an interrupt-closed channel: KEEP the batch —
+        // it retries on the next tick / the post-loop final flush
+        case _: java.io.IOException =>
+      }
     }
+    val partial = new java.io.ByteArrayOutputStream
+    def emitPartialLine(): Unit = {
+      val line = new String(partial.toByteArray, StandardCharsets.UTF_8)
+      partial.reset()
+      if (line.nonEmpty) {
+        batch += line
+        linesReceived += 1
+      }
+    }
+    val buf = new Array[Byte](8192)
     while (!stopped) {
       var dialed = false
       try {
@@ -74,21 +100,27 @@ final class FeedConnector(
           dialed = true
           connects += 1
           backoff = baseBackoffMs // reset once the endpoint answers
-          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-            sock.getInputStream, StandardCharsets.UTF_8))
+          partial.reset() // a new connection starts a new message stream
+          val in = sock.getInputStream
           var eof = false
           while (!stopped && !eof) {
             try {
-              val line = in.readLine()
-              if (line == null) eof = true
+              val n = in.read(buf)
+              if (n < 0) eof = true
               else {
-                batch += line
-                linesReceived += 1
+                var i = 0
+                while (i < n) {
+                  val b = buf(i)
+                  if (b == '\n') emitPartialLine()
+                  else if (b != '\r') partial.write(b.toInt)
+                  i += 1
+                }
                 if (batch.size >= flushEvery) flushBatch()
               }
             } catch {
               // read-timeout tick: nothing arrived for soTimeoutMs — push
-              // whatever is buffered so stream latency stays bounded
+              // whatever COMPLETE lines are buffered (the partial line
+              // stays buffered byte-exact until its newline arrives)
               case _: java.net.SocketTimeoutException => flushBatch()
             }
           }
@@ -97,7 +129,11 @@ final class FeedConnector(
         case _: java.io.IOException => // dial failed or connection dropped
         case _: InterruptedException => // stop() interrupting a block
       }
-      flushBatch() // connection ended: spool the tail before redialing
+      // connection ended: a dangling partial line was truncated by the
+      // drop — discard it (wire loss, same as the reference's WS gap);
+      // spool the complete tail lines before redialing
+      partial.reset()
+      flushBatch()
       if (!stopped) {
         if (dialed) {
           // the endpoint WAS up: redial immediately (reference behavior —
@@ -108,7 +144,18 @@ final class FeedConnector(
         }
       }
     }
+    // final flush with the interrupt status cleared, so stop()'s own
+    // interrupt cannot abort the write via ClosedByInterruptException
+    Thread.interrupted()
     flushBatch()
+  }
+
+  /** First unused spool sequence number for this tag (restart-safe). */
+  private def nextSeq(): Int = {
+    val re = raw"spool-${java.util.regex.Pattern.quote(sourceTag)}-(\d+)\.json".r
+    val existing = Option(new java.io.File(spoolDir).list()).toSeq.flatten
+      .collect { case re(n) => n.toInt }
+    if (existing.isEmpty) 0 else existing.max + 1
   }
 
   /** Write-then-rename: the streaming file source lists only complete

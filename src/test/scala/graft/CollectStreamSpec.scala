@@ -123,6 +123,67 @@ class CollectStreamSpec extends AnyFunSuite {
       "restart re-emitted rows already committed before the stop")
   }
 
+  test("connection manager reassembles a line split across read-timeout ticks") {
+    val line = envelopeLines(1).head
+    val (half1, half2) = line.splitAt(line.length / 2)
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = sock.getOutputStream
+        out.write(half1.getBytes("UTF-8")); out.flush()
+        Thread.sleep(400) // >> soTimeoutMs: several flush ticks fire mid-line
+        out.write((half2 + "\n").getBytes("UTF-8")); out.flush()
+        Thread.sleep(30000)
+      } catch { case _: Throwable => }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val spool = Files.createTempDirectory("graft-spool-split").toString
+    val conn = new FeedConnector("127.0.0.1", server.getLocalPort, spool, "blx",
+      soTimeoutMs = 50).start()
+    try {
+      val deadline = System.nanoTime() + 15000000000L
+      while (conn.linesReceived < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(conn.linesReceived == 1)
+    } finally { conn.stop(); server.close() }
+    val got = spark.read.text(spool).collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(got.toSeq == Seq(line), "mid-line timeout corrupted the spooled record")
+  }
+
+  test("connection manager restart appends after the existing spool files") {
+    val spool = Files.createTempDirectory("graft-spool-rs").toString
+    val preexisting = envelopeLines(1).head
+    Files.writeString(java.nio.file.Paths.get(s"$spool/spool-blx-000000.json"),
+      preexisting + "\n")
+    val line2 = envelopeLines(2).take(2).last
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        sock.getOutputStream.write((line2 + "\n").getBytes("UTF-8"))
+        sock.getOutputStream.flush()
+        Thread.sleep(30000)
+      } catch { case _: Throwable => }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val conn = new FeedConnector("127.0.0.1", server.getLocalPort, spool, "blx",
+      soTimeoutMs = 50).start()
+    try {
+      val deadline = System.nanoTime() + 15000000000L
+      while (conn.linesReceived < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally { conn.stop(); server.close() }
+    // the restarted connector must never rename over spool-blx-000000.json
+    val got = spark.read.text(spool).collect().map(_.getString(0)).filter(_.nonEmpty).toSet
+    assert(got == Set(preexisting, line2),
+      "restart overwrote an existing spool file")
+  }
+
   // a geth/alchemy-style tx OBJECT envelope rebuilt from the fixture's
   // own decoded fields (S6 path)
   private def rpcMsg(raw: String): String = {
