@@ -792,6 +792,50 @@ object TextOps {
           round(col("nll").cast("double") / col("n_bigrams"), 6).as("mean_nll_r"))
     },
 
+    // Collocation mining via pointwise mutual information (differential-
+    // tested): PMI = ln(c(w1,w2)·N / (c1(w1)·c2(w2))) over corpus bigrams
+    // with a min-count support floor — the phrase-mining signal behind
+    // tokenizer merge candidates and stopword-phrase lists. Positional
+    // unigram counts (w1-slot, w2-slot) keep the estimator self-consistent
+    // and the math one ln per pair — no summation, so doubles are safely
+    // engine-identical. Shuffle shape: term-keyed count aggregates (the
+    // same tables the bigram LM trains), a broadcast of the two 1-row
+    // totals, and a top-k over the support-filtered pair table.
+    "q_text_pmi" -> QueryDef.sql(
+      "collocations: top-20 bigrams by PMI with support >= 5",
+      """WITH d AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |       FROM d, generate_series(1, 600) t(i) WHERE i <= len(ws) - 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
+        |uc1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+        |uc2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg
+        |       GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, cb,
+        |  round(ln(CAST(cb AS DOUBLE) * n / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi_r
+        |FROM bc JOIN uc1 USING (w1) JOIN uc2 USING (w2) CROSS JOIN n
+        |ORDER BY ln(CAST(cb AS DOUBLE) * n / (CAST(c1 AS DOUBLE) * c2)) DESC, w1, w2
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val bg = Tables.documents(s, dir).select(
+        explode(graft.functions.TextNgrams.word_ngrams(
+          lower(trim(col("text"))), lit(2))).as("b"))
+        .select(substring_index(col("b"), " ", 1).as("w1"),
+          substring_index(col("b"), " ", -1).as("w2"))
+      val n = bg.agg(count(lit(1)).as("n"))
+      val uc1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val uc2 = bg.groupBy("w2").agg(count(lit(1)).as("c2"))
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+      val pmi = log(col("cb").cast("double") * col("n") /
+        (col("c1").cast("double") * col("c2")))
+      bc.join(uc1, Seq("w1")).join(uc2, Seq("w2")).crossJoin(broadcast(n))
+        .orderBy(pmi.desc, col("w1"), col("w2"))
+        .select(col("w1"), col("w2"), col("cb"), round(pmi, 6).as("pmi_r"))
+        .limit(20)
+    },
+
     // BM25 retrieval (differential-tested): the inverted-index scoring a
     // retrieval/labeling pipeline runs over a corpus. Posting lists are
     // (term, doc, tf) rows; document stats (dl, avgdl, N) come from one
