@@ -171,6 +171,24 @@ object DedupOps {
 
   /** docs ∪ deterministic near-dup copies (last two words dropped,
     * doc_id + 1,000,000) so recall is testable at any SF. */
+  /** Winnowing selected-fingerprint set (doc_id, mh, np): the window-min
+    * chain shared by q_dedup_winnow and the LlmOpsSpec overlap check. */
+  private[graft] def winnowSelected(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val d = withPlanted(s, dir)
+      .select(col("doc_id"),
+        lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("t"))
+    val g = d.select(col("doc_id"), posexplode(
+      graft.functions.TextNgrams.char_ngrams(col("t"), lit(5))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), md5(col("col")).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    g.withColumn("mh", min("h").over(w.rowsBetween(Window.currentRow, 3)))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("i") <= col("np") - 3)
+      .groupBy("doc_id", "mh").agg(max("np").as("np"))
+  }
+
   private def withPlanted(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     val words = split(trim(col("text")), "\\s+")
@@ -454,6 +472,49 @@ object DedupOps {
         .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
         .filter(col("jaccard") >= t)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard_r"))
+    },
+
+    // Winnowing fingerprints (differential-tested): the Schleimer et al.
+    // 2003 (MOSS) local document fingerprinting — hash every char
+    // 5-gram, keep the MINIMUM hash of each sliding window of 4. The
+    // guarantee: any shared substring of length ≥ k+w−1 = 8 chars yields
+    // at least one shared selected fingerprint, while only ~2/(w+1) ≈
+    // 40 % of positions are selected — the position-aware fourth member
+    // of the fingerprint family (exact md5, minhash, simhash are
+    // position-blind). The query emits the per-doc SKETCH (selected
+    // count + an order-independent digest) — the artifact an index
+    // stores; matching joins the selected sets (LlmOpsSpec: planted
+    // near-dup copies overlap their originals ≈ 0.95 vs ≈ 0.29 for
+    // unrelated template-sharing docs). Shuffle shape at 100 TB: the
+    // window pass is one doc-keyed sort (scan-local per doc), the sketch
+    // one doc-keyed aggregate; pair matching shuffles only selected
+    // fingerprints with the same hot-key discipline as the AllPairs
+    // prefix filter above.
+    "q_dedup_winnow" -> QueryDef.sql(
+      "winnowing sketch: char-5-gram window-min fingerprints per doc (k=5, w=4)",
+      s"""WITH $PlantedDocsSql,
+         |d AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ')) AS t
+         |      FROM docs),
+         |g AS (SELECT doc_id, i, md5(substr(t, i, 5)) AS h
+         |      FROM d, generate_series(1, 700) s(i) WHERE i <= length(t) - 4),
+         |wmin AS (
+         |  SELECT doc_id, i,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS np
+         |  FROM g),
+         |sel AS (SELECT doc_id, mh, MAX(np) AS np FROM wmin
+         |        WHERE i <= np - 3 GROUP BY doc_id, mh)
+         |SELECT doc_id, CAST(MAX(np) AS BIGINT) AS n_positions,
+         |  CAST(COUNT(*) AS BIGINT) AS n_selected,
+         |  md5(string_agg(mh, '' ORDER BY mh)) AS sketch_md5
+         |FROM sel GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      winnowSelected(s, dir)
+        .groupBy("doc_id")
+        .agg(max("np").cast("long").as("n_positions"),
+          count(lit(1)).as("n_selected"),
+          md5(concat_ws("", array_sort(collect_list(col("mh"))))
+            .cast("binary")).as("sketch_md5"))
     },
 
     // Embedding-cosine near-dup (differential-tested): blocked all-pairs

@@ -407,6 +407,34 @@ class LlmOpsSpec extends AnyFunSuite {
       "budget not conserved")
   }
 
+  test("winnowing: guaranteed density, planted copies overlap their originals") {
+    val sketch = SparkEntry.queries("q_dedup_winnow")(spark, sf).cache()
+    // selection density ≈ 2/(w+1) = 0.4 of window positions
+    val density = sketch
+      .agg(avg(col("n_selected") / (col("n_positions") - 3))).head.getDouble(0)
+    assert(density > 0.25 && density < 0.55, s"winnow density off: $density")
+    // matching on the selected sets: a planted copy (last 2 words cut)
+    // must overlap its original far more than unrelated template-sharing
+    // docs — measured ≈ 0.95 vs ≈ 0.29 on this corpus
+    val sel = graft.queries.DedupOps.winnowSelected(spark, sf).cache()
+    def overlap(shift: Long, baseOnly: Boolean) = {
+      val a = sel.select(col("doc_id"), col("mh"))
+      val b = sel.select((col("doc_id") - shift).as("doc_id"), col("mh"))
+      val base = if (baseOnly) a.filter(col("doc_id") < 1000000L &&
+        col("doc_id") + shift < 1000000L) else a
+      val inter = base.join(b, Seq("doc_id", "mh")).groupBy("doc_id")
+        .agg(count(lit(1)).as("inter"))
+      val sz = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      inter.join(sz, Seq("doc_id"))
+        .agg(avg(col("inter") / col("n"))).head.getDouble(0)
+    }
+    val planted = overlap(1000000L, baseOnly = false)
+    val random = overlap(57L, baseOnly = true)
+    assert(planted >= 0.8, s"planted overlap too low: $planted")
+    assert(planted > random * 2,
+      s"no separation: planted=$planted random=$random")
+  }
+
   test("vocab top-k reports the true frequency of the top English term") {
     val r = SparkEntry.queries("q_vocab_topk")(spark, sf).cache()
     val langs = Tables.documents(spark, sf).select("lang").distinct().count()
