@@ -173,12 +173,19 @@ object DedupOps {
     * doc_id + 1,000,000) so recall is testable at any SF. */
   /** Winnowing selected-fingerprint set (doc_id, mh, np): the window-min
     * chain shared by q_dedup_winnow and the LlmOpsSpec overlap check. */
-  private[graft] def winnowSelected(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowSelected(s: SparkSession, dir: String): DataFrame =
+    winnowSelectedFromDocs(s, withPlanted(s, dir))
+
+  /** The same chain over any (doc_id, text) frame — the PropertySpec
+    * drives it on constructed documents to check the winnowing guarantee
+    * itself (a shared substring of ≥ k+w−1 chars ⟹ a shared selected
+    * fingerprint). */
+  private[graft] def winnowSelectedFromDocs(
+      s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    val d = withPlanted(s, dir)
-      .select(col("doc_id"),
-        lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("t"))
+    val d = docs.select(col("doc_id"),
+      lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("t"))
     val g = d.select(col("doc_id"), posexplode(
       graft.functions.TextNgrams.char_ngrams(col("t"), lit(5))))
       .select(col("doc_id"), (col("pos") + 1).as("i"), md5(col("col")).as("h"))

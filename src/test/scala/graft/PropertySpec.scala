@@ -138,4 +138,33 @@ class PropertySpec extends AnyFunSuite {
         assert(open.max - open.min <= 1, s"unequal open shares: $counts budget=$budget -> $q")
     }
   }
+
+  test("winnowing guarantee: a shared >=8-char substring yields a shared fingerprint") {
+    // the Schleimer 2003 theorem for k=5, w=4: any substring of length
+    // >= k+w-1 = 8 shared by two documents forces at least one common
+    // SELECTED fingerprint — checked on random doc pairs built around a
+    // random shared substring at random positions
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val lc = Gen.chooseNum('a'.toInt, 'z'.toInt).map(_.toChar)
+    def str(min: Int, max: Int): Gen[String] =
+      Gen.chooseNum(min, max).flatMap(n => Gen.listOfN(n, lc).map(_.mkString))
+    val genPair = for {
+      shared <- str(8, 20)
+      a1 <- str(10, 60); a2 <- str(10, 60)
+      b1 <- str(10, 60); b2 <- str(10, 60)
+    } yield (a1 + shared + a2, b1 + shared + b2)
+    val cases = samples(genPair, 60)
+    val docs = cases.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a), (2L * i + 1, b)) }.toDF("doc_id", "text")
+    val sel = graft.queries.DedupOps.winnowSelectedFromDocs(spark, docs)
+      .select("doc_id", "mh").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    cases.indices.foreach { i =>
+      val inter = sel(2L * i).intersect(sel(2L * i + 1))
+      assert(inter.nonEmpty,
+        s"case $i: shared substring produced no shared fingerprint")
+    }
+  }
 }
