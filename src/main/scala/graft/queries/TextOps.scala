@@ -476,7 +476,6 @@ object TextOps {
         |FROM top JOIN hb ON top.w = hb.w
         |JOIN cms ON hb.h = cms.h AND hb.b = cms.b
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val wc = Tables.documents(s, dir)
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
@@ -488,10 +487,10 @@ object TextOps {
             expr("instr('0123456789abcdef', substr(hash, 2, 1))") - 1)
         .select("h", "b", "w", "c")
       val cms = hb.groupBy("h", "b").agg(sum("c").cast("long").as("bc"))
-      val top = wc
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("c").desc, col("w"))))
-        .filter(col("rk") <= 20)
+      // top-k as orderBy+limit → TakeOrderedAndProject (per-partition
+      // partial top-k), never a single-task global window sort of the
+      // whole vocabulary
+      val top = wc.orderBy(col("c").desc, col("w")).limit(20)
         .select(col("w"), col("c").as("c_exact"))
       top.join(hb.select("w", "h", "b"), Seq("w"))
         .join(cms, Seq("h", "b"))
