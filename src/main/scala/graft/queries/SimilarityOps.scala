@@ -39,6 +39,17 @@ object SimilarityOps {
 
   def ivfNprobe(k: Int): Int = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
 
+  /** SemDeDup blocking target: clusters sized so the in-cluster all-pairs
+    * cosine stays ≈ SemTargetCluster² comparisons per cluster AT ANY N —
+    * k = ⌈N / 64⌉ grows linearly with the corpus, so total pairwise work
+    * is k · 64² = O(N), not (N/k)² · k = O(N²/k) with a fixed k. The
+    * max(8, ·) floor makes the derived k coincide with the exact-decimal
+    * 8-seed oracle chain at verify SF (N = 500 → k = 8), which is what
+    * keeps q_dedup_semantic hash-checkable against DuckDB. */
+  val SemTargetCluster = 64.0
+
+  def semK(n: Long): Int = math.max(8, math.ceil(n / SemTargetCluster).toInt)
+
   /** Fraction of the corpus one LSH multiprobe query touches (expected). */
   def lshProbeFraction(n: Long): Double = {
     val p = lshPlanes(n)
@@ -170,6 +181,71 @@ object SimilarityOps {
             count(lit(1))).as("cv"))
         dists(c1).cache()
       })
+  }
+
+  /** Nearest-centroid assignment (vec_id, c): broadcast the (k × dim)
+    * centroid table, score array-native via the codegen'd vec_dot
+    * (d² = |v|² − 2·v·m + |m|²), keep the min-(d², c) struct. The groupBy
+    * is partially aggregated map-side, so only N rows shuffle. Shared by
+    * the IVF index build and the corpus-scaled SemDeDup blocking. */
+  private def assignVec(rows: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.VecOps.vec_dot
+    rows.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        vec_dot(col("embedding"), col("embedding"))
+          - lit(2.0) * vec_dot(col("embedding"), col("m"))
+          + vec_dot(col("m"), col("m")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("c"))).as("best"))
+      .select(col("vec_id"), col("best.c").as("c"))
+  }
+
+  /** Sample-trained vec_dot-scored k-means centroids (c, m: array<double>)
+    * — the scale-path quantizer shared by q_sim_ann_ivf (k = ⌈√N⌉ lists)
+    * and corpus-scaled SemDeDup blocking (k = ⌈N/64⌉). Deterministic:
+    * seeds = the first k vectors, `lloyd` iterations over the 25 %
+    * (vec_id % 4 = 0) sample with exact-decimal means so assignments are
+    * reproducible run-to-run. Clusters that lose all sample members drop
+    * out — acceptable: k is a target, not an invariant. The result is
+    * k×dim doubles — tiny and broadcastable at any corpus size. */
+  private def trainVecCentroids(emb: org.apache.spark.sql.DataFrame,
+      k: Int, lloyd: Int = 2): org.apache.spark.sql.DataFrame = {
+    var centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c"),
+        transform(col("embedding"), _.cast("double")).as("m"))
+    val train = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+    for (_ <- 1 to lloyd) {
+      val asg = assignVec(train, centroids)
+      centroids = train.join(asg, Seq("vec_id"))
+        .select(col("c"), posexplode(col("embedding")))
+        .groupBy("c", "pos")
+        .agg((sum(col("col").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("c")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c"), transform(col("pm"), _.getField("m")).as("m"))
+    }
+    centroids
+  }
+
+  /** SemDeDup blocking clusters (vec_id, cluster), corpus-scaled: k is
+    * derived from N via [[semK]] so per-cluster population — and the
+    * in-cluster pairwise cosine that follows — stays ≈ constant as the
+    * corpus grows. At verify SF the derived k hits the max(8, ·) floor
+    * and the assignment IS the exact-decimal 8-seed chain DuckDB hashes
+    * (the oracle twin); above it, the sample-trained vec_dot quantizer
+    * takes over — same recipe as the IVF index build. */
+  private[graft] def semClusters(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val n = emb.count() // parquet metadata, not a scan
+    val k = semK(n)
+    if (k <= 8) kmeansClusters(s, dir)
+    else {
+      graft.functions.GraftFunctions.register(s)
+      assignVec(emb, trainVecCentroids(emb, k).cache())
+        .select(col("vec_id"), col("c").as("cluster"))
+    }
   }
 
   /** Bench attribution hooks: materialize the shared trained artifacts so
@@ -334,13 +410,18 @@ object SimilarityOps {
     // al. 2023 — block the corpus by LEARNED k-means clusters (not by a
     // hash prefix), compute pairwise cosine only inside each cluster, and
     // drop every vector that has a lower-id cluster-mate above the
-    // similarity threshold (keep-first). The coarse clustering is the same
-    // trained-once exact-decimal k-means as q_embed_kmeans / IVF-PQ, so
-    // the whole chain hash-matches DuckDB. At 100 TB the production knob
-    // is k ∝ N / targetClusterSize: cluster population — and therefore
-    // per-cluster pairwise work — stays CONSTANT as the corpus grows, and
-    // the cluster id is the one shuffle key (same partitioning the IVF
-    // index already maintains, so the blocks are free if both run).
+    // similarity threshold (keep-first). Blocking k is CORPUS-DERIVED
+    // ([[semK]]: k = ⌈N/64⌉) so per-cluster population — and therefore
+    // per-cluster pairwise work — stays CONSTANT as the corpus grows;
+    // total work is k·64² = O(N). At verify SF the derived k hits the
+    // floor of 8 and the blocking is the same trained-once exact-decimal
+    // k-means as q_embed_kmeans / IVF-PQ, so the whole chain — including
+    // the exploded exact-decimal in-cluster dots — hash-matches DuckDB.
+    // Above the floor, blocking comes from the sample-trained vec_dot
+    // quantizer and the in-cluster cosine goes array-native (codegen
+    // vec_dot on the packed embeddings — no 64-way explode); the cluster
+    // id is the one shuffle key (same partitioning the IVF index already
+    // maintains, so the blocks are free if both run).
     "q_dedup_semantic" -> QueryDef.sql(
       "SemDeDup: k-means-blocked pairwise cosine, drop lower-priority near-dups",
       s"""WITH $KmeansOracleCtes,
@@ -363,28 +444,52 @@ object SimilarityOps {
          |SELECT c.vec_id, c.cluster,
          |  CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
          |FROM clus c LEFT JOIN dup ON c.vec_id = dup.vec_id""".stripMargin) { (s, dir) =>
-      val clus = kmeansClusters(s, dir)
-      val flat = Pq.flat(s, dir).select("vec_id", "i", "v")
-      val nrm = flat.groupBy("vec_id")
-        .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
-      val m = flat.join(clus, Seq("vec_id"))
-      val a = m.select(col("cluster"), col("i"),
-        col("vec_id").as("vec_a"), col("v").as("va"))
-      val b = m.select(col("cluster"), col("i"),
-        col("vec_id").as("vec_b"), col("v").as("vb"))
-      val dots = a.join(b, Seq("cluster", "i"))
-        .filter(col("vec_a") < col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(sum((col("va") * col("vb")).cast(DecimalType(28, 12))).as("dot"))
-      val dup = dots
-        .join(nrm.select(col("vec_id").as("vec_a"), col("n2").as("na")), Seq("vec_a"))
-        .join(nrm.select(col("vec_id").as("vec_b"), col("n2").as("nb")), Seq("vec_b"))
-        .filter(col("dot").cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >= 0.25)
-        .select(col("vec_b").as("vec_id")).distinct()
-      clus.join(dup.withColumn("isdup", lit(1)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cluster"),
-          when(col("isdup").isNull, 1).otherwise(0).as("kept"))
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      if (semK(emb.count()) <= 8) {
+        // verify SF: the exact-decimal oracle twin, hash-equal to DuckDB
+        val clus = kmeansClusters(s, dir)
+        val flat = Pq.flat(s, dir).select("vec_id", "i", "v")
+        val nrm = flat.groupBy("vec_id")
+          .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
+        val m = flat.join(clus, Seq("vec_id"))
+        val a = m.select(col("cluster"), col("i"),
+          col("vec_id").as("vec_a"), col("v").as("va"))
+        val b = m.select(col("cluster"), col("i"),
+          col("vec_id").as("vec_b"), col("v").as("vb"))
+        val dots = a.join(b, Seq("cluster", "i"))
+          .filter(col("vec_a") < col("vec_b"))
+          .groupBy("vec_a", "vec_b")
+          .agg(sum((col("va") * col("vb")).cast(DecimalType(28, 12))).as("dot"))
+        val dup = dots
+          .join(nrm.select(col("vec_id").as("vec_a"), col("n2").as("na")), Seq("vec_a"))
+          .join(nrm.select(col("vec_id").as("vec_b"), col("n2").as("nb")), Seq("vec_b"))
+          .filter(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >= 0.25)
+          .select(col("vec_b").as("vec_id")).distinct()
+        clus.join(dup.withColumn("isdup", lit(1)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"),
+            when(col("isdup").isNull, 1).otherwise(0).as("kept"))
+      } else {
+        // corpus-scaled path: derived-k blocking, array-native in-cluster
+        // cosine (one cluster-keyed self-join over ≈64-row blocks)
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.VecOps.vec_dot
+        val clus = semClusters(s, dir).cache()
+        val m = emb.join(clus, Seq("vec_id"))
+        val a = m.select(col("cluster"), col("vec_id").as("vec_a"),
+          col("embedding").as("ea"))
+        val b = m.select(col("cluster"), col("vec_id").as("vec_b"),
+          col("embedding").as("eb"))
+        val dup = a.join(b, Seq("cluster"))
+          .filter(col("vec_a") < col("vec_b"))
+          .filter(vec_dot(col("ea"), col("eb")) /
+            (sqrt(vec_dot(col("ea"), col("ea"))) *
+              sqrt(vec_dot(col("eb"), col("eb")))) >= 0.25)
+          .select(col("vec_b").as("vec_id")).distinct()
+        clus.join(dup.withColumn("isdup", lit(1)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"),
+            when(col("isdup").isNull, 1).otherwise(0).as("kept"))
+      }
     },
 
     // Product quantization (differential-tested): the vector-compression
@@ -590,45 +695,10 @@ object SimilarityOps {
       val k = ivfK(n)
       val nprobe = ivfNprobe(k)
 
-      // deterministic init: centroids = the first k vectors, as arrays
-      var centroids = emb.filter(col("vec_id") < k)
-        .select(col("vec_id").as("c"),
-          transform(col("embedding"), _.cast("double")).as("m"))
-
-      // nearest-centroid assignment: broadcast the (k × dim) centroid
-      // table, score array-native, keep the min-(d², c) struct. The
-      // groupBy is partially aggregated map-side, so only N rows shuffle.
-      def assign(rows: org.apache.spark.sql.DataFrame,
-          cents: org.apache.spark.sql.DataFrame) =
-        rows.crossJoin(broadcast(cents))
-          .withColumn("d2",
-            vec_dot(col("embedding"), col("embedding"))
-              - lit(2.0) * vec_dot(col("embedding"), col("m"))
-              + vec_dot(col("m"), col("m")))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("c"))).as("best"))
-          .select(col("vec_id"), col("best.c").as("c"))
-
-      // 2 Lloyd iterations over the deterministic 25 % sample; means via
-      // exact decimal sums so assignments are reproducible run-to-run.
-      // (Clusters that lose all sample members drop out — acceptable: k
-      // is a target, not an invariant.)
-      val train = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
-      for (_ <- 1 to 2) {
-        val asg = assign(train, centroids)
-        centroids = train.join(asg, Seq("vec_id"))
-          .select(col("c"), posexplode(col("embedding")))
-          .groupBy("c", "pos")
-          .agg((sum(col("col").cast(DecimalType(28, 12))).cast("double") /
-            count(lit(1))).as("m"))
-          .groupBy("c")
-          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("c"), transform(col("pm"), _.getField("m")).as("m"))
-      }
-      // the trained quantizer (k×dim doubles) feeds BOTH the probe
-      // selection and the full-corpus assignment — cache it so the Lloyd
-      // chain isn't recomputed twice
-      centroids = centroids.cache()
+      // the trained quantizer (k×dim doubles, [[trainVecCentroids]]) feeds
+      // BOTH the probe selection and the full-corpus assignment — cache it
+      // so the Lloyd chain isn't recomputed twice
+      val centroids = trainVecCentroids(emb, k).cache()
 
       // query = vec 0: its nprobe nearest centroids
       val qEmb = emb.filter(col("vec_id") === 0)
@@ -643,7 +713,7 @@ object SimilarityOps {
 
       // inverted lists over the FULL corpus, probed lists only, then
       // array-native candidate scoring (codegen'd vec_dot, no explode)
-      val cands = assign(emb, centroids)
+      val cands = assignVec(emb, centroids)
         .join(broadcast(probes), Seq("c")).select("vec_id")
       emb.join(cands, Seq("vec_id")).filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(qEmb))

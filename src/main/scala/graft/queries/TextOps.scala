@@ -358,11 +358,17 @@ object TextOps {
         |    AS shared_frac
         |FROM g JOIN df USING (g) GROUP BY doc_id""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
+      // shuffle key = xxhash64(gram), not the gram string: the DF group-by
+      // and the DF-lookup join move 8-byte longs instead of ~30-byte
+      // strings. Grams are per-doc distinct, so a 64-bit collision can
+      // only merge two grams' DF counts (P ≈ G²/2⁶⁴ — negligible; the
+      // sf0.01 oracle hash confirms no effect at verify scale).
       val grams = Tables.documents(s, dir).select(col("doc_id"),
         explode(array_distinct(graft.functions.TextNgrams.word_ngrams(
           lower(trim(col("text"))), lit(5)))).as("g"))
-      val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      grams.join(dfreq, Seq("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      grams.join(dfreq, Seq("gh"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))

