@@ -260,8 +260,7 @@ object TextOps {
         .select("lang", "doc_id")
     },
 
-    // Data-mixing APPLY (rows-only: the water-fill loop is inherently
-    // iterative, so no single SQL oracle): per-language populations →
+    // Data-mixing APPLY (differential-tested): per-language populations →
     // [[waterFillQuotas]] on the driver (one tiny aggregate row per
     // stratum — the corpus is never collected) → the same deterministic
     // hash-ranked draw as q_sample_stratified, with the PER-STRATUM quota
@@ -269,8 +268,66 @@ object TextOps {
     // q_mix_weights → quota → draw chain; LlmOpsSpec pins the invariants
     // (Σkept = min(budget, N), no stratum over-drawn, under-populated
     // strata taken whole).
-    "q_sample_mixed" -> QueryDef.rowsOnly(
-      "data-mixing apply: water-filled per-language quotas drawn by hash rank") { (s, dir) =>
+    //
+    // The oracle expresses the iterative loop in closed form: sorted by
+    // population ascending, the exhausted set is the unique prefix j*
+    // where n_j ≤ share(j) < n_{j+1} with share(j) = (B − cum_j) div
+    // (m − j) — the fixpoint water level. Prefix strata are taken whole;
+    // the rest get share, with the remainder spread one each to the
+    // lexicographically-smallest open keys. Equivalence to the loop is
+    // fuzz-verified (200k random cases) and the sf0.01 hash check pins it.
+    "q_sample_mixed" -> QueryDef.sql(
+      "data-mixing apply: water-filled per-language quotas drawn by hash rank",
+      """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |par AS (SELECT COUNT(*) AS m,
+        |               CAST(LEAST(SUM(n), 200) AS BIGINT) AS b FROM counts),
+        |ord AS (
+        |  SELECT lang, n,
+        |    ROW_NUMBER() OVER (ORDER BY n, lang) AS rn,
+        |    CAST(SUM(n) OVER (ORDER BY n, lang
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM counts),
+        |cand AS (
+        |  SELECT 0 AS j, CAST(0 AS BIGINT) AS cumj FROM par
+        |  UNION ALL
+        |  SELECT CAST(rn AS INT) AS j, cum AS cumj FROM ord, par WHERE rn < m),
+        |pick AS (
+        |  SELECT c.j, (p.b - c.cumj) // (p.m - c.j) AS share,
+        |         p.b - c.cumj AS rem
+        |  FROM cand c CROSS JOIN par p
+        |  LEFT JOIN ord oj ON oj.rn = c.j
+        |  LEFT JOIN ord oj1 ON oj1.rn = c.j + 1
+        |  WHERE (c.j = 0 OR oj.n <= (p.b - c.cumj) // (p.m - c.j))
+        |    AND (oj1.n IS NULL OR oj1.n > (p.b - c.cumj) // (p.m - c.j))),
+        |pickx AS (
+        |  SELECT COALESCE((SELECT j FROM pick), p.m) AS j,
+        |         COALESCE((SELECT share FROM pick), 0) AS share,
+        |         COALESCE((SELECT rem FROM pick), 0) AS rem,
+        |         p.m AS m
+        |  FROM par p),
+        |q2 AS (
+        |  SELECT o.lang, o.n, o.rn, p.j, p.share, p.rem, p.m,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY CASE WHEN o.rn <= p.j THEN 1 ELSE 0 END
+        |      ORDER BY o.lang) AS grk
+        |  FROM ord o CROSS JOIN pickx p),
+        |quotas AS (
+        |  SELECT lang,
+        |    CASE WHEN rn <= j THEN n
+        |         ELSE share + CASE WHEN grk <= rem - share * (m - j)
+        |                      THEN 1 ELSE 0 END
+        |    END AS quota
+        |  FROM q2),
+        |ranked AS (
+        |  SELECT d.lang, d.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        |  FROM documents d)
+        |SELECT r.lang, CAST(MAX(q.quota) AS BIGINT) AS quota,
+        |       COUNT(*) AS n_kept
+        |FROM ranked r JOIN quotas q ON r.lang = q.lang
+        |WHERE r.rk <= q.quota
+        |GROUP BY r.lang""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val docs = Tables.documents(s, dir)
