@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dispatch-table checks for the root CLI (reference cmd/main.go:15-30);
+  * the end-to-end `Main merge --demo` path is exercised by MergeJobSpec's
+  * job-level coverage plus the README-documented manual run. */
+class MainSpec extends AnyFunSuite {
+
+  private def target(args: String*): Option[String] =
+    Main.route(args.toList).map(_._1)
+
+  test("subcommands route to the matching job main") {
+    assert(target("collect") == Some("StreamDemo"))
+    assert(target("merge", "a.csv", "b.csv", "out") == Some("MergeJob"))
+    assert(target("merge", "--demo", "out") == Some("MergeJob"))
+    assert(target("merge", "sourcelog", "g", "out") == Some("SourcelogMergeJob"))
+    assert(target("merge", "trash", "g", "out") == Some("TrashMergeJob"))
+    assert(target("analyze", "dir", "f") == Some("AnalyzeJob"))
+    assert(target("corpus", "d", "o") == Some("CorpusBuildJob"))
+    assert(target("website") == None)
+  }
+
+  test("dispatch consumes the command words, passes the rest through") {
+    assert(Main.consumed(List("merge", "sourcelog", "g", "o")) == 2)
+    assert(Main.consumed(List("merge", "trash", "g", "o")) == 2)
+    assert(Main.consumed(List("merge", "a", "b", "o")) == 1)
+    assert(Main.consumed(List("analyze", "d", "f")) == 1)
+  }
+}
