@@ -35,6 +35,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *  - The spool file sequence resumes after the largest existing file on
   *    restart, so an old spool is never overwritten (the file source
   *    tracks seen files by name — replacing one would lose BOTH copies).
+  *
+  * With `ws = true` the connector speaks RFC 6455 over the same socket —
+  * opening handshake (key/accept validation), frame decode with
+  * fragmentation reassembly, ping→pong, close confirmation — via
+  * [[WsFraming]], so S6/S7 cover the actual wire protocol the reference's
+  * feed endpoints push (collector/node_conn.go:87-101 reads the same
+  * frames through its websocket library). One WS text message = one
+  * spooled envelope record. A protocol error or a frame truncated by a
+  * drop tears the connection down and redials — wire loss, same policy
+  * as a torn line.
   */
 final class FeedConnector(
     host: String,
@@ -44,7 +54,9 @@ final class FeedConnector(
     baseBackoffMs: Long = 50,
     maxBackoffMs: Long = 2000,
     flushEvery: Int = 64,
-    soTimeoutMs: Int = 200) {
+    soTimeoutMs: Int = 200,
+    ws: Boolean = false,
+    wsPath: String = "/ws") {
 
   @volatile private var stopped = false
   /** Observability for specs/ops: successful dials and lines spooled. */
@@ -97,31 +109,80 @@ final class FeedConnector(
         try {
           sock.connect(new java.net.InetSocketAddress(host, port), 2000)
           sock.setSoTimeout(soTimeoutMs)
-          dialed = true
-          connects += 1
-          backoff = baseBackoffMs // reset once the endpoint answers
-          partial.reset() // a new connection starts a new message stream
           val in = sock.getInputStream
           var eof = false
-          while (!stopped && !eof) {
-            try {
-              val n = in.read(buf)
-              if (n < 0) eof = true
-              else {
-                var i = 0
-                while (i < n) {
-                  val b = buf(i)
-                  if (b == '\n') emitPartialLine()
-                  else if (b != '\r') partial.write(b.toInt)
-                  i += 1
+          if (ws) {
+            // RFC 6455 opening handshake happens BEFORE the connection
+            // counts as dialed: an endpoint that won't upgrade is a
+            // failing endpoint, so the backoff keeps growing
+            val out = sock.getOutputStream
+            val key = WsFraming.newKey()
+            out.write(WsFraming.handshakeRequest(host, port, wsPath, key))
+            out.flush()
+            val leftover = readHandshake(in, key)
+            dialed = true
+            connects += 1
+            backoff = baseBackoffMs
+            val dec = new WsFraming.Decoder
+            def handle(events: Seq[WsFraming.Event]): Unit = events.foreach {
+              case WsFraming.Message(text) =>
+                // one WS message = one envelope record; raw newlines are
+                // invalid inside a JSON envelope, so normalizing keeps the
+                // spool line-oriented without corrupting valid messages
+                val rec = text.replace('\r', ' ').replace('\n', ' ')
+                if (rec.nonEmpty) { batch += rec; linesReceived += 1 }
+              case WsFraming.Ping(p) =>
+                out.write(WsFraming.encodeFrame(WsFraming.OpPong, p, masked = true))
+                out.flush()
+              case WsFraming.Pong(_) =>
+              case WsFraming.Close =>
+                try {
+                  out.write(WsFraming.encodeFrame(WsFraming.OpClose,
+                    Array.emptyByteArray, masked = true))
+                  out.flush()
+                } catch { case _: java.io.IOException => }
+                eof = true
+            }
+            if (leftover.nonEmpty) handle(dec.feed(leftover, leftover.length))
+            while (!stopped && !eof) {
+              try {
+                val n = in.read(buf)
+                if (n < 0) eof = true
+                else {
+                  handle(dec.feed(buf, n))
+                  if (batch.size >= flushEvery) flushBatch()
                 }
-                if (batch.size >= flushEvery) flushBatch()
+              } catch {
+                // read-timeout tick: a partial frame stays buffered in the
+                // decoder byte-exact, complete messages flush
+                case _: java.net.SocketTimeoutException => flushBatch()
               }
-            } catch {
-              // read-timeout tick: nothing arrived for soTimeoutMs — push
-              // whatever COMPLETE lines are buffered (the partial line
-              // stays buffered byte-exact until its newline arrives)
-              case _: java.net.SocketTimeoutException => flushBatch()
+            }
+          } else {
+            dialed = true
+            connects += 1
+            backoff = baseBackoffMs // reset once the endpoint answers
+            partial.reset() // a new connection starts a new message stream
+            while (!stopped && !eof) {
+              try {
+                val n = in.read(buf)
+                if (n < 0) eof = true
+                else {
+                  var i = 0
+                  while (i < n) {
+                    val b = buf(i)
+                    if (b == '\n') emitPartialLine()
+                    else if (b != '\r') partial.write(b.toInt)
+                    i += 1
+                  }
+                  if (batch.size >= flushEvery) flushBatch()
+                }
+              } catch {
+                // read-timeout tick: nothing arrived for soTimeoutMs — push
+                // whatever COMPLETE lines are buffered (the partial line
+                // stays buffered byte-exact until its newline arrives)
+                case _: java.net.SocketTimeoutException => flushBatch()
+              }
             }
           }
         } finally sock.close()
@@ -148,6 +209,46 @@ final class FeedConnector(
     // interrupt cannot abort the write via ClosedByInterruptException
     Thread.interrupted()
     flushBatch()
+  }
+
+  /** Read + validate the server's 101 upgrade response (bounded: 5 s
+    * deadline, 64 KiB header cap); returns any bytes past the header
+    * terminator — frames the server pushed immediately after upgrading.
+    * Throws IOException on rejection/timeout so the dial counts as
+    * failed and the backoff grows. */
+  private def readHandshake(in: java.io.InputStream, key: String): Array[Byte] = {
+    val deadline = System.nanoTime() + 5000L * 1000000L
+    val acc = new java.io.ByteArrayOutputStream
+    val b = new Array[Byte](2048)
+    while (!stopped && System.nanoTime() < deadline) {
+      val n = try in.read(b) catch { case _: java.net.SocketTimeoutException => 0 }
+      if (n < 0) throw new java.io.IOException("closed during ws handshake")
+      if (n > 0) {
+        acc.write(b, 0, n)
+        val bytes = acc.toByteArray
+        val end = headerEnd(bytes)
+        if (end >= 0) {
+          val head = new String(bytes, 0, end, StandardCharsets.US_ASCII)
+          if (!WsFraming.validateHandshake(head, key))
+            throw new java.io.IOException("ws handshake rejected")
+          return java.util.Arrays.copyOfRange(bytes, end + 4, bytes.length)
+        }
+        if (acc.size > 65536)
+          throw new java.io.IOException("ws handshake header too large")
+      }
+    }
+    throw new java.io.IOException("ws handshake timeout")
+  }
+
+  /** Index of the \r\n\r\n header terminator, or -1. */
+  private def headerEnd(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
   }
 
   /** First unused spool sequence number for this tag (restart-safe). */

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TxFixtures
-import graft.streaming.{Collect, FeedConnector}
+import graft.streaming.{Collect, FeedConnector, WsFraming}
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -182,6 +182,159 @@ class CollectStreamSpec extends AnyFunSuite {
     val got = spark.read.text(spool).collect().map(_.getString(0)).filter(_.nonEmpty).toSet
     assert(got == Set(preexisting, line2),
       "restart overwrote an existing spool file")
+  }
+
+  /** Server half of the RFC 6455 opening handshake for loopback WS specs:
+    * accept, read the upgrade request, answer 101 with the computed
+    * Sec-WebSocket-Accept, return the upgraded socket. */
+  private def wsAccept(server: java.net.ServerSocket): java.net.Socket = {
+    val sock = server.accept()
+    val in = sock.getInputStream
+    val acc = new java.io.ByteArrayOutputStream
+    var done = false
+    while (!done) {
+      val c = in.read()
+      if (c < 0) done = true
+      else {
+        acc.write(c)
+        val b = acc.toByteArray
+        if (b.length >= 4 && b(b.length - 4) == '\r' && b(b.length - 3) == '\n' &&
+          b(b.length - 2) == '\r' && b(b.length - 1) == '\n') done = true
+      }
+    }
+    val req = new String(acc.toByteArray, "US-ASCII")
+    val key = req.split("\r\n")
+      .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+      .map(_.split(":", 2)(1).trim)
+      .getOrElse(fail("upgrade request carried no Sec-WebSocket-Key"))
+    sock.getOutputStream.write(
+      ("HTTP/1.1 101 Switching Protocols\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        s"Sec-WebSocket-Accept: ${WsFraming.acceptKey(key)}\r\n\r\n").getBytes("US-ASCII"))
+    sock.getOutputStream.flush()
+    sock
+  }
+
+  test("S6/S7: ws client speaks RFC 6455 — handshake, fragments, ping, split frames") {
+    val lines = envelopeLines(6) // 6 txs + the 3 junk shapes = 9 messages
+    @volatile var gotPong = false
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      try {
+        val sock = wsAccept(server)
+        val out = sock.getOutputStream
+        def text(s: String, fin: Boolean = true, op: Int = WsFraming.OpText): Unit = {
+          out.write(WsFraming.encodeFrame(op, s.getBytes("UTF-8"), masked = false, fin = fin))
+          out.flush()
+        }
+        text(lines(0))
+        // fragmented message with a ping interleaved between the fragments
+        val (h1, h2) = lines(1).splitAt(lines(1).length / 2)
+        text(h1, fin = false)
+        out.write(WsFraming.encodeFrame(WsFraming.OpPing, "hb".getBytes("UTF-8"), masked = false))
+        out.flush()
+        text(h2, op = WsFraming.OpContinuation)
+        // one frame's bytes split across TCP writes with a pause >> soTimeout
+        val f = WsFraming.encodeFrame(WsFraming.OpText, lines(2).getBytes("UTF-8"), masked = false)
+        out.write(f, 0, f.length / 2); out.flush()
+        Thread.sleep(300)
+        out.write(f, f.length / 2, f.length - f.length / 2); out.flush()
+        lines.drop(3).foreach(text(_))
+        // the client must have answered the ping with a (masked) pong
+        val dec = new WsFraming.Decoder
+        val buf = new Array[Byte](1024)
+        val deadline = System.nanoTime() + 10000000000L
+        while (!gotPong && System.nanoTime() < deadline) {
+          val n = in2(sock).read(buf)
+          if (n > 0 && dec.feed(buf, n).exists {
+            case WsFraming.Pong(p) => new String(p, "UTF-8") == "hb"
+            case _ => false
+          }) gotPong = true
+        }
+        Thread.sleep(30000)
+      } catch { case _: Throwable => }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val spool = Files.createTempDirectory("graft-spool-ws").toString
+    val conn = new FeedConnector("127.0.0.1", server.getLocalPort, spool, "blx",
+      soTimeoutMs = 50, ws = true).start()
+    try {
+      val deadline = System.nanoTime() + 15000000000L
+      while ((conn.linesReceived < lines.length || !gotPong) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(conn.linesReceived == lines.length)
+      assert(gotPong, "client never answered the server ping")
+      assert(conn.connects == 1)
+    } finally { conn.stop(); server.close() }
+    val got = spark.read.text(spool).collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(got.toSet == lines.toSet,
+      "WS-framed records differ from the lines the server framed")
+
+    // decode parity: the WS spool flows through the same envelope decode
+    // as the file feed and yields identical engine rows
+    val fileDir = Files.createTempDirectory("graft-ws-parity").toString
+    Files.writeString(java.nio.file.Paths.get(s"$fileDir/envelopes.json"),
+      lines.mkString("\n"))
+    def decoded(dir: String) = Collect.decodeEnvelopes(
+      spark.read.schema(Collect.envelopeFeedSchema).json(dir))
+      .collect().map(_.toString).toSet
+    assert(decoded(spool) == decoded(fileDir))
+  }
+
+  // the server-side pong probe reads the client's masked frames off the
+  // same upgraded socket
+  private def in2(sock: java.net.Socket): java.io.InputStream = sock.getInputStream
+
+  test("S6/S7: ws client reconnects after a drop and a rejected upgrade backs off") {
+    val lines = envelopeLines(4)
+    val (first, rest) = lines.splitAt(3)
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var accepts = 0
+    val feeder = new Thread(() => {
+      try {
+        // connection 1: upgrade, serve a prefix, drop mid-stream
+        val s1 = wsAccept(server); accepts += 1
+        first.foreach { l =>
+          s1.getOutputStream.write(
+            WsFraming.encodeFrame(WsFraming.OpText, l.getBytes("UTF-8"), masked = false))
+        }
+        s1.getOutputStream.flush()
+        Thread.sleep(200)
+        s1.close() // hard drop, no close frame — wire loss
+        // connection 2: NOT a websocket — reject the upgrade
+        val s2 = server.accept(); accepts += 1
+        s2.getOutputStream.write("HTTP/1.1 403 Forbidden\r\n\r\n".getBytes("US-ASCII"))
+        s2.getOutputStream.flush()
+        s2.close()
+        // connection 3: upgrade again, serve the tail
+        val s3 = wsAccept(server); accepts += 1
+        rest.foreach { l =>
+          s3.getOutputStream.write(
+            WsFraming.encodeFrame(WsFraming.OpText, l.getBytes("UTF-8"), masked = false))
+        }
+        s3.getOutputStream.flush()
+        Thread.sleep(30000)
+      } catch { case _: Throwable => }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val spool = Files.createTempDirectory("graft-spool-ws-rc").toString
+    val conn = new FeedConnector("127.0.0.1", server.getLocalPort, spool, "blx",
+      soTimeoutMs = 50, ws = true).start()
+    try {
+      val deadline = System.nanoTime() + 20000000000L
+      while (conn.linesReceived < lines.length && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(conn.linesReceived == lines.length)
+      // dialed twice successfully; the rejected upgrade never counted
+      assert(conn.connects == 2, s"connects=${conn.connects}")
+      assert(accepts == 3)
+    } finally { conn.stop(); server.close() }
+    val got = spark.read.text(spool).collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(got.toSet == lines.toSet)
   }
 
   // a geth/alchemy-style tx OBJECT envelope rebuilt from the fixture's
