@@ -36,15 +36,27 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    restart, so an old spool is never overwritten (the file source
   *    tracks seen files by name — replacing one would lose BOTH copies).
   *
-  * With `ws = true` the connector speaks RFC 6455 over the same socket —
-  * opening handshake (key/accept validation), frame decode with
-  * fragmentation reassembly, ping→pong, close confirmation — via
-  * [[WsFraming]], so S6/S7 cover the actual wire protocol the reference's
-  * feed endpoints push (collector/node_conn.go:87-101 reads the same
-  * frames through its websocket library). One WS text message = one
-  * spooled envelope record. A protocol error or a frame truncated by a
-  * drop tears the connection down and redials — wire loss, same policy
-  * as a torn line.
+  * The wire protocol is pluggable ([[FeedConnector.Mode]]), sharing the
+  * dial/backoff/spool plumbing:
+  *
+  *  - [[FeedConnector.Line]] — newline-delimited records (the raw-socket
+  *    baseline).
+  *  - [[FeedConnector.Ws]] — RFC 6455: opening handshake (key/accept
+  *    validation), frame decode with fragmentation reassembly, ping→pong,
+  *    close confirmation, via [[WsFraming]] — S6/S7's actual wire protocol
+  *    (collector/node_conn.go:87-101 reads the same frames through its
+  *    websocket library). One text message = one spooled envelope record.
+  *  - [[FeedConnector.Grpc]] — gRPC server-streaming over HTTP/2 via
+  *    [[H2Framing]]: preface/SETTINGS exchange, subscribe HEADERS + empty
+  *    request message, DATA→gRPC-deframe, ping acks, flow-control window
+  *    updates — S8-S10's transport (node_conn_bloxroute.go:210-267,
+  *    node_conn_eden.go:208-263, node_conn_chainbound.go:53-112). One gRPC
+  *    message = one spooled envelope record; the per-source protobuf body
+  *    decode is the documented stub boundary (see [[H2Framing]]).
+  *
+  * In every mode a protocol error or a record truncated by a drop tears
+  * the connection down and redials — wire loss, same policy as a torn
+  * line.
   */
 final class FeedConnector(
     host: String,
@@ -55,8 +67,7 @@ final class FeedConnector(
     maxBackoffMs: Long = 2000,
     flushEvery: Int = 64,
     soTimeoutMs: Int = 200,
-    ws: Boolean = false,
-    wsPath: String = "/ws") {
+    mode: FeedConnector.Mode = FeedConnector.Line) {
 
   @volatile private var stopped = false
   /** Observability for specs/ops: successful dials and lines spooled. */
@@ -111,7 +122,8 @@ final class FeedConnector(
           sock.setSoTimeout(soTimeoutMs)
           val in = sock.getInputStream
           var eof = false
-          if (ws) {
+          mode match {
+          case FeedConnector.Ws(wsPath) =>
             // RFC 6455 opening handshake happens BEFORE the connection
             // counts as dialed: an endpoint that won't upgrade is a
             // failing endpoint, so the backoff keeps growing
@@ -158,7 +170,85 @@ final class FeedConnector(
                 case _: java.net.SocketTimeoutException => flushBatch()
               }
             }
-          } else {
+          case FeedConnector.Grpc(path) =>
+            // h2 preface + our (empty) SETTINGS + the subscribe stream:
+            // HEADERS then an empty request message with END_STREAM — a
+            // server-streaming RPC half-closed from our side
+            val out = sock.getOutputStream
+            out.write(H2Framing.Preface)
+            out.write(H2Framing.encodeFrame(H2Framing.TSettings, 0, 0,
+              Array.emptyByteArray))
+            out.write(H2Framing.encodeFrame(H2Framing.THeaders,
+              H2Framing.FlagEndHeaders, 1,
+              H2Framing.requestHeaderBlock(s"$host:$port", path)))
+            out.write(H2Framing.encodeFrame(H2Framing.TData,
+              H2Framing.FlagEndStream, 1,
+              H2Framing.grpcMessage(Array.emptyByteArray)))
+            out.flush()
+            val frames = new H2Framing.FrameDecoder
+            val grpc = new H2Framing.GrpcDeframer
+            def handle(fs: Seq[H2Framing.Frame]): Unit = fs.foreach { f =>
+              f.tpe match {
+                case H2Framing.TSettings =>
+                  if ((f.flags & H2Framing.FlagAck) == 0) {
+                    if (!dialed) {
+                      // the endpoint speaks h2: NOW the dial succeeded
+                      dialed = true
+                      connects += 1
+                      backoff = baseBackoffMs
+                    }
+                    out.write(H2Framing.encodeFrame(H2Framing.TSettings,
+                      H2Framing.FlagAck, 0, Array.emptyByteArray))
+                    out.flush()
+                  }
+                case H2Framing.TPing =>
+                  if ((f.flags & H2Framing.FlagAck) == 0) {
+                    out.write(H2Framing.encodeFrame(H2Framing.TPing,
+                      H2Framing.FlagAck, 0, f.payload))
+                    out.flush()
+                  }
+                case H2Framing.TData if f.streamId == 1 =>
+                  grpc.feed(f.payload).foreach { msg =>
+                    val rec = new String(msg, StandardCharsets.UTF_8)
+                      .replace('\r', ' ').replace('\n', ' ')
+                    if (rec.nonEmpty) { batch += rec; linesReceived += 1 }
+                  }
+                  // flow control: hand the consumed bytes back on both the
+                  // connection and stream windows so the server can keep
+                  // pushing past the 64 KiB initial window
+                  if (f.payload.nonEmpty) {
+                    val inc = f.payload.length
+                    val wu = Array[Byte](((inc >> 24) & 0x7F).toByte,
+                      ((inc >> 16) & 0xFF).toByte, ((inc >> 8) & 0xFF).toByte,
+                      (inc & 0xFF).toByte)
+                    out.write(H2Framing.encodeFrame(H2Framing.TWindowUpdate, 0, 0, wu))
+                    out.write(H2Framing.encodeFrame(H2Framing.TWindowUpdate, 0, 1, wu))
+                    out.flush()
+                  }
+                  if ((f.flags & H2Framing.FlagEndStream) != 0) eof = true
+                case H2Framing.THeaders =>
+                  // response headers open the stream (HPACK payload not
+                  // decoded — stub boundary); trailers end the rpc
+                  if ((f.flags & H2Framing.FlagEndStream) != 0) eof = true
+                case H2Framing.TGoAway | H2Framing.TRstStream => eof = true
+                case _ => // PRIORITY / unknown extension frames: ignored
+              }
+            }
+            while (!stopped && !eof) {
+              try {
+                val n = in.read(buf)
+                if (n < 0) eof = true
+                else {
+                  handle(frames.feed(buf, n))
+                  if (batch.size >= flushEvery) flushBatch()
+                }
+              } catch {
+                // read-timeout tick: partial frames stay buffered byte-exact
+                case _: java.net.SocketTimeoutException => flushBatch()
+              }
+            }
+
+          case FeedConnector.Line =>
             dialed = true
             connects += 1
             backoff = baseBackoffMs // reset once the endpoint answers
@@ -270,4 +360,15 @@ final class FeedConnector(
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
     seq + 1
   }
+}
+
+object FeedConnector {
+  /** Wire protocol spoken after the TCP dial. */
+  sealed trait Mode
+  /** Newline-delimited records (raw-socket baseline). */
+  case object Line extends Mode
+  /** RFC 6455 WebSocket — S6/S7 (geth/Infura/Alchemy push feeds). */
+  final case class Ws(path: String = "/ws") extends Mode
+  /** gRPC server-streaming over HTTP/2 — S8-S10 (bloXroute/Eden/Chainbound). */
+  final case class Grpc(path: String = "/feed.Feed/Subscribe") extends Mode
 }

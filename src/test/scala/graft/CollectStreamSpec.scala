@@ -259,7 +259,7 @@ class CollectStreamSpec extends AnyFunSuite {
     feeder.start()
     val spool = Files.createTempDirectory("graft-spool-ws").toString
     val conn = new FeedConnector("127.0.0.1", server.getLocalPort, spool, "blx",
-      soTimeoutMs = 50, ws = true).start()
+      soTimeoutMs = 50, mode = FeedConnector.Ws()).start()
     try {
       val deadline = System.nanoTime() + 15000000000L
       while ((conn.linesReceived < lines.length || !gotPong) &&
@@ -323,7 +323,7 @@ class CollectStreamSpec extends AnyFunSuite {
     feeder.start()
     val spool = Files.createTempDirectory("graft-spool-ws-rc").toString
     val conn = new FeedConnector("127.0.0.1", server.getLocalPort, spool, "blx",
-      soTimeoutMs = 50, ws = true).start()
+      soTimeoutMs = 50, mode = FeedConnector.Ws()).start()
     try {
       val deadline = System.nanoTime() + 20000000000L
       while (conn.linesReceived < lines.length && System.nanoTime() < deadline)
@@ -332,6 +332,165 @@ class CollectStreamSpec extends AnyFunSuite {
       // dialed twice successfully; the rejected upgrade never counted
       assert(conn.connects == 2, s"connects=${conn.connects}")
       assert(accepts == 3)
+    } finally { conn.stop(); server.close() }
+    val got = spark.read.text(spool).collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(got.toSet == lines.toSet)
+  }
+
+  /** Server half of the h2/gRPC subscribe for loopback specs: read the
+    * client preface, exchange SETTINGS, require the subscribe HEADERS and
+    * half-close DATA on stream 1, answer with response HEADERS. Returns
+    * the upgraded socket + the server-side frame decoder (which may have
+    * already buffered client frames). */
+  private def h2Accept(server: java.net.ServerSocket): (java.net.Socket, graft.streaming.H2Framing.FrameDecoder) = {
+    import graft.streaming.H2Framing
+    val sock = server.accept()
+    val in = sock.getInputStream
+    val out = sock.getOutputStream
+    val pre = in.readNBytes(H2Framing.Preface.length)
+    assert(java.util.Arrays.equals(pre, H2Framing.Preface), "bad h2 preface")
+    out.write(H2Framing.encodeFrame(H2Framing.TSettings, 0, 0, Array.emptyByteArray))
+    out.flush()
+    val dec = new H2Framing.FrameDecoder
+    val buf = new Array[Byte](4096)
+    var settings = false; var headers = false; var halfClosed = false
+    while (!(settings && headers && halfClosed)) {
+      val n = in.read(buf)
+      assert(n >= 0, "client left during h2 setup")
+      dec.feed(buf, n).foreach { f =>
+        f.tpe match {
+          case H2Framing.TSettings if (f.flags & H2Framing.FlagAck) == 0 =>
+            settings = true
+            out.write(H2Framing.encodeFrame(H2Framing.TSettings,
+              H2Framing.FlagAck, 0, Array.emptyByteArray))
+            out.flush()
+          case H2Framing.THeaders if f.streamId == 1 => headers = true
+          case H2Framing.TData if f.streamId == 1 &&
+            (f.flags & H2Framing.FlagEndStream) != 0 => halfClosed = true
+          case _ =>
+        }
+      }
+    }
+    out.write(H2Framing.encodeFrame(H2Framing.THeaders, H2Framing.FlagEndHeaders,
+      1, H2Framing.hpackLiteral(":status", "200")))
+    out.flush()
+    (sock, dec)
+  }
+
+  test("S8-S10: grpc client streams over h2 — subscribe, deframe, ping ack, flow control") {
+    import graft.streaming.H2Framing
+    val lines = envelopeLines(6) // 6 txs + 3 junk shapes = 9 messages
+    @volatile var gotPingAck = false
+    @volatile var windowReturned = 0L
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      try {
+        val (sock, dec) = h2Accept(server)
+        val in = sock.getInputStream
+        val out = sock.getOutputStream
+        def data(bytes: Array[Byte]): Unit = {
+          out.write(H2Framing.encodeFrame(H2Framing.TData, 0, 1, bytes)); out.flush()
+        }
+        val m = lines.map(l => H2Framing.grpcMessage(l.getBytes("UTF-8")))
+        // two messages coalesced into one DATA frame
+        data(m(0) ++ m(1))
+        // one message split across two DATA frames, a ping in between
+        data(m(2).take(7))
+        out.write(H2Framing.encodeFrame(H2Framing.TPing, 0, 0, Array.fill(8)(7.toByte)))
+        out.flush()
+        data(m(2).drop(7))
+        // one DATA frame's bytes split across TCP writes, pause >> soTimeout
+        val f3 = H2Framing.encodeFrame(H2Framing.TData, 0, 1, m(3))
+        out.write(f3, 0, f3.length / 2); out.flush()
+        Thread.sleep(300)
+        out.write(f3, f3.length / 2, f3.length - f3.length / 2); out.flush()
+        data(m.drop(4).reduce(_ ++ _))
+        val sent = m.map(_.length.toLong).sum
+        // the client must ack the ping and hand the window back
+        val buf = new Array[Byte](4096)
+        val deadline = System.nanoTime() + 15000000000L
+        while ((!gotPingAck || windowReturned < sent) && System.nanoTime() < deadline) {
+          val n = in.read(buf)
+          if (n > 0) dec.feed(buf, n).foreach { f =>
+            if (f.tpe == H2Framing.TPing && (f.flags & H2Framing.FlagAck) != 0 &&
+              f.payload.forall(_ == 7)) gotPingAck = true
+            if (f.tpe == H2Framing.TWindowUpdate && f.streamId == 0)
+              windowReturned += ((f.payload(0) & 0x7F) << 24) |
+                ((f.payload(1) & 0xFF) << 16) | ((f.payload(2) & 0xFF) << 8) |
+                (f.payload(3) & 0xFF)
+          }
+        }
+        Thread.sleep(30000)
+      } catch { case _: Throwable => }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val spool = Files.createTempDirectory("graft-spool-grpc").toString
+    val conn = new FeedConnector("127.0.0.1", server.getLocalPort, spool, "blx",
+      soTimeoutMs = 50, mode = FeedConnector.Grpc()).start()
+    try {
+      val deadline = System.nanoTime() + 20000000000L
+      while ((conn.linesReceived < lines.length || !gotPingAck) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(conn.linesReceived == lines.length)
+      assert(gotPingAck, "client never acked the h2 ping")
+      assert(windowReturned > 0, "client returned no flow-control window")
+      assert(conn.connects == 1)
+    } finally { conn.stop(); server.close() }
+    val got = spark.read.text(spool).collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(got.toSet == lines.toSet,
+      "grpc-streamed records differ from the messages the server framed")
+
+    // decode parity: the grpc spool flows through the same envelope decode
+    // as the file feed and yields identical engine rows
+    val fileDir = Files.createTempDirectory("graft-grpc-parity").toString
+    Files.writeString(java.nio.file.Paths.get(s"$fileDir/envelopes.json"),
+      lines.mkString("\n"))
+    def decoded(dir: String) = Collect.decodeEnvelopes(
+      spark.read.schema(Collect.envelopeFeedSchema).json(dir))
+      .collect().map(_.toString).toSet
+    assert(decoded(spool) == decoded(fileDir))
+  }
+
+  test("S8-S10: grpc client redials after GOAWAY and resumes the subscription") {
+    import graft.streaming.H2Framing
+    val lines = envelopeLines(4)
+    val (first, rest) = lines.splitAt(3)
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      try {
+        // connection 1: serve a prefix, then GOAWAY (graceful shutdown)
+        val (s1, _) = h2Accept(server)
+        first.foreach { l =>
+          s1.getOutputStream.write(H2Framing.encodeFrame(H2Framing.TData, 0, 1,
+            H2Framing.grpcMessage(l.getBytes("UTF-8"))))
+        }
+        s1.getOutputStream.write(H2Framing.encodeFrame(H2Framing.TGoAway, 0, 0,
+          new Array[Byte](8)))
+        s1.getOutputStream.flush()
+        // connection 2: full setup again, serve the tail
+        val (s2, _) = h2Accept(server)
+        rest.foreach { l =>
+          s2.getOutputStream.write(H2Framing.encodeFrame(H2Framing.TData, 0, 1,
+            H2Framing.grpcMessage(l.getBytes("UTF-8"))))
+        }
+        s2.getOutputStream.flush()
+        Thread.sleep(30000)
+      } catch { case _: Throwable => }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val spool = Files.createTempDirectory("graft-spool-grpc-rc").toString
+    val conn = new FeedConnector("127.0.0.1", server.getLocalPort, spool, "blx",
+      soTimeoutMs = 50, mode = FeedConnector.Grpc()).start()
+    try {
+      val deadline = System.nanoTime() + 20000000000L
+      while (conn.linesReceived < lines.length && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(conn.linesReceived == lines.length)
+      assert(conn.connects == 2, s"connects=${conn.connects}")
     } finally { conn.stop(); server.close() }
     val got = spark.read.text(spool).collect().map(_.getString(0)).filter(_.nonEmpty)
     assert(got.toSet == lines.toSet)
