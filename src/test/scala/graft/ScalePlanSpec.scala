@@ -165,6 +165,20 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
   }
 
+  test("corpus-scaled SemDeDup (derived k > floor) keeps cluster blocking") {
+    // sf0.1 is above the k=8 floor, so this exercises the sample-trained
+    // vec_dot quantizer path — the 100 TB shape
+    val sf01 = "/root/testdata/sf0.1"
+    val n = Tables.embeddings(spark, sf01).count()
+    assert(queries.SimilarityOps.semK(n) > 8, "sf0.1 no longer exercises the scaled path")
+    val plan = finalPlan(SparkEntry.queries("q_dedup_semantic")(spark, sf01))
+    assert(!plan.contains("CartesianProduct"),
+      s"scaled semantic dedup degenerated to all-pairs:\n$plan")
+    // the k×dim centroid table must broadcast (assignment + probe scoring)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"quantizer join did not broadcast:\n$plan")
+  }
+
   test("count-min sketch aggregates partially; no cartesian") {
     val plan = finalPlan(SparkEntry.queries("q_vocab_cms")(spark, sf))
     assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
