@@ -19,7 +19,8 @@ object Main {
     """usage: graft <command> [args]
       |
       |commands:
-      |  collect                                    streaming collector demo
+      |  collect                                    streaming collector demo (fixtures)
+      |  collect <host> <port> <line|ws|grpc> <out> [sec]  collect from a live feed
       |  merge <txCsvGlob> <slGlob> <out> [blGlob]  merge the day's transactions
       |  merge --demo <out>                         merge self-generated fixtures
       |  merge sourcelog <slCsvGlob> <out>          merge the day's sourcelog
@@ -32,7 +33,8 @@ object Main {
     * without spinning a SparkSession or trapping sys.exit. */
   private[graft] def route(args: List[String]): Option[(String, Array[String] => Unit)] =
     args match {
-      case "collect" :: rest             => Some(("StreamDemo", StreamDemo.main _))
+      case "collect" :: Nil              => Some(("StreamDemo", StreamDemo.main _))
+      case "collect" :: _                => Some(("CollectJob", jobs.CollectJob.main _))
       case "merge" :: "sourcelog" :: _   => Some(("SourcelogMergeJob", jobs.SourcelogMergeJob.main _))
       case "merge" :: "trash" :: _       => Some(("TrashMergeJob", jobs.TrashMergeJob.main _))
       case "merge" :: _                  => Some(("MergeJob", jobs.MergeJob.main _))

@@ -453,6 +453,61 @@ class CollectStreamSpec extends AnyFunSuite {
     assert(decoded(spool) == decoded(fileDir))
   }
 
+  test("S6/S7 end-to-end: live WS feed → spool → collector pipeline → sinks") {
+    val lines = envelopeLines(30) // 30 txs + 3 junk shapes
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      try {
+        val sock = wsAccept(server)
+        val out = sock.getOutputStream
+        lines.foreach { l =>
+          out.write(WsFraming.encodeFrame(WsFraming.OpText,
+            l.getBytes("UTF-8"), masked = false))
+        }
+        out.flush()
+        Thread.sleep(30000)
+      } catch { case _: Throwable => }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val outDir = Files.createTempDirectory("graft-collectjob").toString
+    val spool = s"$outDir/_spool"
+    val (conn, queries) = jobs.CollectJob.start(spark, "127.0.0.1",
+      server.getLocalPort, FeedConnector.Ws(), spool, outDir,
+      Trigger.ProcessingTime(100))
+    try {
+      val deadline = System.nanoTime() + 20000000000L
+      while (conn.linesReceived < lines.length && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(conn.linesReceived == lines.length)
+      // stop() final-flushes the spool, so everything received is on disk
+      // BEFORE the stream drains — without it the last batch can still be
+      // buffered when processAllAvailable lists the directory
+      conn.stop()
+      queries.foreach(_.processAllAvailable())
+      val txs = spark.read.schema(
+        "timestamp_ms LONG, hash STRING, raw_tx_hex STRING, source STRING")
+        .csv(s"$outDir/transactions/*/*/")
+      val trash = spark.read
+        .schema("timestamp_ms LONG, hash STRING, source STRING, reason STRING, notes STRING")
+        .csv(s"$outDir/trash")
+      // every decodable envelope lands exactly once across the split —
+      // the same hash set a batch decode of the same lines produces
+      val fileDir = Files.createTempDirectory("graft-collectjob-exp").toString
+      Files.writeString(java.nio.file.Paths.get(s"$fileDir/envelopes.json"),
+        lines.mkString("\n"))
+      val expected = Collect.decodeEnvelopes(
+        spark.read.schema(Collect.envelopeFeedSchema).json(fileDir))
+        .select("hash").distinct().collect().map(_.getString(0)).toSet
+      val got = txs.select("hash").unionAll(trash.select("hash")).collect()
+        .map(_.getString(0))
+      assert(got.toSet == expected, "pipeline lost or invented envelopes")
+      assert(got.length == got.distinct.length, "a hash crossed the split twice")
+      assert(txs.count() > 0)
+    } finally { conn.stop(); queries.foreach(_.stop()); server.close() }
+  }
+
   test("S8-S10: grpc client redials after GOAWAY and resumes the subscription") {
     import graft.streaming.H2Framing
     val lines = envelopeLines(4)

@@ -12,6 +12,7 @@ class MainSpec extends AnyFunSuite {
 
   test("subcommands route to the matching job main") {
     assert(target("collect") == Some("StreamDemo"))
+    assert(target("collect", "h", "80", "ws", "out") == Some("CollectJob"))
     assert(target("merge", "a.csv", "b.csv", "out") == Some("MergeJob"))
     assert(target("merge", "--demo", "out") == Some("MergeJob"))
     assert(target("merge", "sourcelog", "g", "out") == Some("SourcelogMergeJob"))
