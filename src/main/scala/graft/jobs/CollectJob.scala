@@ -32,6 +32,9 @@ object CollectJob {
       mode: FeedConnector.Mode, spoolDir: String, outDir: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       sourceTag: String = "feed"): (FeedConnector, Seq[StreamingQuery]) = {
+    // the connector only creates the spool on its first flush; the file
+    // source needs the directory to exist when the stream starts
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spoolDir))
     val conn = new FeedConnector(host, port, spoolDir, sourceTag, mode = mode).start()
     val queries = Collect.runEnvelopes(spark, spoolDir, outDir, trigger)
     (conn, queries)
