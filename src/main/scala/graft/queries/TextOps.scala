@@ -79,7 +79,85 @@ object TextOps {
     counts.keys.map(k => k -> out.getOrElse(k, 0L)).toMap
   }
 
+  /** One unrolled BPE-merge round for the q_bpe_train oracle: pair counts
+    * over the sentinel-encoded symbol strings, deterministic top pair
+    * (count desc, pair asc), greedy left-to-right merge via non-overlapping
+    * string replace. Tokens are wrapped `␟tok␟` and concatenated, so the
+    * pair pattern `␟a␟␟b␟` can never match across token boundaries and
+    * adjacent occurrences never share delimiter characters. */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (
+       |  SELECT ts[i] || ' ' || ts[i+1] AS pair
+       |  FROM (SELECT string_split(trim(t, chr(31)), chr(31)||chr(31)) AS ts FROM $prev),
+       |       generate_series(1, 100) g(i)
+       |  WHERE i <= len(ts) - 1),
+       |m$r AS (
+       |  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, pair, n
+       |  FROM (SELECT pair, COUNT(*) AS n FROM p$r GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
+       |w$r AS (
+       |  SELECT replace(t, chr(31)||a||chr(31)||chr(31)||b||chr(31),
+       |                 chr(31)||a||b||chr(31)) AS t
+       |  FROM $prev CROSS JOIN m$r)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // BPE tokenizer TRAINING (differential-tested): the first 3 merge
+    // rules learned from the corpus — per round, one distributed pair
+    // count over the symbol sequences, a deterministic argmax (count
+    // desc, pair asc — a TINY driver-side aggregate, like the water-fill
+    // quotas), and a narrow map applying the merge greedily
+    // left-to-right. Symbols are sentinel-wrapped (`␟tok␟` concatenated)
+    // so the merge is a plain non-overlapping string replace with no
+    // cross-token or shared-boundary matches; Spark and DuckDB replace()
+    // both scan left-to-right, so the rounds agree exactly. At 100 TB:
+    // each round is one scan + one shuffle on the pair key with map-side
+    // partial counts (the pair domain is vocab², heavily skew-concentrated
+    // — the count fits memory long before the scan ends), and you would
+    // checkpoint the symbol column every few rounds to cap lineage.
+    "q_bpe_train" -> QueryDef.sql(
+      "BPE tokenizer training: first 3 merges (pair, merged token, support)",
+      s"""WITH ws AS (
+         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents),
+         |w0 AS (
+         |  SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS t
+         |  FROM ws WHERE length(w) > 0),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)}
+         |SELECT * FROM (
+         |  SELECT 1 AS step, pair, a || b AS merged, CAST(n AS BIGINT) AS n FROM m1
+         |  UNION ALL SELECT 2, pair, a || b, CAST(n AS BIGINT) FROM m2
+         |  UNION ALL SELECT 3, pair, a || b, CAST(n AS BIGINT) FROM m3)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val S = "\u001f" // chr(31) unit separator, absent from the corpus
+      var words = Tables.documents(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(regexp_replace(col("w"), "(.)", S + "$1" + S).as("t"))
+        .cache()
+      val learned = (1 to 3).map { step =>
+        // pair extraction rides the native codegen word_ngrams over the
+        // single-space form (tokens cannot contain spaces)
+        val sym = call_function("replace",
+          trim(col("t"), S), lit(S + S), lit(" "))
+        val top = words
+          .select(explode(graft.functions.TextNgrams.word_ngrams(sym, lit(2))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .collect()(0) // 1-row aggregate, driver-scale by construction
+        val pair = top.getString(0)
+        val n = top.getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        words = words.select(call_function("replace", col("t"),
+          lit(S + a + S + S + b + S), lit(S + a + b + S)).as("t"))
+        (step, pair, a + b, n)
+      }
+      words.unpersist()
+      learned.toDF("step", "pair", "merged", "n")
+    },
 
     // Whitespace + BPE-ish regex token counting per language.
     "q_text_tokens" -> QueryDef.sql(

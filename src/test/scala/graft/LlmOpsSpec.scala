@@ -370,6 +370,35 @@ class LlmOpsSpec extends AnyFunSuite {
       s"per-cluster population not scale-stable: $pops")
   }
 
+  test("BPE training matches an independent in-memory implementation") {
+    val got = SparkEntry.queries("q_bpe_train")(spark, sf)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // reference: greedy left-to-right merges over the collected corpus
+    var seqs = Tables.documents(spark, sf)
+      .select(lower(trim(col("text")))).collect()
+      .flatMap(_.getString(0).split("\\s+")).filter(_.nonEmpty)
+      .map(w => w.map(_.toString).toVector)
+    val expected = (1 to 3).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach(s => s.indices.dropRight(1).foreach { i =>
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + 1
+      })
+      val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      seqs = seqs.map { s =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+      (step, s"$a $b", a + b, n)
+    }
+    assert(got.toSeq == expected, s"merge rules diverge: $got vs $expected")
+  }
+
   test("filter funnel counts are monotonically non-increasing") {
     val rows = SparkEntry.queries("q_filter_funnel")(spark, sf)
       .orderBy("stage").collect()
