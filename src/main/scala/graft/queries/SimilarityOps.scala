@@ -235,7 +235,17 @@ object SimilarityOps {
     * corpus grows. At verify SF the derived k hits the max(8, ·) floor
     * and the assignment IS the exact-decimal 8-seed chain DuckDB hashes
     * (the oracle twin); above it, the sample-trained vec_dot quantizer
-    * takes over — same recipe as the IVF index build. */
+    * takes over — same recipe as the IVF index build.
+    *
+    * Ceiling note: the centroid table is k×dim doubles = N/64 × 512 B,
+    * which outgrows the broadcast budget around k ≈ 2 M (N ≈ 10⁸
+    * vectors). Past that the same operation nests: a √k-sized coarse
+    * quantizer (broadcastable) shuffles the corpus once on the cell id,
+    * and each cell — now task-sized — re-applies this exact
+    * train-assign step locally, recursing on any cell still over
+    * threshold. Blocking quality is unchanged (a cluster is a cluster
+    * regardless of which level produced it); only the id becomes a
+    * (cell, sub) composite. */
   private[graft] def semClusters(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val n = emb.count() // parquet metadata, not a scan
