@@ -229,32 +229,103 @@ object SimilarityOps {
     centroids
   }
 
+  /** Single-level ceiling: one flat quantizer's centroid table is k×dim
+    * doubles = N/64 × 512 B, which outgrows the broadcast budget around
+    * k ≈ 2 M (N ≈ 10⁸ vectors) — so past [[FlatKCap]] the blocking goes
+    * HIERARCHICAL: a √k-sized coarse quantizer (always broadcastable)
+    * shuffles the corpus ONCE on the cell id, and each cell — now
+    * task-sized — re-applies the same train-assign step locally
+    * ([[localKmeans]], the recursive unit; cells still over threshold
+    * would recurse with the identical operation). Blocking quality is
+    * unchanged — a cluster is a cluster regardless of the level that
+    * produced it — only the id becomes a (cell, sub) composite. The cap
+    * is deliberately low so the hierarchical path is EXERCISED at sf0.1
+    * (k = 32), not just claimed. */
+  private val FlatKCap = 16
+
+  /** Task-local deterministic Lloyd over one cell — the recursive unit of
+    * the hierarchical blocking. Seeds = the k lowest-id members; ties in
+    * the argmin break toward the lower centroid id; `vs` MUST be sorted
+    * by vec_id (the caller sorts) so the result is independent of shuffle
+    * arrival order. Returns the per-vector sub-cluster ids. */
+  private def localKmeans(vs: Array[(Long, Array[Double])], k: Int, lloyd: Int = 2): Array[Int] = {
+    val dim = vs.head._2.length
+    var cents = vs.take(k).map(_._2.clone)
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        val m = cents(c)
+        while (i < dim) { val t = v(i) - m(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var asg = vs.map(p => nearest(p._2))
+    for (_ <- 1 to lloyd) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnts = new Array[Int](cents.length)
+      vs.indices.foreach { j =>
+        val c = asg(j); cnts(c) += 1
+        val v = vs(j)._2
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.toArray.collect {
+        case c if cnts(c) > 0 =>
+          val m = sums(c); var i = 0
+          while (i < dim) { m(i) /= cnts(c); i += 1 }
+          m
+      }
+      asg = vs.map(p => nearest(p._2))
+    }
+    asg
+  }
+
   /** SemDeDup blocking clusters (vec_id, cluster), corpus-scaled: k is
     * derived from N via [[semK]] so per-cluster population — and the
     * in-cluster pairwise cosine that follows — stays ≈ constant as the
-    * corpus grows. At verify SF the derived k hits the max(8, ·) floor
-    * and the assignment IS the exact-decimal 8-seed chain DuckDB hashes
-    * (the oracle twin); above it, the sample-trained vec_dot quantizer
-    * takes over — same recipe as the IVF index build.
-    *
-    * Ceiling note: the centroid table is k×dim doubles = N/64 × 512 B,
-    * which outgrows the broadcast budget around k ≈ 2 M (N ≈ 10⁸
-    * vectors). Past that the same operation nests: a √k-sized coarse
-    * quantizer (broadcastable) shuffles the corpus once on the cell id,
-    * and each cell — now task-sized — re-applies this exact
-    * train-assign step locally, recursing on any cell still over
-    * threshold. Blocking quality is unchanged (a cluster is a cluster
-    * regardless of which level produced it); only the id becomes a
-    * (cell, sub) composite. */
+    * corpus grows. Three regimes:
+    *  - k ≤ 8 (verify SF): the exact-decimal 8-seed chain DuckDB hashes —
+    *    the oracle twin;
+    *  - 8 < k ≤ [[FlatKCap]]: one flat sample-trained vec_dot quantizer
+    *    (the IVF recipe);
+    *  - k > [[FlatKCap]]: hierarchical — broadcastable coarse cells, then
+    *    the same train-assign applied task-locally per cell. */
   private[graft] def semClusters(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val n = emb.count() // parquet metadata, not a scan
     val k = semK(n)
     if (k <= 8) kmeansClusters(s, dir)
-    else {
+    else if (k <= FlatKCap) {
       graft.functions.GraftFunctions.register(s)
       assignVec(emb, trainVecCentroids(emb, k).cache())
         .select(col("vec_id"), col("c").as("cluster"))
+    } else {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      // level 1: √k coarse cells — the centroid block stays broadcastable
+      // at ANY N; one shuffle on the cell id co-locates each cell
+      val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val cells = assignVec(emb, trainVecCentroids(emb, k1).cache())
+        .select(col("vec_id"), col("c").as("cell"))
+      // level 2: per-cell local Lloyd, sub-cluster target = SemTargetCluster
+      emb.join(cells, Seq("vec_id"))
+        .select(col("cell"), col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("e"))
+        .as[(Long, Long, Array[Double])]
+        .groupByKey(_._1)
+        .flatMapGroups { (cell: Long, it: Iterator[(Long, Long, Array[Double])]) =>
+          val vs = it.map { case (_, id, e) => (id, e) }.toArray.sortBy(_._1)
+          val k2 = math.max(1, math.ceil(vs.length / SemTargetCluster).toInt)
+          val sub = localKmeans(vs, k2)
+          vs.iterator.zipWithIndex.map { case ((id, _), j) =>
+            (id, cell * 65536L + sub(j)) // (cell, sub) composite id
+          }
+        }
+        .toDF("vec_id", "cluster")
     }
   }
 

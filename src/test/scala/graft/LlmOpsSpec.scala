@@ -358,9 +358,10 @@ class LlmOpsSpec extends AnyFunSuite {
       val meanPop = n.toDouble / clusters
       // k grows linearly with N (floor 8), so population stays near the
       // 64-vector target; Lloyd drop-out can shrink the divisor, hence
-      // the asymmetric upper band
-      assert(clusters <= queries.SimilarityOps.semK(n),
-        s"$d: $clusters clusters > derived k")
+      // the asymmetric upper band. The hierarchical path rounds the
+      // sub-cluster count up per cell, so allow that slack over semK.
+      assert(clusters <= 2 * queries.SimilarityOps.semK(n),
+        s"$d: $clusters clusters >> derived k")
       assert(meanPop >= 16 && meanPop <= 256,
         s"$d: mean cluster population $meanPop outside [16, 256]")
       meanPop
