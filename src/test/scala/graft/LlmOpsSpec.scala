@@ -314,6 +314,39 @@ class LlmOpsSpec extends AnyFunSuite {
       s"projection lost the near-dup structure: near=$nearMean rand=$randMean")
   }
 
+  test("JL production path (vec_dot sign literals) matches the exact twin") {
+    // sf0.1 (N = 2000 > 512) routes q_embed_rp to the production plan:
+    // sign matrix as array literals scored by codegen vec_dot, zero
+    // shuffle. Its projections must agree with the exploded exact-decimal
+    // oracle twin to the rounding precision (the decimal chain truncates
+    // each term at 12 frac digits, so the two rounded-to-6 values can sit
+    // one ulp-of-round apart at a boundary — hence the 1e-6 tolerance).
+    import org.apache.spark.sql.types.DecimalType
+    val sfBig = "/root/testdata/sf0.1"
+    assert(Tables.embeddings(spark, sfBig).count() > 512,
+      "sf0.1 no longer exercises the production JL path")
+    val fast = SparkEntry.queries("q_embed_rp")(spark, sfBig)
+      .select(col("vec_id"), col("dim"), col("r").as("r_fast"))
+    val flat = Tables.embeddings(spark, sfBig)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
+    val sgn = spark.range(1, 65).select(col("id").as("i"))
+      .crossJoin(spark.range(1, 17).select(col("id").as("j")))
+      .withColumn("sg", when(
+        substring(md5(concat(col("j").cast("string"), lit("_"),
+          col("i").cast("string")).cast("binary")), 1, 1) <= "7", 1.0)
+        .otherwise(-1.0))
+    val exact = flat.join(broadcast(sgn), Seq("i"))
+      .groupBy(col("vec_id"), col("j").as("dim"))
+      .agg(round(sum((col("v") * col("sg")).cast(DecimalType(28, 12)))
+        .cast("double") / 4, 6).as("r_exact"))
+    val joined = fast.join(exact, Seq("vec_id", "dim"), "full").cache()
+    assert(joined.filter(col("r_fast").isNull || col("r_exact").isNull).count() == 0,
+      "production and exact JL paths disagree on the output key set")
+    val worst = joined.agg(max(abs(col("r_fast") - col("r_exact")))).head.getDouble(0)
+    assert(worst <= 1.0000001e-6, s"JL fast path diverges from exact twin: $worst")
+  }
+
   test("count-min sketch never undercounts and stays within the eps*N bound") {
     val r = SparkEntry.queries("q_vocab_cms")(spark, sf).cache()
     assert(r.count() == 20)

@@ -179,6 +179,15 @@ class ScalePlanSpec extends AnyFunSuite {
       s"quantizer join did not broadcast:\n$plan")
   }
 
+  test("JL production path is one zero-shuffle scan (no exchange, no join)") {
+    // above the verify gate the projection must be a pure narrow map:
+    // sign literals + codegen vec_dot + a 16-struct explode — nothing to
+    // shuffle, nothing to join, at any corpus size
+    val plan = finalPlan(SparkEntry.queries("q_embed_rp")(spark, "/root/testdata/sf0.1"))
+    assert(!plan.contains("Exchange"), s"JL production plan shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"JL production plan joins:\n$plan")
+  }
+
   test("count-min sketch aggregates partially; no cartesian") {
     val plan = finalPlan(SparkEntry.queries("q_vocab_cms")(spark, sf))
     assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
