@@ -23,8 +23,13 @@ object CollectJob {
   def parseMode(s: String): FeedConnector.Mode = s match {
     case "line" => FeedConnector.Line
     case "ws"   => FeedConnector.Ws()
-    case "grpc" => FeedConnector.Grpc()
-    case other  => sys.error(s"unknown feed protocol: $other (line|ws|grpc)")
+    case "grpc" => FeedConnector.Grpc() // envelope-JSON bodies (loopback/demo)
+    // the real S8-S10 feeds: per-source protobuf body decode
+    case "grpc-bloxroute"  => FeedConnector.Grpc(codec = graft.streaming.ProtoWire.BloxrouteProto)
+    case "grpc-eden"       => FeedConnector.Grpc(codec = graft.streaming.ProtoWire.EdenProto)
+    case "grpc-chainbound" => FeedConnector.Grpc(codec = graft.streaming.ProtoWire.ChainboundProto)
+    case other  => sys.error(
+      s"unknown feed protocol: $other (line|ws|grpc|grpc-bloxroute|grpc-eden|grpc-chainbound)")
   }
 
   /** Start the dial + the pipeline; callers own both lifecycles. */
@@ -58,12 +63,17 @@ object CollectJob {
     seconds match {
       case Some(s) =>
         Thread.sleep(s * 1000L)
+        // stop the connector FIRST: stop() final-flushes its buffered
+        // tail batch to the spool, so the drain below processes every
+        // spooled record in THIS run (ADVICE r6 — the old order spooled
+        // the tail after the last drain and undercounted the output)
+        conn.stop()
         queries.foreach(_.processAllAvailable())
       case None =>
         // run until interrupted, like the reference collector daemon
         queries.foreach(_.awaitTermination())
+        conn.stop()
     }
-    conn.stop()
     queries.foreach(_.stop())
     println(s"[collect] spooled ${conn.linesReceived} envelopes over " +
       s"${conn.connects} connection(s)")

@@ -102,7 +102,9 @@ object Collect {
       .withColumn("e", from_json(col(msgCol), envelopeSchema))
       .withColumn("raw_tx_hex",
         when(col("source") === "bloxroute", col("e.params.result.rawTx"))
-          .when(col("source") === "eden", col("e.params.result.rlp"))
+          // eden carries `rlp` in its WS envelope; the chainbound gRPC
+          // codec ([[ProtoWire.ChainboundProto]]) spools the same shape
+          .when(col("source").isin("eden", "chainbound"), col("e.params.result.rlp"))
           .otherwise(rebuildRawTxUdf(col(msgCol))))
       .filter(col("raw_tx_hex").isNotNull && length(col("raw_tx_hex")) > 0)
       .withColumn("hash", ParseTx.parse_raw_tx(col("raw_tx_hex")).getField("hash"))

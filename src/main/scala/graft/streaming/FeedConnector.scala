@@ -48,11 +48,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    websocket library). One text message = one spooled envelope record.
   *  - [[FeedConnector.Grpc]] — gRPC server-streaming over HTTP/2 via
   *    [[H2Framing]]: preface/SETTINGS exchange, subscribe HEADERS + empty
-  *    request message, DATA→gRPC-deframe, ping acks, flow-control window
-  *    updates — S8-S10's transport (node_conn_bloxroute.go:210-267,
-  *    node_conn_eden.go:208-263, node_conn_chainbound.go:53-112). One gRPC
-  *    message = one spooled envelope record; the per-source protobuf body
-  *    decode is the documented stub boundary (see [[H2Framing]]).
+  *    request message, DATA→gRPC-deframe (PADDED frames stripped per RFC
+  *    9113 §6.1), ping acks, flow-control window updates — S8-S10's
+  *    transport (node_conn_bloxroute.go:210-267, node_conn_eden.go:
+  *    208-263, node_conn_chainbound.go:53-112). Each gRPC message body
+  *    goes through the mode's [[ProtoWire.GrpcCodec]] — the per-source
+  *    protobuf decoders ([[ProtoWire.BloxrouteProto]] etc.) extract the
+  *    raw-tx payloads the reference reads via its generated getters, and
+  *    undecodable bodies are skipped (counted), not fatal.
   *
   * In every mode a protocol error or a record truncated by a drop tears
   * the connection down and redials — wire loss, same policy as a torn
@@ -73,6 +76,9 @@ final class FeedConnector(
   /** Observability for specs/ops: successful dials and lines spooled. */
   @volatile var connects: Int = 0
   @volatile var linesReceived: Long = 0
+  /** gRPC message bodies the codec rejected (skip-on-error, reference
+    * node_conn_*.go `continue` policy). */
+  @volatile var messagesSkipped: Long = 0
 
   private val thread = new Thread(() => loop(), s"feed-connector-$sourceTag")
 
@@ -170,7 +176,7 @@ final class FeedConnector(
                 case _: java.net.SocketTimeoutException => flushBatch()
               }
             }
-          case FeedConnector.Grpc(path) =>
+          case FeedConnector.Grpc(path, codec) =>
             // h2 preface + our (empty) SETTINGS + the subscribe stream:
             // HEADERS then an empty request message with END_STREAM — a
             // server-streaming RPC half-closed from our side
@@ -208,10 +214,14 @@ final class FeedConnector(
                     out.flush()
                   }
                 case H2Framing.TData if f.streamId == 1 =>
-                  grpc.feed(f.payload).foreach { msg =>
-                    val rec = new String(msg, StandardCharsets.UTF_8)
-                      .replace('\r', ' ').replace('\n', ' ')
-                    if (rec.nonEmpty) { batch += rec; linesReceived += 1 }
+                  // PADDED flag stripped per RFC 9113 §6.1 before the gRPC
+                  // deframe (ADVICE r6); the codec maps each complete gRPC
+                  // message body to spool records — protobuf decode for the
+                  // real feeds, UTF-8 pass-through for envelope streams
+                  grpc.feed(H2Framing.dataPayload(f)).foreach { msg =>
+                    val recs = codec.records(msg, System.currentTimeMillis())
+                    if (recs.isEmpty && msg.nonEmpty) messagesSkipped += 1
+                    recs.foreach { rec => batch += rec; linesReceived += 1 }
                   }
                   // flow control: hand the consumed bytes back on both the
                   // connection and stream windows so the server can keep
@@ -369,6 +379,11 @@ object FeedConnector {
   case object Line extends Mode
   /** RFC 6455 WebSocket — S6/S7 (geth/Infura/Alchemy push feeds). */
   final case class Ws(path: String = "/ws") extends Mode
-  /** gRPC server-streaming over HTTP/2 — S8-S10 (bloXroute/Eden/Chainbound). */
-  final case class Grpc(path: String = "/feed.Feed/Subscribe") extends Mode
+  /** gRPC server-streaming over HTTP/2 — S8-S10 (bloXroute/Eden/
+    * Chainbound). `codec` decodes each gRPC message body into spool
+    * records: [[ProtoWire.BloxrouteProto]] / [[ProtoWire.EdenProto]] /
+    * [[ProtoWire.ChainboundProto]] for the real protobuf feeds,
+    * [[ProtoWire.EnvelopeText]] (default) for envelope-JSON streams. */
+  final case class Grpc(path: String = "/feed.Feed/Subscribe",
+      codec: ProtoWire.GrpcCodec = ProtoWire.EnvelopeText) extends Mode
 }

@@ -23,12 +23,11 @@ import java.nio.charset.StandardCharsets
   *  - response HEADERS are treated as stream-open (their HPACK payload is
   *    NOT decoded — the stub consumes any header block; trailers carry
   *    END_STREAM which ends the subscription);
-  *  - DATA frames concatenate into the gRPC message stream
-  *    `[compressed:1][length:4 BE][payload]`*; each complete payload is
-  *    one feed message. The source-specific PROTOBUF body decode is the
-  *    documented stub boundary: loopback tests carry the JSON envelope as
-  *    the message body and bind to the shared [[Collect.decodeEnvelopes]]
-  *    path, exactly where the reference's per-source proto unmarshal sits;
+  *  - DATA frames (PADDED stripped via [[dataPayload]]) concatenate into
+  *    the gRPC message stream `[compressed:1][length:4 BE][payload]`*;
+  *    each complete payload is one feed message, decoded by the mode's
+  *    [[ProtoWire.GrpcCodec]] — per-source protobuf extraction exactly
+  *    where the reference's generated unmarshal sits;
   *  - PING answered with ACK, WINDOW_UPDATE issued for consumed DATA,
   *    GOAWAY/RST_STREAM end the connection (redial upstream).
   */
@@ -50,6 +49,7 @@ object H2Framing {
   val FlagAck = 0x1
   val FlagEndStream = 0x1
   val FlagEndHeaders = 0x4
+  val FlagPadded = 0x8
 
   /** Defensive cap, same policy as [[WsFraming.MaxFrameBytes]]. */
   val MaxFrameBytes: Int = 16 * 1024 * 1024
@@ -186,6 +186,36 @@ object H2Framing {
       }
       msgs.result()
     }
+  }
+
+  /** DATA payload with RFC 9113 §6.1 padding stripped: PADDED (0x8) means
+    * a leading pad-length byte plus that many trailing padding bytes —
+    * legal from any conformant server, and feeding it raw into the gRPC
+    * deframer corrupts the message stream (ADVICE r6). A pad length that
+    * reaches or exceeds the frame payload is a connection-level protocol
+    * error per the RFC. NOTE: flow-control accounting still charges the
+    * FULL frame payload (padding included) — callers must window-update
+    * with `payload.length`, not the stripped length. */
+  def dataPayload(f: Frame): Array[Byte] =
+    if ((f.flags & FlagPadded) == 0) f.payload
+    else {
+      if (f.payload.isEmpty)
+        throw new WsFraming.ProtocolError("PADDED frame without pad length")
+      val pad = f.payload(0) & 0xFF
+      if (pad >= f.payload.length)
+        throw new WsFraming.ProtocolError(
+          s"pad length $pad >= frame payload ${f.payload.length}")
+      java.util.Arrays.copyOfRange(f.payload, 1, f.payload.length - pad)
+    }
+
+  /** Wrap a payload in a padded DATA frame (loopback servers exercising
+    * the PADDED path; `pad` zero bytes of padding). */
+  def encodePaddedData(streamId: Int, payload: Array[Byte], pad: Int): Array[Byte] = {
+    require(pad >= 0 && pad <= 255, "pad length is one byte")
+    val body = new Array[Byte](1 + payload.length + pad)
+    body(0) = pad.toByte
+    System.arraycopy(payload, 0, body, 1, payload.length)
+    encodeFrame(TData, FlagPadded, streamId, body)
   }
 
   /** Wrap one message payload in the gRPC length-prefix (loopback servers

@@ -508,6 +508,69 @@ class CollectStreamSpec extends AnyFunSuite {
     } finally { conn.stop(); queries.foreach(_.stop()); server.close() }
   }
 
+  test("S8-S10: protobuf-framed txs round-trip the loopback h2 server with decode parity") {
+    import graft.streaming.{H2Framing, ProtoWire}
+    import ProtoWire._
+    // 5 fixture txs: a 2-tx bloxroute TxsReply, a 1-tx reply inside a
+    // PADDED DATA frame (RFC 9113 §6.1 — ADVICE r6), a 2-tx reply, plus
+    // one junk body the codec must skip without tearing the connection
+    val raws = (0 until 5).map(i => TxFixtures.rawRow(i.toLong)._3)
+    def rawBytes(h: String) = graft.functions.EthTx.unhex(h.stripPrefix("0x"))
+    def tx(h: String) = lenField(BlxTxHash, new Array[Byte](32)) ++
+      lenField(BlxTxRawTx, rawBytes(h))
+    def reply(hs: Seq[String]) =
+      hs.map(h => lenField(BlxReplyTx, tx(h))).reduce(_ ++ _) ++
+        varintField(50, 7L) // unknown field: decoders must read past it
+    val junk = Array[Byte](0x80.toByte, 1, 2)
+    val server = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      try {
+        val (sock, _) = h2Accept(server)
+        val out = sock.getOutputStream
+        out.write(H2Framing.encodeFrame(H2Framing.TData, 0, 1,
+          H2Framing.grpcMessage(reply(raws.take(2)))))
+        // one gRPC message split across a PADDED and an unpadded frame:
+        // the decode must strip padding BEFORE deframing or the stream
+        // corrupts exactly as the advice warned
+        val m2 = H2Framing.grpcMessage(reply(raws.slice(2, 3)))
+        out.write(H2Framing.encodePaddedData(1, m2.take(7), pad = 13))
+        out.write(H2Framing.encodeFrame(H2Framing.TData, 0, 1, m2.drop(7)))
+        out.write(H2Framing.encodeFrame(H2Framing.TData, 0, 1,
+          H2Framing.grpcMessage(junk) ++ H2Framing.grpcMessage(reply(raws.drop(3)))))
+        out.flush()
+        Thread.sleep(30000)
+      } catch { case _: Throwable => }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val spool = Files.createTempDirectory("graft-spool-proto").toString
+    val conn = new FeedConnector("127.0.0.1", server.getLocalPort, spool, "blx",
+      soTimeoutMs = 50,
+      mode = FeedConnector.Grpc(codec = ProtoWire.BloxrouteProto)).start()
+    try {
+      val deadline = System.nanoTime() + 20000000000L
+      while (conn.linesReceived < raws.length && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(conn.linesReceived == raws.length,
+        s"expected ${raws.length} decoded txs, got ${conn.linesReceived}")
+      assert(conn.messagesSkipped == 1, "junk protobuf body must be counted skipped")
+      assert(conn.connects == 1, "junk body or padding must not tear the connection")
+    } finally { conn.stop(); server.close() }
+    // decode parity: the proto-decoded spool yields exactly the engine
+    // rows a direct parse of the same raw txs produces
+    val decoded = Collect.decodeEnvelopes(
+      spark.read.schema(Collect.envelopeFeedSchema).json(spool))
+      .collect()
+    assert(decoded.length == raws.length)
+    assert(decoded.map(_.getAs[String]("raw_tx_hex")).toSet ==
+      raws.map(_.toLowerCase).toSet)
+    val expectedHashes = raws
+      .map(r => graft.functions.ParseTx.parseHex(r).get.hash).toSet
+    assert(decoded.map(_.getAs[String]("hash")).toSet == expectedHashes,
+      "proto path and direct parse disagree on tx hashes")
+  }
+
   test("S8-S10: grpc client redials after GOAWAY and resumes the subscription") {
     import graft.streaming.H2Framing
     val lines = envelopeLines(4)
