@@ -405,15 +405,14 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("BPE training matches an independent in-memory implementation") {
-    val got = SparkEntry.queries("q_bpe_train")(spark, sf)
-      .orderBy("step").collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    // reference: greedy left-to-right merges over the collected corpus
+    // reference: greedy left-to-right merges over the collected corpus,
+    // run to 6 rounds so it covers both the 3-round query and the
+    // checkpointed 6-round variant
     var seqs = Tables.documents(spark, sf)
       .select(lower(trim(col("text")))).collect()
       .flatMap(_.getString(0).split("\\s+")).filter(_.nonEmpty)
       .map(w => w.map(_.toString).toVector)
-    val expected = (1 to 3).map { step =>
+    val expected = (1 to 6).map { step =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       seqs.foreach(s => s.indices.dropRight(1).foreach { i =>
         counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + 1
@@ -430,7 +429,14 @@ class LlmOpsSpec extends AnyFunSuite {
       }
       (step, s"$a $b", a + b, n)
     }
-    assert(got.toSeq == expected, s"merge rules diverge: $got vs $expected")
+    def got(q: String) = SparkEntry.queries(q)(spark, sf)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got("q_bpe_train") == expected.take(3),
+      s"3-round merge rules diverge")
+    // the checkpointed trainer must learn the IDENTICAL rules — lineage
+    // truncation is not allowed to change a single count
+    assert(got("q_bpe_train6") == expected, s"6-round merge rules diverge")
   }
 
   test("filter funnel counts are monotonically non-increasing") {

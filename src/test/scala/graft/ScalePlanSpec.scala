@@ -179,6 +179,20 @@ class ScalePlanSpec extends AnyFunSuite {
       s"quantizer join did not broadcast:\n$plan")
   }
 
+  test("BPE checkpointing bounds the symbol column's replace lineage") {
+    // 6 rounds, checkpoint every 2: without truncation the final symbol
+    // plan nests 6 merge replaces; with it, at most checkpointEvery (the
+    // rounds since the last checkpoint) survive above an RDD scan leaf
+    val (learned, words) = queries.TextOps.bpeTrain(spark, sf,
+      rounds = 6, checkpointEvery = 2)
+    assert(learned.length == 6)
+    val plan = words.queryExecution.optimizedPlan.toString
+    val merges = "(?<!regexp_)replace\\(".r.findAllMatchIn(plan).length
+    assert(merges <= 2, s"lineage not truncated: $merges merge replaces in\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"no checkpoint scan leaf in the final symbol plan:\n$plan")
+  }
+
   test("JL production path is one zero-shuffle scan (no exchange, no join)") {
     // above the verify gate the projection must be a pure narrow map:
     // sign literals + codegen vec_dot + a 16-struct explode — nothing to
