@@ -11,8 +11,9 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.jobs.MergeJob <txCsvGlob> <sourcelogGlob> <outDir> [blacklistCsvGlob]
   *   runMain graft.jobs.MergeJob --demo <outDir>   # self-generates fixture inputs
   *
-  * Writes: outDir/transactions.parquet (S11), outDir/metadata_csv (S12),
-  * outDir/trash_csv (S12), outDir/summary.txt (S13).
+  * Writes: outDir/transactions.parquet (S11), outDir/archive (the per-day
+  * partitioned publish layout, day=yyyy-MM-dd/), outDir/metadata_csv
+  * (S12), outDir/trash_csv (S12), outDir/summary.txt (S13).
   */
 object MergeJob {
   def main(args: Array[String]): Unit = {
@@ -43,6 +44,13 @@ object MergeJob {
 
     val txs = result.transactions.cache()
     Sinks.writeParquetArchive(txs, s"$outDir/transactions.parquet")
+    // the multi-day publish layout (reference README.md:82): one
+    // day=yyyy-MM-dd partition per UTC receive day, pruned by day filters
+    Sinks.writeDailyArchive(txs, s"$outDir/archive",
+      org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.timestamp_millis(
+          org.apache.spark.sql.functions.col("timestamp").cast("long")),
+        "yyyy-MM-dd"))
     Sinks.writeMetadataCsv(txs, s"$outDir/metadata_csv")
     Sinks.writeTrashCsv(result.trash, s"$outDir/trash_csv")
     // opt-in raw payload CSV, like the reference's --write-tx-csv flag

@@ -42,6 +42,45 @@ object Sinks {
     }
   }
 
+  /** S11 extension: the reference's PER-DAY archive layout (README.md:82
+    * — data uploads one UTC day at a time; scripts/upload.sh:50-66 runs
+    * the merge per day directory) expressed as a date-partitioned parquet
+    * table: `day=yyyy-MM-dd/` subdirectories, each with the same gzip /
+    * 128 MiB-row-group / TIMESTAMP_MILLIS file format as
+    * [[writeParquetArchive]]. The payoff at archive scale: a day-filtered
+    * read partition-prunes to that day's files no matter how many years
+    * the archive holds (ScalePlanSpec asserts exactly one selected
+    * partition), and the daily publish step is a directory move. `dayOf`
+    * derives the partition value — pass the UTC date string of the
+    * row's receive timestamp. */
+  def writeDailyArchive(rows: DataFrame, path: String,
+      dayOf: org.apache.spark.sql.Column): Unit = {
+    val spark = rows.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MILLIS")
+    try {
+      val annotated = Seq("timestamp", "includedBlockTimestamp")
+        .foldLeft(rows.withColumn("day", dayOf)) { (df, c) =>
+          if (df.columns.contains(c))
+            df.withColumn(c, timestamp_millis(col(c).cast("long")))
+          else df
+        }
+      annotated.write
+        .option("compression", "gzip")
+        .option("parquet.block.size", (128L * 1024 * 1024).toString)
+        .option("parquet.page.size", (1024 * 1024).toString)
+        .partitionBy("day")
+        .mode("overwrite")
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** The frozen metadata CSV column order (common/txsummary.go:17-36). */
   val MetadataCsvColumns: Seq[String] = Seq(
     "timestamp_ms", "hash", "chain_id", "from", "to", "value", "nonce",

@@ -161,6 +161,27 @@ class MergeJobSpec extends AnyFunSuite {
     }
   }
 
+  test("daily archive: day=… partitions, same file format, lossless read-back") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-daily").toString
+    Sinks.writeDailyArchive(txs, s"$tmp/archive",
+      date_format(timestamp_millis(col("timestamp").cast("long")), "yyyy-MM-dd"))
+    // layout: hive-style day partitions, gzip parquet files inside
+    val dayDirs = new java.io.File(s"$tmp/archive").listFiles()
+      .filter(_.getName.startsWith("day="))
+    assert(dayDirs.nonEmpty, "no day= partition directories")
+    assert(dayDirs.forall(_.listFiles().exists(f =>
+      f.getName.endsWith(".gz.parquet"))), "partition files not gzip parquet")
+    // read-back: every row lands in the partition of its own receive day,
+    // and nothing is lost or duplicated across the split
+    val back = spark.read.parquet(s"$tmp/archive")
+    assert(back.count() == txs.count())
+    assert(back.filter(date_format(col("timestamp"), "yyyy-MM-dd") =!=
+      col("day").cast("string")).count() == 0, "a row crossed into the wrong day")
+    assert(back.select("hash").distinct().count() ==
+      txs.select("hash").distinct().count())
+  }
+
   test("sinks: parquet archive + metadata csv round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sinks").toString
     Sinks.writeParquetArchive(txs, s"$tmp/archive")

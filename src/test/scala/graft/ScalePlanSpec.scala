@@ -179,6 +179,29 @@ class ScalePlanSpec extends AnyFunSuite {
       s"quantizer join did not broadcast:\n$plan")
   }
 
+  test("daily archive: a day filter selects exactly one of 30 partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the exact scan q_archive_day runs (same memoized day=… layout, same
+    // partition-column filter), kept free of aggregates so the scan node
+    // is reachable outside the AQE wrapper
+    val archive = queries.Core.dailyEventsArchive(spark, sf)
+    val read = spark.read.parquet(archive)
+      .filter(col("day") === lit("2024-01-15").cast("date"))
+    read.collect()
+    val scan = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "day filter missed the partition column")
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+    val all = scan.relation.location.listFiles(Nil, Nil)
+    assert(all.length >= 28, s"fixture archive should span ~30 days, got ${all.length}")
+    assert(selected.length == 1,
+      s"expected exactly the 2024-01-15 partition, got ${selected.length} of ${all.length}")
+    // and the query over that layout actually answers
+    assert(SparkEntry.queries("q_archive_day")(spark, sf).count() > 0)
+  }
+
   test("BPE checkpointing bounds the symbol column's replace lineage") {
     // 6 rounds, checkpoint every 2: without truncation the final symbol
     // plan nests 6 merge replaces; with it, at most checkpointEvery (the
