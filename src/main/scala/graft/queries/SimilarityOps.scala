@@ -402,6 +402,60 @@ object SimilarityOps {
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
       |    FROM d2t) WHERE rk = 1)""".stripMargin
 
+  /** DuckDB twin of the LSH ANN path. The nonzero splitmix64 ternary
+    * weights for planes 0..[[LshOracleMaxPlanes]]-1 are generated into a
+    * VALUES table at SQL-construction time (they are pure functions of
+    * (plane, dim) — see [[graft.functions.LshOps.weight]]); P itself is
+    * derived from N inside the SQL with the engine's formula. Covers
+    * corpora up to N = 64·2^24 ≈ 10⁹ vectors — far past any verify SF;
+    * a bigger corpus only needs the constant raised. */
+  private val LshOracleMaxPlanes = 24
+
+  private def lshOracleSql: String = {
+    val wtRows = (for {
+      h <- 0 until LshOracleMaxPlanes
+      d <- 0 until 64
+      w = graft.functions.LshOps.weight(h, d)
+      if w != 0
+    } yield s"($h,$d,$w)").mkString(",")
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |pp AS (SELECT GREATEST(4, CAST(CEIL(LOG2(n / 64.0)) AS INT)) AS p FROM nn),
+       |pl AS (SELECT unnest(generate_series(0, p - 1)) AS plane FROM pp),
+       |wt(plane, dim, w) AS (VALUES $wtRows),
+       |flat AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, generate_series(1, 64) t(i)),
+       |proj AS (
+       |  SELECT f.vec_id, pl.plane,
+       |    COALESCE(SUM(CAST(f.v * wt.w AS DECIMAL(28,12))), 0) AS s
+       |  FROM flat f CROSS JOIN pl
+       |  LEFT JOIN wt ON wt.plane = pl.plane AND wt.dim = f.i - 1
+       |  GROUP BY 1, 2),
+       |bkt AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN CAST(s AS DOUBLE) >= 0
+       |    THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY 1),
+       |mk AS (SELECT CAST(0 AS BIGINT) AS m
+       |       UNION ALL SELECT CAST(1 AS BIGINT) << plane FROM pl),
+       |qb AS (SELECT bucket FROM bkt WHERE vec_id = 0),
+       |pr AS (SELECT DISTINCT xor(qb.bucket, mk.m) AS bucket FROM qb CROSS JOIN mk),
+       |cand AS (
+       |  SELECT bkt.vec_id FROM bkt JOIN pr ON bkt.bucket = pr.bucket
+       |  WHERE bkt.vec_id <> 0),
+       |nrm AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,12))) AS n2
+       |        FROM flat GROUP BY vec_id),
+       |dots AS (
+       |  SELECT f.vec_id, SUM(CAST(f.v * qq.v AS DECIMAL(28,12))) AS dot
+       |  FROM flat f JOIN cand c ON f.vec_id = c.vec_id
+       |  JOIN (SELECT i, v FROM flat WHERE vec_id = 0) qq ON f.i = qq.i
+       |  GROUP BY 1)
+       |SELECT d.vec_id,
+       |  round(CAST(dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)), 6) AS score
+       |FROM dots d JOIN nrm n ON d.vec_id = n.vec_id
+       |ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) DESC, d.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Brute-force cosine top-k of a fixed query vector (vec_id=0), exact
@@ -751,8 +805,19 @@ object SimilarityOps {
     // so recall survives the finer partitioning. The 100 TB shape: bucket
     // id is the one shuffle key; a probe touches (P+1)/2^P of the corpus,
     // a vanishing fraction as N grows.
-    "q_sim_ann_lsh" -> QueryDef.rowsOnly(
-      "ANN: corpus-scaled LSH buckets (P=log2(N/64)) + 1-bit multiprobe + in-bucket cosine top-k") { (s, dir) =>
+    //
+    // Differential-tested (VERDICT r6 item 4, the simhash generated-twin
+    // precedent): the splitmix64 ternary hyperplane weights are
+    // data-independent CONSTANTS, so the DuckDB twin embeds the generated
+    // (plane, dim) weight table as VALUES, derives P from N with the same
+    // formula, and replays bucket assignment + multiprobe + in-bucket
+    // ranking in SQL. Projections use exact-decimal sums — only the SIGN
+    // feeds the bucket bit, so the engine's double accumulation agrees
+    // unless a projection lands within ~1e-13 of zero (never, on real
+    // embeddings).
+    "q_sim_ann_lsh" -> QueryDef.sql(
+      "ANN: corpus-scaled LSH buckets (P=log2(N/64)) + 1-bit multiprobe + in-bucket cosine top-k",
+      lshOracleSql) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       import graft.functions.VecOps.{lsh_bucket, vec_dot}
       val emb = Tables.embeddings(s, dir)
