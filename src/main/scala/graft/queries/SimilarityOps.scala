@@ -456,6 +456,112 @@ object SimilarityOps {
        |LIMIT 10""".stripMargin
   }
 
+  /** Exact-decimal twin of the IVF search chain for verify SFs: the SAME
+    * algorithm as the vec_dot path (k = ⌈√N⌉ first-k seeds, 25 % sample,
+    * 2 Lloyd rounds, nprobe = ⌈√k⌉ lists, in-list cosine top-10) with
+    * every distance an exact decimal sum, so assignments — and therefore
+    * the whole chain — are order-independent and hash-match DuckDB. */
+  private def ivfExact(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.DataFrame
+    val flat = Pq.flat(s, dir).select("vec_id", "i", "v")
+    val n = Tables.embeddings(s, dir).count()
+    val k = ivfK(n)
+    val np = ivfNprobe(k)
+    def dists(rows: DataFrame, cents: DataFrame) =
+      rows.join(broadcast(cents), Seq("i"))
+        .groupBy("vec_id", "c")
+        .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
+          .cast(DecimalType(28, 12))).as("d2"))
+    def argmin(d: DataFrame) =
+      d.withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
+        .filter(col("rk") === 1).select("vec_id", "c")
+    def means(rows: DataFrame, asg: DataFrame) =
+      rows.join(asg, Seq("vec_id"))
+        .groupBy("c", "i")
+        .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("cv"))
+    val c0 = flat.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
+    val samp = flat.filter(col("vec_id") % 4 === 0)
+    val c1 = means(samp, argmin(dists(samp, c0)))
+    val c2 = means(samp, argmin(dists(samp, c1)))
+    val dfull = dists(flat, c2)
+    val lists = argmin(dfull)
+    val probes = dfull.filter(col("vec_id") === 0)
+      .orderBy(col("d2"), col("c")).limit(np).select("c")
+    val cand = lists.join(broadcast(probes), Seq("c"))
+      .filter(col("vec_id") =!= 0).select("vec_id")
+    val q = flat.filter(col("vec_id") === 0).select(col("i"), col("v").as("qv"))
+    val nrm = flat.groupBy("vec_id")
+      .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
+    flat.join(cand, Seq("vec_id"))
+      .join(broadcast(q), Seq("i"))
+      .groupBy("vec_id")
+      .agg(sum((col("v") * col("qv")).cast(DecimalType(28, 12))).as("dot"))
+      .join(nrm, Seq("vec_id"))
+      .withColumn("cos", col("dot").cast("double") / sqrt(col("n2").cast("double")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select(col("vec_id"), round(col("cos"), 6).as("score"))
+      .limit(10)
+  }
+
+  /** The DuckDB twin of [[ivfExact]] — k and nprobe derived from N inside
+    * the SQL with the engine's formulas, the 2 Lloyd rounds unrolled. */
+  private val IvfOracleSql: String = {
+    def distsSql(name: String, rows: String, cents: String) =
+      s"""$name AS (
+         |  SELECT f.vec_id, $cents.c,
+         |    SUM(CAST((f.v - $cents.cv) * (f.v - $cents.cv) AS DECIMAL(28,12))) AS d2
+         |  FROM $rows f JOIN $cents ON f.i = $cents.i GROUP BY 1, 2)""".stripMargin
+    def argminSql(name: String, d: String) =
+      s"""$name AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+         |    FROM $d) WHERE rk = 1)""".stripMargin
+    def meansSql(name: String, asg: String) =
+      s"""$name AS (
+         |  SELECT $asg.c, f.i,
+         |    CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+         |  FROM samp f JOIN $asg ON f.vec_id = $asg.vec_id GROUP BY 1, 2)""".stripMargin
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |kp AS (SELECT k, GREATEST(2, CAST(CEIL(SQRT(k)) AS INT)) AS np FROM
+       |       (SELECT GREATEST(8, CAST(CEIL(SQRT(n)) AS INT)) AS k FROM nn)),
+       |flat AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, generate_series(1, 64) t(i)),
+       |c0 AS (SELECT vec_id AS c, i, v AS cv FROM flat, kp WHERE vec_id < k),
+       |samp AS (SELECT * FROM flat WHERE vec_id % 4 = 0),
+       |${distsSql("d1", "samp", "c0")},
+       |${argminSql("a1", "d1")},
+       |${meansSql("c1", "a1")},
+       |${distsSql("d2t", "samp", "c1")},
+       |${argminSql("a2", "d2t")},
+       |${meansSql("c2", "a2")},
+       |${distsSql("df", "flat", "c2")},
+       |${argminSql("lists", "df")},
+       |probes AS (
+       |  SELECT c FROM (
+       |    SELECT c, ROW_NUMBER() OVER (ORDER BY d2, c) AS rk
+       |    FROM df WHERE vec_id = 0), kp WHERE rk <= np),
+       |cand AS (
+       |  SELECT lists.vec_id FROM lists JOIN probes ON lists.c = probes.c
+       |  WHERE lists.vec_id <> 0),
+       |nrm AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,12))) AS n2
+       |        FROM flat GROUP BY 1),
+       |q AS (SELECT i, v FROM flat WHERE vec_id = 0),
+       |dots AS (
+       |  SELECT f.vec_id, SUM(CAST(f.v * q.v AS DECIMAL(28,12))) AS dot
+       |  FROM flat f JOIN cand ON f.vec_id = cand.vec_id JOIN q ON f.i = q.i
+       |  GROUP BY 1)
+       |SELECT d.vec_id,
+       |  round(CAST(dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)), 6) AS score
+       |FROM dots d JOIN nrm n ON d.vec_id = n.vec_id
+       |ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) DESC, d.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Brute-force cosine top-k of a fixed query vector (vec_id=0), exact
@@ -856,12 +962,20 @@ object SimilarityOps {
     // shape: lists are partition keys; a query scans ≈ N^(3/4) vectors
     // (fraction nprobe/k ≈ N^(-1/4) → 0), and training cost is one pass
     // over a fixed corpus fraction.
-    "q_sim_ann_ivf" -> QueryDef.rowsOnly(
-      "ANN: IVF coarse quantizer (k=ceil(sqrt(N)), sample-trained) + nprobe=ceil(sqrt(k)) search") { (s, dir) =>
+    //
+    // Differential-tested via the twin pattern (SemDeDup/JL precedent):
+    // at verify SF the SAME algorithm runs with exact-decimal distances
+    // ([[ivfExact]]) so every Lloyd assignment is order-independent and
+    // the chain hash-matches the unrolled DuckDB twin; above the gate the
+    // production vec_dot path runs, recall-spec'd at sf0.1.
+    "q_sim_ann_ivf" -> QueryDef.sql(
+      "ANN: IVF coarse quantizer (k=ceil(sqrt(N)), sample-trained) + nprobe=ceil(sqrt(k)) search",
+      IvfOracleSql) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       import graft.functions.VecOps.vec_dot
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val n = emb.count() // parquet metadata, not a scan
+      if (n <= 512) ivfExact(s, dir) else {
       val k = ivfK(n)
       val nprobe = ivfNprobe(k)
 
@@ -895,6 +1009,7 @@ object SimilarityOps {
         .orderBy(col("cos").desc, col("vec_id"))
         .select(col("vec_id"), round(col("cos"), 6).as("score"))
         .limit(10)
+      }
     },
 
     // Random projection (differential-tested): Johnson–Lindenstrauss
