@@ -22,6 +22,21 @@ class MainSpec extends AnyFunSuite {
     assert(target("website") == None)
   }
 
+  test("feed protocol names map to wire modes incl. per-source protobuf codecs") {
+    import graft.jobs.CollectJob.parseMode
+    import graft.streaming.{FeedConnector, ProtoWire}
+    assert(parseMode("line") == FeedConnector.Line)
+    assert(parseMode("ws") == FeedConnector.Ws())
+    assert(parseMode("grpc") == FeedConnector.Grpc())
+    assert(parseMode("grpc-bloxroute") ==
+      FeedConnector.Grpc(codec = ProtoWire.BloxrouteProto))
+    assert(parseMode("grpc-eden") ==
+      FeedConnector.Grpc(codec = ProtoWire.EdenProto))
+    assert(parseMode("grpc-chainbound") ==
+      FeedConnector.Grpc(codec = ProtoWire.ChainboundProto))
+    assertThrows[RuntimeException](parseMode("smoke-signals"))
+  }
+
   test("dispatch consumes the command words, passes the rest through") {
     assert(Main.consumed(List("merge", "sourcelog", "g", "o")) == 2)
     assert(Main.consumed(List("merge", "trash", "g", "o")) == 2)

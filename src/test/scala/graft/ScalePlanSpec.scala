@@ -179,6 +179,17 @@ class ScalePlanSpec extends AnyFunSuite {
       s"quantizer join did not broadcast:\n$plan")
   }
 
+  test("ngram-Jaccard: dict broadcasts, candidates broadcast, no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf))
+    // the charset³-bounded dictionary and the near-dup-bounded candidate
+    // table must broadcast; the only self-join key is the hashed shingle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dict/candidate join did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in ngram-jaccard plan:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+  }
+
   test("daily archive: a day filter selects exactly one of 30 partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // the exact scan q_archive_day runs (same memoized day=… layout, same
