@@ -79,6 +79,9 @@ final class FeedConnector(
   /** gRPC message bodies the codec rejected (skip-on-error, reference
     * node_conn_*.go `continue` policy). */
   @volatile var messagesSkipped: Long = 0
+  /** Last grpc-status trailer value decoded from the h2 response (0 = OK;
+    * the RPC outcome per the public gRPC-over-HTTP2 spec). */
+  @volatile var lastGrpcStatus: Option[Int] = None
 
   private val thread = new Thread(() => loop(), s"feed-connector-$sourceTag")
 
@@ -193,16 +196,42 @@ final class FeedConnector(
             out.flush()
             val frames = new H2Framing.FrameDecoder
             val grpc = new H2Framing.GrpcDeframer
+            // per-connection HPACK state: the response HEADERS and the
+            // grpc-status trailers decode through the full RFC 7541
+            // surface (static+dynamic table, Huffman) — [[Hpack]]
+            val hpack = new Hpack.Decoder
+            val headerAcc = new java.io.ByteArrayOutputStream
+            var endStreamPending = false
+            def completeHeaderBlock(): Unit = {
+              val fields =
+                try hpack.decode(headerAcc.toByteArray)
+                catch {
+                  case e: Hpack.HpackError =>
+                    // connection-level error per RFC 9113 §4.3
+                    throw new java.io.IOException("hpack: " + e.getMessage)
+                }
+              headerAcc.reset()
+              fields.find(_._1 == ":status").foreach { case (_, st) =>
+                if (st == "200") {
+                  if (!dialed) {
+                    // the subscribe was ACCEPTED: now the dial succeeded
+                    dialed = true
+                    connects += 1
+                    backoff = baseBackoffMs
+                  }
+                } else
+                  // rejected subscribe = failing endpoint: backoff grows
+                  throw new java.io.IOException(s"grpc subscribe rejected: :status $st")
+              }
+              fields.find(_._1 == "grpc-status").foreach { case (_, v) =>
+                lastGrpcStatus = v.toIntOption
+              }
+              if (endStreamPending) eof = true
+            }
             def handle(fs: Seq[H2Framing.Frame]): Unit = fs.foreach { f =>
               f.tpe match {
                 case H2Framing.TSettings =>
                   if ((f.flags & H2Framing.FlagAck) == 0) {
-                    if (!dialed) {
-                      // the endpoint speaks h2: NOW the dial succeeded
-                      dialed = true
-                      connects += 1
-                      backoff = baseBackoffMs
-                    }
                     out.write(H2Framing.encodeFrame(H2Framing.TSettings,
                       H2Framing.FlagAck, 0, Array.emptyByteArray))
                     out.flush()
@@ -236,10 +265,18 @@ final class FeedConnector(
                     out.flush()
                   }
                   if ((f.flags & H2Framing.FlagEndStream) != 0) eof = true
-                case H2Framing.THeaders =>
-                  // response headers open the stream (HPACK payload not
-                  // decoded — stub boundary); trailers end the rpc
-                  if ((f.flags & H2Framing.FlagEndStream) != 0) eof = true
+                case H2Framing.THeaders if f.streamId == 1 =>
+                  // response headers / trailers: accumulate the block
+                  // fragment (PADDED/PRIORITY stripped) until END_HEADERS,
+                  // then HPACK-decode. END_STREAM on the HEADERS frame
+                  // takes effect only once its block completes — trailers
+                  // split across CONTINUATION must still decode.
+                  headerAcc.write(H2Framing.headersFragment(f))
+                  if ((f.flags & H2Framing.FlagEndStream) != 0) endStreamPending = true
+                  if ((f.flags & H2Framing.FlagEndHeaders) != 0) completeHeaderBlock()
+                case H2Framing.TContinuation if f.streamId == 1 =>
+                  headerAcc.write(f.payload)
+                  if ((f.flags & H2Framing.FlagEndHeaders) != 0) completeHeaderBlock()
                 case H2Framing.TGoAway | H2Framing.TRstStream => eof = true
                 case _ => // PRIORITY / unknown extension frames: ignored
               }

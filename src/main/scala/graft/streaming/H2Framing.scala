@@ -20,9 +20,11 @@ import java.nio.charset.StandardCharsets
   *    HPACK literal-never-indexed fields (no Huffman, no dynamic table —
   *    the always-valid encoding), END_HEADERS+no END_STREAM, i.e. a
   *    server-streaming POST;
-  *  - response HEADERS are treated as stream-open (their HPACK payload is
-  *    NOT decoded — the stub consumes any header block; trailers carry
-  *    END_STREAM which ends the subscription);
+  *  - response HEADERS / CONTINUATION blocks HPACK-decode through
+  *    [[Hpack]] (static + dynamic table, Huffman — RFC 7541): `:status`
+  *    gates the subscribe (non-200 → failed dial, backoff grows) and the
+  *    `grpc-status` trailer records the RPC outcome; trailers carry
+  *    END_STREAM which ends the subscription;
   *  - DATA frames (PADDED stripped via [[dataPayload]]) concatenate into
   *    the gRPC message stream `[compressed:1][length:4 BE][payload]`*;
   *    each complete payload is one feed message, decoded by the mode's
@@ -45,11 +47,13 @@ object H2Framing {
   val TPing = 0x6
   val TGoAway = 0x7
   val TWindowUpdate = 0x8
+  val TContinuation = 0x9
 
   val FlagAck = 0x1
   val FlagEndStream = 0x1
   val FlagEndHeaders = 0x4
   val FlagPadded = 0x8
+  val FlagPriority = 0x20
 
   /** Defensive cap, same policy as [[WsFraming.MaxFrameBytes]]. */
   val MaxFrameBytes: Int = 16 * 1024 * 1024
@@ -207,6 +211,28 @@ object H2Framing {
           s"pad length $pad >= frame payload ${f.payload.length}")
       java.util.Arrays.copyOfRange(f.payload, 1, f.payload.length - pad)
     }
+
+  /** HEADERS payload reduced to its header-block fragment: strips the
+    * PADDED pad-length byte + trailing padding and the 5-byte PRIORITY
+    * prefix (RFC 9113 §6.2) when their flags are set. */
+  def headersFragment(f: Frame): Array[Byte] = {
+    var p = f.payload
+    var start = 0
+    var end = p.length
+    if ((f.flags & FlagPadded) != 0) {
+      if (p.isEmpty) throw new WsFraming.ProtocolError("PADDED HEADERS without pad length")
+      val pad = p(0) & 0xFF
+      if (pad >= p.length) throw new WsFraming.ProtocolError("HEADERS pad length overflow")
+      start += 1
+      end -= pad
+    }
+    if ((f.flags & FlagPriority) != 0) {
+      if (end - start < 5)
+        throw new WsFraming.ProtocolError("PRIORITY HEADERS shorter than 5 bytes")
+      start += 5
+    }
+    java.util.Arrays.copyOfRange(p, start, end)
+  }
 
   /** Wrap a payload in a padded DATA frame (loopback servers exercising
     * the PADDED path; `pad` zero bytes of padding). */

@@ -377,6 +377,76 @@ class CollectStreamSpec extends AnyFunSuite {
     (sock, dec)
   }
 
+  test("S8-S10: hpack response headers — huffman, continuation, grpc-status, 503 backoff") {
+    import graft.streaming.{H2Framing, Hpack}
+    val lines = envelopeLines(2)
+    val server = new java.net.ServerSocket(0, 4,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var rejected = false
+    val feeder = new Thread(() => {
+      try {
+        // connection 1: full h2 setup, then REJECT the subscribe with a
+        // 503 — the client must tear down and back off (failed dial)
+        locally {
+          val sock = server.accept()
+          val in = sock.getInputStream
+          val out = sock.getOutputStream
+          in.readNBytes(H2Framing.Preface.length)
+          out.write(H2Framing.encodeFrame(H2Framing.TSettings, 0, 0, Array.emptyByteArray))
+          out.write(H2Framing.encodeFrame(H2Framing.THeaders,
+            H2Framing.FlagEndHeaders | H2Framing.FlagEndStream, 1,
+            Hpack.encLiteralIndexingIdx(8, "503"))) // :status name idx, literal value
+          out.flush()
+          rejected = true
+          Thread.sleep(300) // hold the socket so the reject is what ends it
+          sock.close()
+        }
+        // connection 2: accept, then answer with an INDEXED + HUFFMAN
+        // header block split across HEADERS(PRIORITY) + CONTINUATION
+        val sock = server.accept()
+        val in = sock.getInputStream
+        val out = sock.getOutputStream
+        in.readNBytes(H2Framing.Preface.length)
+        out.write(H2Framing.encodeFrame(H2Framing.TSettings, 0, 0, Array.emptyByteArray))
+        val block = Hpack.encIndexed(8) ++ // :status 200 (static table)
+          Hpack.encLiteralIndexingIdx(31, "application/grpc", huffman = true)
+        val (part1, part2) = block.splitAt(3)
+        out.write(H2Framing.encodeFrame(H2Framing.THeaders,
+          H2Framing.FlagPriority, 1, new Array[Byte](5) ++ part1))
+        out.write(H2Framing.encodeFrame(H2Framing.TContinuation,
+          H2Framing.FlagEndHeaders, 1, part2))
+        lines.foreach { l =>
+          out.write(H2Framing.encodeFrame(H2Framing.TData, 0, 1,
+            H2Framing.grpcMessage(l.getBytes("UTF-8"))))
+        }
+        // trailers: huffman-coded grpc-status OK ends the rpc
+        out.write(H2Framing.encodeFrame(H2Framing.THeaders,
+          H2Framing.FlagEndHeaders | H2Framing.FlagEndStream, 1,
+          Hpack.encLiteralIndexing("grpc-status", "0", huffman = true)))
+        out.flush()
+        Thread.sleep(30000)
+      } catch { case _: Throwable => }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val spool = Files.createTempDirectory("graft-spool-hpack").toString
+    val conn = new FeedConnector("127.0.0.1", server.getLocalPort, spool, "blx",
+      soTimeoutMs = 50, mode = FeedConnector.Grpc()).start()
+    try {
+      val deadline = System.nanoTime() + 20000000000L
+      while ((conn.linesReceived < lines.length || conn.lastGrpcStatus.isEmpty) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(rejected, "first connection never served the 503")
+      assert(conn.linesReceived == lines.length)
+      assert(conn.connects == 1,
+        s"rejected subscribe must not count as a dial: connects=${conn.connects}")
+      assert(conn.lastGrpcStatus.contains(0),
+        s"grpc-status trailer not decoded: ${conn.lastGrpcStatus}")
+    } finally { conn.stop(); server.close() }
+    val got = spark.read.text(spool).collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(got.toSet == lines.toSet)
+  }
+
   test("S8-S10: grpc client streams over h2 — subscribe, deframe, ping ack, flow control") {
     import graft.streaming.H2Framing
     val lines = envelopeLines(6) // 6 txs + 3 junk shapes = 9 messages
