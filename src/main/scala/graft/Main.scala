@@ -20,7 +20,7 @@ object Main {
       |
       |commands:
       |  collect                                    streaming collector demo (fixtures)
-      |  collect <host> <port> <line|ws|grpc> <out> [sec]  collect from a live feed
+      |  collect <host> <port> <line|ws|grpc[-bloxroute|-eden|-chainbound]> <out> [sec]  collect from a live feed
       |  merge <txCsvGlob> <slGlob> <out> [blGlob]  merge the day's transactions
       |  merge --demo <out>                         merge self-generated fixtures
       |  merge sourcelog <slCsvGlob> <out>          merge the day's sourcelog

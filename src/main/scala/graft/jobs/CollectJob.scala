@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * only loss window is the wire itself; everything downstream of the dial
   * is exactly-once-replayable (see [[FeedConnector]]).
   *
-  * Usage: runMain graft.Main collect <host> <port> <line|ws|grpc> <outDir> [seconds]
+  * Usage: runMain graft.Main collect <host> <port> <line|ws|grpc[-bloxroute|-eden|-chainbound]> <outDir> [seconds]
   *        runMain graft.Main collect            # fixture demo (StreamDemo)
   */
 object CollectJob {
