@@ -66,9 +66,21 @@ object Bench {
         .selectExpr("bit_xor(xxhash64(id)) as s").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // codegen warm-up for the calibration job itself
+    // I/O-side twin of the CPU calibration (r7): a fixed parquet scan +
+    // aggregate whose cost tracks page-cache / disk contention the
+    // CPU-bound job is blind to — two runs at equal calibration_sec but
+    // differing calibration_scan_sec are I/O-noise, not regressions.
+    def calibrateScan(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("bit_xor(xxhash64(l_orderkey, l_linenumber)) as s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // codegen warm-up for the calibration jobs themselves
+    calibrateScan()
     val loadStart = loadAvg
     val calibrationSec = calibrate()
+    val calibrationScanSec = calibrateScan()
 
     // pin the merge-family attribution (VERDICT r2): the three mempool
     // readers share one memoized+cached merge DAG, so whichever ran first
@@ -130,8 +142,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadAvg
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""calibration_sec":$calibrationSec,"load_avg_start":$loadStart,""" +
-      s""""load_avg_end":$loadEnd,"sf":"$sfDir"}""")
+      s""""calibration_sec":$calibrationSec,"calibration_scan_sec":$calibrationScanSec,""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
