@@ -272,10 +272,14 @@ final class FeedConnector(
                   // takes effect only once its block completes — trailers
                   // split across CONTINUATION must still decode.
                   headerAcc.write(H2Framing.headersFragment(f))
+                  if (headerAcc.size > (1 << 20))
+                    throw new java.io.IOException("header block over 1 MiB")
                   if ((f.flags & H2Framing.FlagEndStream) != 0) endStreamPending = true
                   if ((f.flags & H2Framing.FlagEndHeaders) != 0) completeHeaderBlock()
                 case H2Framing.TContinuation if f.streamId == 1 =>
                   headerAcc.write(f.payload)
+                  if (headerAcc.size > (1 << 20))
+                    throw new java.io.IOException("header block over 1 MiB")
                   if ((f.flags & H2Framing.FlagEndHeaders) != 0) completeHeaderBlock()
                 case H2Framing.TGoAway | H2Framing.TRstStream => eof = true
                 case _ => // PRIORITY / unknown extension frames: ignored
