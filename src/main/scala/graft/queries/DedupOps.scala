@@ -377,14 +377,19 @@ object DedupOps {
       // decode runs 8×, not 128×, per row)
       val chunked = wordRows.select(col("doc_id") +: (0 until 8).map(j =>
         conv(substring(col("h"), 4 * j + 1, 4), 16, 10).cast("int").as(s"c$j")): _*)
+      // branchless votes: sum the raw bit (0/1) per position plus ONE row
+      // count — the ±1 majority "vote ≥ 0" is exactly "2·setBits ≥ words"
+      // (S − (W − S) ≥ 0), so the 128 conditional branches leave the
+      // per-row hot path and the aggregate is a pure shift-mask-add
       val bitAggs = (for (j <- 0 until 8; b <- 0 until 16) yield
-        sum(when(shiftright(col(s"c$j"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        sum(shiftright(col(s"c$j"), b).bitwiseAND(1).cast("long"))
           .as(s"v${j}_$b")).toSeq
-      val votes = chunked.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      // majority chunk: bit b set iff the vote is non-negative
+      val votes = chunked.groupBy("doc_id")
+        .agg(count(lit(1)).as("w"), bitAggs: _*)
+      // majority chunk: bit b set iff set-bit count wins the vote
       val fp = votes.select(col("doc_id") +: (0 until 8).map { j =>
         (0 until 16).map(b =>
-          when(col(s"v${j}_$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          when(col(s"v${j}_$b") * 2 >= col("w"), lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
           .as(s"m$j")
       }: _*)
       val bands = (0 until 8).map(i => col(s"m$i") * 65536L + col(s"m${(i + 1) % 8}")) ++
