@@ -27,6 +27,7 @@ object Main {
       |  merge trash <trashCsvGlob> <out>           merge the day's trash
       |  analyze <archiveDir> <outFile> [maxRows]   summarize a merged archive
       |  corpus <docsPath> <outDir> [evalDocsPath]  build a training corpus
+      |  compact <archiveDir> [targetMiB]           compact a day-partitioned archive
       |""".stripMargin
 
   /** Routing table, separated from main so the dispatch is spec-testable
@@ -40,6 +41,7 @@ object Main {
       case "merge" :: _                  => Some(("MergeJob", jobs.MergeJob.main _))
       case "analyze" :: _                => Some(("AnalyzeJob", jobs.AnalyzeJob.main _))
       case "corpus" :: _                 => Some(("CorpusBuildJob", jobs.CorpusBuildJob.main _))
+      case "compact" :: _                => Some(("CompactJob", jobs.CompactJob.main _))
       case _                             => None
     }
 

@@ -81,6 +81,69 @@ object Sinks {
     }
   }
 
+  /** Compact a day-partitioned archive's small files — the operational
+    * companion of [[writeDailyArchive]] at scale: streaming/hourly intake
+    * fragments a day into many small parquet files, and a 100 TB archive
+    * read pays per-file open cost (the classic small-files problem). Per
+    * day=… partition holding more files than its bytes justify, the data
+    * rewrites into ⌈bytes / targetBytes⌉ files with the same gzip /
+    * row-group format, staged into a dot-prefixed sibling and swapped via
+    * two renames — a reader races at most one whole-day swap, never a
+    * partial file set. Partitions already at their target count are left
+    * untouched, so the pass is idempotent and re-runnable after every
+    * intake day, like the reference's per-day publish step.
+    * Returns the per-day (before, after) file counts of rewritten days. */
+  def compactDailyArchive(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MILLIS")
+    try {
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+        .flatMap { st =>
+          val files = fs.listStatus(st.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          val bytes = files.map(_.getLen).sum
+          val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          if (files.length <= want) None
+          else {
+            val day = st.getPath.getName
+            val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$day")
+            fs.delete(tmp, true)
+            spark.read.parquet(st.getPath.toString)
+              .repartition(want)
+              .write
+              .option("compression", "gzip")
+              .option("parquet.block.size", (128L * 1024 * 1024).toString)
+              .option("parquet.page.size", (1024 * 1024).toString)
+              .mode("overwrite")
+              .parquet(tmp.toString)
+            val trash = new org.apache.hadoop.fs.Path(root, s".old-$day")
+            fs.delete(trash, true)
+            if (!fs.rename(st.getPath, trash))
+              throw new java.io.IOException(s"compact: cannot stage out $day")
+            if (!fs.rename(tmp, st.getPath)) {
+              fs.rename(trash, st.getPath) // roll back; the day stays readable
+              throw new java.io.IOException(s"compact: cannot swap in $day")
+            }
+            fs.delete(trash, true)
+            val after = fs.listStatus(st.getPath)
+              .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            Some(day -> (files.length, after))
+          }
+        }.toMap
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** The frozen metadata CSV column order (common/txsummary.go:17-36). */
   val MetadataCsvColumns: Seq[String] = Seq(
     "timestamp_ms", "hash", "chain_id", "from", "to", "value", "nonce",

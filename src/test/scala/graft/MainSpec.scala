@@ -19,6 +19,7 @@ class MainSpec extends AnyFunSuite {
     assert(target("merge", "trash", "g", "out") == Some("TrashMergeJob"))
     assert(target("analyze", "dir", "f") == Some("AnalyzeJob"))
     assert(target("corpus", "d", "o") == Some("CorpusBuildJob"))
+    assert(target("compact", "dir") == Some("CompactJob"))
     assert(target("website") == None)
   }
 

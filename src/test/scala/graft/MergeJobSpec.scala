@@ -182,6 +182,42 @@ class MergeJobSpec extends AnyFunSuite {
       txs.select("hash").distinct().count())
   }
 
+  test("daily archive compaction: fewer files, identical data, idempotent") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // a fragmented two-day archive: 8 files per day for a few hundred rows
+    val rows = (0 until 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "2024-01-01" else "2024-01-02", s"payload-$i"))
+      .toDF("id", "day", "body")
+    rows.repartition(8).write.partitionBy("day")
+      .option("compression", "gzip").parquet(s"$tmp/archive")
+    def fileCount(day: String) =
+      new java.io.File(s"$tmp/archive/day=$day").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(fileCount("2024-01-01") == 8, "fixture not fragmented as expected")
+    val before = spark.read.parquet(s"$tmp/archive")
+      .orderBy("id").collect().map(_.toString).toSeq
+
+    val done = Sinks.compactDailyArchive(spark, s"$tmp/archive")
+    assert(done.keySet == Set("day=2024-01-01", "day=2024-01-02"))
+    assert(done.values.forall { case (b, a) => b == 8 && a == 1 },
+      s"expected 8 -> 1 per day, got $done")
+    assert(fileCount("2024-01-01") == 1 && fileCount("2024-01-02") == 1)
+    // data identical after the swap, day partitioning intact
+    val after = spark.read.parquet(s"$tmp/archive")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(after == before, "compaction changed the data")
+    assert(spark.read.parquet(s"$tmp/archive")
+      .filter(col("day") === lit("2024-01-01").cast("date")).count() == 200)
+    // no staging debris, and a second pass is a no-op
+    assert(new java.io.File(s"$tmp/archive").listFiles()
+      .forall(f => !f.getName.startsWith(".compact-") && !f.getName.startsWith(".old-")))
+    assert(Sinks.compactDailyArchive(spark, s"$tmp/archive").isEmpty,
+      "re-compaction must be a no-op")
+  }
+
   test("sinks: parquet archive + metadata csv round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sinks").toString
     Sinks.writeParquetArchive(txs, s"$tmp/archive")
