@@ -50,6 +50,13 @@ object SimilarityOps {
 
   def semK(n: Long): Int = math.max(8, math.ceil(n / SemTargetCluster).toInt)
 
+  /** Twin-gate threshold shared by q_embed_rp and q_sim_ann_ivf: at
+    * N ≤ this, the exact-decimal oracle-twin chain runs (the verify SFs
+    * hold 500 vectors); above it, the production vec_dot plan. Chosen so
+    * semK(N) ≤ 8 inside the gate — the same boundary SemDeDup derives
+    * from its cluster-size floor. */
+  val VerifyExactGate = 512L
+
   /** Fraction of the corpus one LSH multiprobe query touches (expected). */
   def lshProbeFraction(n: Long): Double = {
     val p = lshPlanes(n)
@@ -975,7 +982,7 @@ object SimilarityOps {
       import graft.functions.VecOps.vec_dot
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val n = emb.count() // parquet metadata, not a scan
-      if (n <= 512) ivfExact(s, dir) else {
+      if (n <= VerifyExactGate) ivfExact(s, dir) else {
       val k = ivfK(n)
       val nprobe = ivfNprobe(k)
 
@@ -1042,7 +1049,7 @@ object SimilarityOps {
         |FROM flat f JOIN sgn s ON f.i = s.i
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      if (emb.count() <= 512) {
+      if (emb.count() <= VerifyExactGate) {
         // verify SF: the exploded exact-decimal oracle twin
         val flat = emb
           .select(col("vec_id"), posexplode(col("embedding")))

@@ -323,7 +323,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // one ulp-of-round apart at a boundary — hence the 1e-6 tolerance).
     import org.apache.spark.sql.types.DecimalType
     val sfBig = "/root/testdata/sf0.1"
-    assert(Tables.embeddings(spark, sfBig).count() > 512,
+    assert(Tables.embeddings(spark, sfBig).count() > queries.SimilarityOps.VerifyExactGate,
       "sf0.1 no longer exercises the production JL path")
     val fast = SparkEntry.queries("q_embed_rp")(spark, sfBig)
       .select(col("vec_id"), col("dim"), col("r").as("r_fast"))
