@@ -81,18 +81,20 @@ object Sinks {
     }
   }
 
-  /** Compact a day-partitioned archive's small files — the operational
-    * companion of [[writeDailyArchive]] at scale: streaming/hourly intake
-    * fragments a day into many small parquet files, and a 100 TB archive
-    * read pays per-file open cost (the classic small-files problem). Per
-    * day=… partition holding more files than its bytes justify, the data
-    * rewrites into ⌈bytes / targetBytes⌉ files with the same gzip /
-    * row-group format, staged into a dot-prefixed sibling and swapped via
-    * two renames — a reader races at most one whole-day swap, never a
-    * partial file set. Partitions already at their target count are left
-    * untouched, so the pass is idempotent and re-runnable after every
-    * intake day, like the reference's per-day publish step.
-    * Returns the per-day (before, after) file counts of rewritten days. */
+  /** Compact a partitioned archive's small files — the operational
+    * companion of [[writeDailyArchive]] and the hourly streaming sink at
+    * scale: intake fragments a partition into many small parquet files,
+    * and a 100 TB archive read pays per-file open cost (the classic
+    * small-files problem). Works on ANY k=v partition tree depth (day=…
+    * and date=…/hour=… alike): each leaf partition holding more files
+    * than its bytes justify rewrites into ⌈bytes / targetBytes⌉ files
+    * with the same gzip / row-group format, staged into a dot-prefixed
+    * sibling and swapped via two renames — a reader races at most one
+    * whole-partition swap, never a partial file set. Partitions already
+    * at their target count are untouched, so the pass is idempotent and
+    * re-runnable after every intake window, like the reference's per-day
+    * publish step. Returns (relative partition path → (before, after))
+    * file counts for rewritten partitions. */
   def compactDailyArchive(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -102,40 +104,53 @@ object Sinks {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MILLIS")
     try {
-      fs.listStatus(root).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
-        .flatMap { st =>
-          val files = fs.listStatus(st.getPath)
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          val bytes = files.map(_.getLen).sum
-          val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-          if (files.length <= want) None
-          else {
-            val day = st.getPath.getName
-            val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$day")
-            fs.delete(tmp, true)
-            spark.read.parquet(st.getPath.toString)
-              .repartition(want)
-              .write
-              .option("compression", "gzip")
-              .option("parquet.block.size", (128L * 1024 * 1024).toString)
-              .option("parquet.page.size", (1024 * 1024).toString)
-              .mode("overwrite")
-              .parquet(tmp.toString)
-            val trash = new org.apache.hadoop.fs.Path(root, s".old-$day")
-            fs.delete(trash, true)
-            if (!fs.rename(st.getPath, trash))
-              throw new java.io.IOException(s"compact: cannot stage out $day")
-            if (!fs.rename(tmp, st.getPath)) {
-              fs.rename(trash, st.getPath) // roll back; the day stays readable
-              throw new java.io.IOException(s"compact: cannot swap in $day")
-            }
-            fs.delete(trash, true)
-            val after = fs.listStatus(st.getPath)
-              .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            Some(day -> (files.length, after))
+      // walk to LEAF partition dirs (k=v segments holding parquet files
+      // directly) at ANY nesting depth, so the same pass serves the
+      // day=… archive and the hourly date=…/hour=… streaming layout
+      def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+        val kids = fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith("."))
+        val subParts = kids.filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        val hasFiles = kids.exists(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+        (if (hasFiles && p != root) Seq(p) else Nil) ++ subParts.flatMap(s => leaves(s.getPath))
+      }
+      leaves(root).flatMap { dir =>
+        val files = fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        if (files.length <= want) None
+        else {
+          // the partition's path relative to the root names its swap stage
+          // (qualify both sides so scheme differences cannot break it)
+          val rel = fs.makeQualified(dir).toString
+            .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
+          val tag = rel.replace('/', '~')
+          val parent = dir.getParent
+          val tmp = new org.apache.hadoop.fs.Path(parent, s".compact-$tag")
+          fs.delete(tmp, true)
+          spark.read.parquet(dir.toString)
+            .repartition(want)
+            .write
+            .option("compression", "gzip")
+            .option("parquet.block.size", (128L * 1024 * 1024).toString)
+            .option("parquet.page.size", (1024 * 1024).toString)
+            .mode("overwrite")
+            .parquet(tmp.toString)
+          val trash = new org.apache.hadoop.fs.Path(parent, s".old-$tag")
+          fs.delete(trash, true)
+          if (!fs.rename(dir, trash))
+            throw new java.io.IOException(s"compact: cannot stage out $rel")
+          if (!fs.rename(tmp, dir)) {
+            fs.rename(trash, dir) // roll back; the partition stays readable
+            throw new java.io.IOException(s"compact: cannot swap in $rel")
           }
-        }.toMap
+          fs.delete(trash, true)
+          val after = fs.listStatus(dir)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          Some(rel -> (files.length, after))
+        }
+      }.toMap
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)

@@ -216,6 +216,18 @@ class MergeJobSpec extends AnyFunSuite {
       .forall(f => !f.getName.startsWith(".compact-") && !f.getName.startsWith(".old-")))
     assert(Sinks.compactDailyArchive(spark, s"$tmp/archive").isEmpty,
       "re-compaction must be a no-op")
+
+    // the same pass serves the NESTED hourly layout (date=…/hour=…)
+    rows.withColumn("hour", (col("id") % 2).cast("int"))
+      .repartition(6).write.partitionBy("day", "hour")
+      .option("compression", "gzip").parquet(s"$tmp/hourly")
+    val hb = spark.read.parquet(s"$tmp/hourly").orderBy("id")
+      .collect().map(_.toString).toSeq
+    val doneH = Sinks.compactDailyArchive(spark, s"$tmp/hourly")
+    assert(doneH.keySet.forall(k => k.matches("day=.*/hour=.*")), s"keys: $doneH")
+    assert(doneH.nonEmpty && doneH.values.forall { case (b, a) => b == 6 && a == 1 })
+    assert(spark.read.parquet(s"$tmp/hourly").orderBy("id")
+      .collect().map(_.toString).toSeq == hb, "hourly compaction changed the data")
   }
 
   test("sinks: parquet archive + metadata csv round-trip") {
