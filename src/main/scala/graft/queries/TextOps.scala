@@ -586,22 +586,68 @@ object TextOps {
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
     },
 
-    // Sketch-based vocabulary cardinality: per-language unique-token
-    // counts via HyperLogLog++ (approx_count_distinct, rsd 2 %). At
-    // 100 TB an exact distinct over the token domain shuffles the full
-    // token stream; the HLL sketch partial-aggregates map-side into a
-    // few-KB register set per group — the standard cardinality path for
-    // corpus vocab/fingerprint stats. No DuckDB oracle (HLL register
-    // layouts differ across engines); LlmOpsSpec bounds the relative
-    // error against the exact distinct at <= 5 %.
-    "q_vocab_sketch" -> QueryDef.rowsOnly(
-      "vocabulary cardinality: per-lang HLL unique tokens + exact token mass") { (s, dir) =>
-      Tables.documents(s, dir)
+    // Sketch-based vocabulary cardinality (differential-tested): a
+    // per-language HyperLogLog with m = 4096 registers built from md5
+    // hashes — the Flajolet et al. register construction written in
+    // engine-portable primitives (the simhash/LSH generated-twin
+    // precedent, replacing the opaque engine-internal HLL++): a token's
+    // 60-bit md5 prefix splits into a 12-bit register index and a 48-bit
+    // remainder whose leading-zero rank the register max-aggregates. At
+    // 100 TB an exact distinct shuffles the full token stream; here only
+    // (lang, register, max-rank) partials shuffle — a few KB per
+    // language. Cross-engine exactness: the harmonic sum is computed as
+    // Σ 2^(49-M) in EXACT int64 (max 4096·2^49 = 2^61) with one
+    // correctly-rounded int→double conversion at the end, so both
+    // engines divide identical doubles; the small-range ln correction
+    // follows the q_text_entropy precedent (ln + round agree).
+    "q_vocab_sketch" -> QueryDef.sql(
+      "vocabulary cardinality: per-lang md5-HLL (m=4096) unique tokens + exact token mass",
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |h AS (SELECT lang, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM w),
+        |rk AS (
+        |  SELECT lang, h // 281474976710656 AS bucket,
+        |    CASE WHEN h % 281474976710656 = 0 THEN 49
+        |         ELSE 49 - length(bin(h % 281474976710656)) END AS rnk
+        |  FROM h),
+        |reg AS (SELECT lang, bucket, MAX(rnk) AS m, COUNT(*) AS c
+        |        FROM rk GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS ne,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (49 - m)) AS BIGINT) AS tp
+        |  FROM reg GROUP BY 1),
+        |fin AS (
+        |  SELECT lang, n_tokens, 4096 - ne AS zeros,
+        |    (0.7213 / (1 + 1.079 / 4096.0)) * 16777216.0 * 562949953421312.0 /
+        |      CAST((4096 - ne) * 562949953421312 + tp AS DOUBLE) AS raw
+        |  FROM agg)
+        |SELECT lang, n_tokens,
+        |  round(CASE WHEN raw <= 10240.0 AND zeros > 0
+        |    THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 4) AS approx_vocab_r
+        |FROM fin""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
         .select(col("lang"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_tokens"),
-          approx_count_distinct(col("w"), 0.02).as("approx_vocab"))
+      val hashed = toks.select(col("lang"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      val rest = col("h") % 281474976710656L
+      val ranked = hashed.select(col("lang"),
+        expr("h div 281474976710656").as("bucket"),
+        when(rest === 0, 49).otherwise(lit(49) - length(bin(rest))).as("rnk"))
+      val reg = ranked.groupBy("lang", "bucket")
+        .agg(max("rnk").as("m"), count(lit(1)).as("c"))
+      val agg = reg.groupBy("lang")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("ne"),
+          sum(expr("shiftleft(1L, 49 - m)")).as("tp"))
+      val zeros = lit(4096) - col("ne")
+      val raw = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0))) *
+        lit(16777216.0) * lit(562949953421312.0) /
+        (zeros.cast("long") * lit(562949953421312L) + col("tp")).cast("double")
+      agg.select(col("lang"), col("n_tokens"),
+        round(when(raw <= 10240.0 && zeros > 0,
+          lit(4096.0) * log(lit(4096.0) / zeros)).otherwise(raw), 4)
+          .as("approx_vocab_r"))
     },
 
     // Per-language vocabulary heavy hitters (differential-tested): the

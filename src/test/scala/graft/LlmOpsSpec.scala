@@ -193,7 +193,7 @@ class LlmOpsSpec extends AnyFunSuite {
       .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
     val exact = words.groupBy("lang").agg(countDistinct("w").as("exact_vocab"))
     val errs = sk.join(exact, Seq("lang"))
-      .select((abs(col("approx_vocab") - col("exact_vocab")) /
+      .select((abs(col("approx_vocab_r") - col("exact_vocab")) /
         col("exact_vocab")).as("rel"))
     assert(errs.filter(col("rel") > 0.05).count() == 0,
       "HLL estimate off by more than 5% for some language")
