@@ -966,18 +966,51 @@ object TextOps {
     // join at all on the training side. Bloom semantics: no false
     // negatives, so every truly-contaminated doc is still dropped; the FP
     // rate costs a bounded sliver of clean docs (LlmOpsSpec pins both
-    // properties against the exact q_decontaminate). No DuckDB oracle —
-    // Bloom bit layouts are engine-specific.
-    "q_decontaminate_bloom" -> QueryDef.rowsOnly(
-      "decontamination via broadcast Bloom filter: no false negatives, ~1% over-drop") { (s, dir) =>
+    // properties against the exact q_decontaminate).
+    //
+    // Differential-tested (the CMS precedent): the filter is built from
+    // PORTABLE primitives — k = 7 bit positions per fingerprint, each a
+    // 16-bit md5 slice mod m, with m = the next power of two ≥ 10·n
+    // (k=7, m/n≈10 → FP ≈ 0.8 %) — so the DuckDB twin reconstructs the
+    // identical bit set and replays the probe as a positional hit-count.
+    // (True log2(10n) is never an integer — 2^k has no factor 5 — so the
+    // oracle's CEIL(LOG2) and the engine's next-pow-2 loop always agree.)
+    "q_decontaminate_bloom" -> QueryDef.sql(
+      "decontamination via broadcast md5-Bloom (k=7, m=2^ceil(log2(10n))): no false negatives, ~1% over-drop",
+      """WITH ev AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 97 = 0),
+        |mm AS (SELECT CAST(power(2, CEIL(LOG2(10 * GREATEST(COUNT(*), 1)))) AS BIGINT) AS m
+        |       FROM ev),
+        |bits AS (
+        |  SELECT DISTINCT CAST('0x' || substr(h, 4 * j + 1, 4) AS BIGINT) % m AS b
+        |  FROM (SELECT h, unnest(generate_series(0, 6)) AS j FROM ev), mm),
+        |tr AS (SELECT doc_id, lang, n_chars, md5(text) AS h
+        |       FROM documents WHERE doc_id % 97 <> 0),
+        |trpos AS (
+        |  SELECT doc_id, CAST('0x' || substr(h, 4 * j + 1, 4) AS BIGINT) % m AS b
+        |  FROM (SELECT doc_id, h, unnest(generate_series(0, 6)) AS j FROM tr), mm),
+        |hits AS (SELECT doc_id, COUNT(*) AS k FROM trpos JOIN bits USING (b) GROUP BY 1)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM tr LEFT JOIN hits USING (doc_id)
+        |WHERE COALESCE(hits.k, 0) < 7
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val evalH = docs.filter(col("doc_id") % 97 === 0)
-        .select(md5(col("text")).as("h"))
-      val bf = evalH.stat.bloomFilter("h", math.max(evalH.count(), 1L), 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((h: String) => bfB.value.mightContain(h))
+      val eval = docs.filter(col("doc_id") % 97 === 0)
+      val n = math.max(eval.count(), 1L)
+      var m = 1
+      while (m < 10 * n && m < (1 << 26)) m *= 2 // bits; 2^26 caps the broadcast at 8 MiB
+      def positions(h: org.apache.spark.sql.Column) = (0 until 7).map(j =>
+        conv(substring(h, 4 * j + 1, 4), 16, 10).cast("int") % m)
+      // the eval bit set: ≤ 7·n distinct positions of an m-bit filter —
+      // kilobytes, the artifact that broadcasts at any corpus size
+      val bits = eval
+        .select(explode(array(positions(md5(col("text"))): _*)).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      val bitset = new Array[Boolean](m)
+      bits.foreach(bitset(_) = true)
+      val bsB = s.sparkContext.broadcast(bitset)
+      val probe = udf((ps: Seq[Int]) => ps.forall(bsB.value(_)))
       docs.filter(col("doc_id") % 97 =!= 0)
-        .filter(!mightContain(md5(col("text"))))
+        .filter(!probe(array(positions(md5(col("text"))): _*)))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"),
           sum("n_chars").cast("long").as("total_chars"))
