@@ -236,6 +236,23 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"JL production plan joins:\n$plan")
   }
 
+  test("HLL vocab sketch: registers partial-aggregate map-side") {
+    // the 100 TB claim: only (lang, register, max-rank) partials shuffle,
+    // never the token stream
+    val plan = finalPlan(SparkEntry.queries("q_vocab_sketch")(spark, sf))
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      s"no map-side register aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in HLL plan:\n$plan")
+  }
+
+  test("Bloom decontamination probes scan-local: no join on the training side") {
+    // the broadcast-bitset probe is a filter, not a join — the entire
+    // point of the Bloom path when the eval set outgrows a join build
+    val plan = finalPlan(SparkEntry.queries("q_decontaminate_bloom")(spark, sf))
+    assert(!plan.contains("Join"), s"bloom probe degenerated to a join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bloom plan:\n$plan")
+  }
+
   test("count-min sketch aggregates partially; no cartesian") {
     val plan = finalPlan(SparkEntry.queries("q_vocab_cms")(spark, sf))
     assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
