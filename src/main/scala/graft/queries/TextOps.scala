@@ -969,24 +969,31 @@ object TextOps {
     // properties against the exact q_decontaminate).
     //
     // Differential-tested (the CMS precedent): the filter is built from
-    // PORTABLE primitives — k = 7 bit positions per fingerprint, each a
-    // 16-bit md5 slice mod m, with m = the next power of two ≥ 10·n
-    // (k=7, m/n≈10 → FP ≈ 0.8 %) — so the DuckDB twin reconstructs the
-    // identical bit set and replays the probe as a positional hit-count.
+    // PORTABLE primitives — k = 7 bit positions per fingerprint via
+    // Kirsch–Mitzenmacher double hashing, b_j = (h1 + j·h2) mod m with
+    // h1/h2 the first/second 32-bit md5 slices, and m = the next power of
+    // two ≥ 10·n capped at 2²⁶ (k=7, m/n≈10 → FP ≈ 0.8 %) — so the DuckDB
+    // twin reconstructs the identical bit set and replays the probe as a
+    // positional hit-count. 32-bit hash material keeps positions uniform
+    // for any m up to the cap (a 16-bit slice would saturate past 2¹⁶),
+    // and the cap is mirrored in the oracle's LEAST(…, 26).
     // (True log2(10n) is never an integer — 2^k has no factor 5 — so the
     // oracle's CEIL(LOG2) and the engine's next-pow-2 loop always agree.)
     "q_decontaminate_bloom" -> QueryDef.sql(
-      "decontamination via broadcast md5-Bloom (k=7, m=2^ceil(log2(10n))): no false negatives, ~1% over-drop",
+      "decontamination via broadcast md5-Bloom (k=7 double-hashed, m=min(2^ceil(log2(10n)),2^26)): no false negatives, ~1% over-drop",
       """WITH ev AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 97 = 0),
-        |mm AS (SELECT CAST(power(2, CEIL(LOG2(10 * GREATEST(COUNT(*), 1)))) AS BIGINT) AS m
+        |mm AS (SELECT CAST(power(2, LEAST(CEIL(LOG2(10 * GREATEST(COUNT(*), 1))), 26))
+        |              AS BIGINT) AS m
         |       FROM ev),
         |bits AS (
-        |  SELECT DISTINCT CAST('0x' || substr(h, 4 * j + 1, 4) AS BIGINT) % m AS b
+        |  SELECT DISTINCT (CAST('0x' || substr(h, 1, 8) AS BIGINT)
+        |                   + j * CAST('0x' || substr(h, 9, 8) AS BIGINT)) % m AS b
         |  FROM (SELECT h, unnest(generate_series(0, 6)) AS j FROM ev), mm),
         |tr AS (SELECT doc_id, lang, n_chars, md5(text) AS h
         |       FROM documents WHERE doc_id % 97 <> 0),
         |trpos AS (
-        |  SELECT doc_id, CAST('0x' || substr(h, 4 * j + 1, 4) AS BIGINT) % m AS b
+        |  SELECT doc_id, (CAST('0x' || substr(h, 1, 8) AS BIGINT)
+        |                  + j * CAST('0x' || substr(h, 9, 8) AS BIGINT)) % m AS b
         |  FROM (SELECT doc_id, h, unnest(generate_series(0, 6)) AS j FROM tr), mm),
         |hits AS (SELECT doc_id, COUNT(*) AS k FROM trpos JOIN bits USING (b) GROUP BY 1)
         |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -997,18 +1004,22 @@ object TextOps {
       val eval = docs.filter(col("doc_id") % 97 === 0)
       val n = math.max(eval.count(), 1L)
       var m = 1
-      while (m < 10 * n && m < (1 << 26)) m *= 2 // bits; 2^26 caps the broadcast at 8 MiB
-      def positions(h: org.apache.spark.sql.Column) = (0 until 7).map(j =>
-        conv(substring(h, 4 * j + 1, 4), 16, 10).cast("int") % m)
+      while (m < 10 * n && m < (1 << 26)) m *= 2 // bits; packed, 2^26 caps the broadcast at 8 MiB
+      def positions(h: org.apache.spark.sql.Column) = {
+        val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
+        val h2 = conv(substring(h, 9, 8), 16, 10).cast("long")
+        (0 until 7).map(j => ((h1 + lit(j.toLong) * h2) % m).cast("int"))
+      }
       // the eval bit set: ≤ 7·n distinct positions of an m-bit filter —
       // kilobytes, the artifact that broadcasts at any corpus size
       val bits = eval
         .select(explode(array(positions(md5(col("text"))): _*)).as("b"))
         .distinct().collect().map(_.getInt(0))
-      val bitset = new Array[Boolean](m)
-      bits.foreach(bitset(_) = true)
+      val bitset = new Array[Long]((m + 63) >>> 6) // packed: m/8 bytes, 8 MiB at the 2^26 cap
+      bits.foreach(p => bitset(p >>> 6) |= 1L << (p & 63))
       val bsB = s.sparkContext.broadcast(bitset)
-      val probe = udf((ps: Seq[Int]) => ps.forall(bsB.value(_)))
+      val probe = udf((ps: Seq[Int]) =>
+        ps.forall(p => (bsB.value(p >>> 6) & (1L << (p & 63))) != 0L))
       docs.filter(col("doc_id") % 97 =!= 0)
         .filter(!probe(array(positions(md5(col("text"))): _*)))
         .groupBy("lang")
