@@ -48,6 +48,9 @@ object Bench {
       warm.transactions.count()
       warm.trash.count()
       warm.transactions.unpersist()
+      // drop the warm-up fixtures' own cached input too — the sweep runs
+      // against sfDir, so nothing reads the sf0.001 merge DAG again
+      queries.MempoolParse.releaseMerge(spark, warmDir)
     } catch { case _: Throwable => }
 
     // Calibration (VERDICT r4/r5): a FIXED CPU-bound reference job whose
@@ -123,11 +126,45 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.all.toSeq.map { case (name, d) =>
+    // Release each shared cache right after its LAST consumer in the
+    // sweep (VERDICT r7 item 1): executor storage steps back to baseline
+    // between families, so a contended run can't LRU-evict a still-needed
+    // artifact and silently bill a full retraining to whichever consumer
+    // touches it next. Membership is the grep'd consumer set per cache;
+    // the last sweep index is computed from the actual sweep order, so a
+    // reordering of SparkEntry.all can't strand a release before a
+    // consumer.
+    val sweep = SparkEntry.all.toSeq
+    val families: Seq[(Set[String], () => Unit)] = Seq(
+      (Set("q_mempool_merge", "q_mempool_trash", "q_mempool_analyze"),
+        () => queries.MempoolParse.releaseMerge(spark, sfDir)),
+      (Set("q_dedup_embedding_cos", "q_dedup_clusters", "q_dedup_clusters_star",
+        "q_dedup_apply"),
+        () => queries.DedupOps.releasePairs(spark, sfDir)),
+      (Set("q_embed_pq", "q_sim_ann_pq", "q_sim_ann_ivfpq"),
+        () => queries.SimilarityOps.releasePqIndex(spark, sfDir)),
+      (Set("q_embed_kmeans", "q_dedup_semantic", "q_sim_ann_ivfpq"),
+        () => queries.SimilarityOps.releaseCoarseKmeans(spark, sfDir)),
+      (Set("q_dedup_semantic"),
+        () => queries.SimilarityOps.releaseSemClusters(spark, sfDir)),
+      (Set("q_sim_ann_ivf"),
+        () => queries.SimilarityOps.releaseIvfCentroids(spark, sfDir)))
+    val releaseAt: Map[Int, Seq[() => Unit]] = families
+      .flatMap { case (members, rel) =>
+        val idxs = sweep.zipWithIndex.collect {
+          case ((n, _), i) if members(n) => i
+        }
+        idxs.maxOption.map(_ -> rel)
+      }
+      .groupBy(_._1).map { case (i, rs) => i -> rs.map(_._2) }
+
+    val results = sweep.zipWithIndex.map { case ((name, d), i) =>
       val t0 = System.nanoTime()
       val ok = try { d.fn(spark, sfDir).count(); true }
       catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
+      releaseAt.getOrElse(i, Nil).foreach(rel =>
+        try rel() catch { case _: Throwable => () })
       val attributed = name match {
         case "q_mempool_merge"       => sec + mergeSec
         case "q_dedup_embedding_cos" => sec + pairsSec

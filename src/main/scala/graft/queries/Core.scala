@@ -28,6 +28,20 @@ object Core {
     * reads the same day=yyyy-MM-dd/ layout instead of re-publishing. */
   private[graft] def dailyEventsArchive(s: SparkSession, dir: String): String =
     archiveMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      // temp layout is session-scoped: the session-end sweep deletes it
+      // (ADVICE r8 #3 — the dirs used to outlive every session)
+      SessionCaches.onRelease(s, s"core.archive:$dir") { () =>
+        archiveMemo.remove((System.identityHashCode(s), dir)).foreach { p =>
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root)) {
+            val walk = java.nio.file.Files.walk(root)
+            try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          }
+        }
+      }
       val path = java.nio.file.Files
         .createTempDirectory("graft-daily-archive").toString
       graft.ops.Sinks.writeDailyArchive(

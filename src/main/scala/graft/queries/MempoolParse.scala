@@ -48,11 +48,13 @@ object MempoolParse {
     * archive, the trash side-output, and the analyzer input together
     * (cmd/merge/transactions.go). Without this, each query re-ran the
     * full 100k-row parse. */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Merge.Output]
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (Merge.Output, DataFrame)]
 
   def mergeOutput(s: SparkSession, dir: String): Merge.Output =
     memo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      SessionCaches.onRelease(s, s"mempool.merge:$dir")(() =>
+        releaseMerge(s, dir))
       // cache the synthetic INPUT once: fixture generation (per-row RLP +
       // keccak + signing) is test-harness work, not engine work — without
       // this the blacklist branch regenerated all 100k rows a second time
@@ -65,8 +67,16 @@ object MempoolParse {
         blocks = Some(blocks(s, dir))))
       // the archive side feeds all three reader queries — materialize the
       // joined/sorted result once, not just the parse stage inside Merge
-      Merge.Output(out.transactions.cache(), out.trash)
-    })
+      (Merge.Output(out.transactions.cache(), out.trash), raws)
+    })._1
+
+  /** Unpersist + evict the shared merge DAG (archive AND the cached
+    * fixture input) — Bench calls this after the last q_mempool_* reader;
+    * the session-end sweep covers everything else. Idempotent. */
+  def releaseMerge(s: SparkSession, dir: String): Unit =
+    memo.remove((System.identityHashCode(s), dir)).foreach { case (out, raws) =>
+      out.transactions.unpersist(false); raws.unpersist(false)
+    }
 
   val defs: Map[String, QueryDef] = Map(
 

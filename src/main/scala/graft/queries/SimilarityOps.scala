@@ -85,11 +85,17 @@ object SimilarityOps {
 
     def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
       memo.getOrElseUpdate((System.identityHashCode(s), dir), {
+        SessionCaches.onRelease(s, s"sim.pq:$dir")(() => release(s, dir))
         val f = flat(s, dir)
         val c1 = codebook(f).cache()
         val codes = assign(f, c1).cache()
         (c1, codes)
       })
+
+    def release(s: SparkSession, dir: String): Unit =
+      memo.remove((System.identityHashCode(s), dir)).foreach { case (c1, codes) =>
+        c1.unpersist(false); codes.unpersist(false)
+      }
 
     /** (vec_id, i, sub, v): 1-based dim i, subspace sub = (i−1) div 8. */
     def flat(s: SparkSession, dir: String): DataFrame =
@@ -170,6 +176,7 @@ object SimilarityOps {
 
     def d2(s: SparkSession, dir: String): DataFrame =
       memo.getOrElseUpdate((System.identityHashCode(s), dir), {
+        SessionCaches.onRelease(s, s"sim.coarse:$dir")(() => release(s, dir))
         val flat = Pq.flat(s, dir)
         def dists(cents: DataFrame) =
           flat.join(broadcast(cents), Seq("i"))
@@ -188,6 +195,9 @@ object SimilarityOps {
             count(lit(1))).as("cv"))
         dists(c1).cache()
       })
+
+    def release(s: SparkSession, dir: String): Unit =
+      memo.remove((System.identityHashCode(s), dir)).foreach(_.unpersist(false))
   }
 
   /** Nearest-centroid assignment (vec_id, c): broadcast the (k × dim)
@@ -312,8 +322,12 @@ object SimilarityOps {
     // [[Coarse.d2]]: a bench sweep that calls q_dedup_semantic repeatedly
     // reuses ONE cached assignment instead of stacking a new cached frame
     // per call (ADVICE r6 — executor storage accumulated across sweeps).
-    semMemo.getOrElseUpdate((System.identityHashCode(s), dir),
-      semClustersUncached(s, dir).cache())
+    semMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      SessionCaches.onRelease(s, s"sim.sem:$dir")(() =>
+        semMemo.remove((System.identityHashCode(s), dir))
+          .foreach(_.unpersist(false)))
+      semClustersUncached(s, dir).cache()
+    })
 
   private def semClustersUncached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -365,6 +379,17 @@ object SimilarityOps {
     * consumer happens to run first. */
   def warmPqIndex(s: SparkSession, dir: String): Long = Pq.trained(s, dir)._2.count()
   def warmCoarseKmeans(s: SparkSession, dir: String): Long = Coarse.d2(s, dir).count()
+
+  /** Last-consumer release hooks (Bench; see [[SessionCaches]]) —
+    * unpersist a trained artifact once its final consumer has run, so a
+    * long sweep's executor storage steps back to baseline per family
+    * instead of accumulating until LRU eviction. Idempotent. */
+  def releasePqIndex(s: SparkSession, dir: String): Unit = Pq.release(s, dir)
+  def releaseCoarseKmeans(s: SparkSession, dir: String): Unit = Coarse.release(s, dir)
+  def releaseSemClusters(s: SparkSession, dir: String): Unit =
+    SessionCaches.release(s, s"sim.sem:$dir")
+  def releaseIvfCentroids(s: SparkSession, dir: String): Unit =
+    SessionCaches.release(s, s"sim.ivf:$dir")
 
   /** Final k-means assignment (vec_id, cluster) — argmin over the shared
     * cached distance table. The Spark twin of the `clus` CTE below; shared
@@ -571,9 +596,17 @@ object SimilarityOps {
 
   val defs: Map[String, QueryDef] = Map(
 
-    // Brute-force cosine top-k of a fixed query vector (vec_id=0), exact
-    // decimal accumulation for oracle parity. At scale: one scan + map-side
-    // partial top-k (TakeOrderedAndProject), no full sort materialized.
+    // Brute-force cosine top-k of a fixed query vector (vec_id=0). Two
+    // regimes, the q_embed_rp twin pattern (VERDICT r7 item 2):
+    //  - verify SF (N ≤ VerifyExactGate): the 64-way exploded
+    //    exact-decimal chain DuckDB hashes — the oracle twin;
+    //  - above: the PRODUCTION plan — the query vector is collected once
+    //    (64 floats) and baked into the plan as a literal array; every
+    //    corpus row is scored by the codegen'd vec_dot in ONE narrow map
+    //    (no explode, no join, no aggregation) and the top-k is a
+    //    map-side partial TakeOrderedAndProject, never a full sort. At
+    //    100 TB this is a pure scan: zero shuffle beyond the k-row
+    //    driver-side merge.
     "q_sim_topk" -> QueryDef.sql(
       "brute-force cosine top-k vs query vector (exact baseline)",
       """WITH flat AS (
@@ -590,32 +623,56 @@ object SimilarityOps {
         |CROSS JOIN (SELECT n2 FROM nrm WHERE vec_id = 0) qn
         |ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE))) DESC, d.vec_id
         |LIMIT 10""".stripMargin) { (s, dir) =>
-      val flat = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
-      val q = flat.filter(col("vec_id") === 0).select(col("i"), col("v").as("qv"))
-      val nrm = flat.groupBy("vec_id")
-        .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
-      val qn = nrm.filter(col("vec_id") === 0).select(col("n2").as("qn2"))
-      val dots = flat.filter(col("vec_id") =!= 0)
-        .join(broadcast(q), Seq("i"))
-        .groupBy("vec_id")
-        .agg(sum((col("v") * col("qv")).cast(DecimalType(28, 12))).as("dot"))
-      dots.join(nrm, Seq("vec_id")).crossJoin(broadcast(qn))
-        .withColumn("cos", col("dot").cast("double") /
-          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .select(col("vec_id"), round(col("cos"), 6).as("cos_r"))
-        .limit(10)
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      if (emb.count() <= VerifyExactGate) {
+        // verify SF: the exploded exact-decimal oracle twin
+        val flat = emb
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
+        val q = flat.filter(col("vec_id") === 0).select(col("i"), col("v").as("qv"))
+        val nrm = flat.groupBy("vec_id")
+          .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
+        val qn = nrm.filter(col("vec_id") === 0).select(col("n2").as("qn2"))
+        val dots = flat.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), Seq("i"))
+          .groupBy("vec_id")
+          .agg(sum((col("v") * col("qv")).cast(DecimalType(28, 12))).as("dot"))
+        dots.join(nrm, Seq("vec_id")).crossJoin(broadcast(qn))
+          .withColumn("cos", col("dot").cast("double") /
+            (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .select(col("vec_id"), round(col("cos"), 6).as("cos_r"))
+          .limit(10)
+      } else {
+        // production: query vector as a plan literal, codegen vec_dot,
+        // map-side partial top-k — one scan, no explode, no join
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.VecOps.vec_dot
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble)
+        val qlit = array(qv.map(lit(_)): _*)
+        val qnorm = math.sqrt(qv.map(x => x * x).sum)
+        emb.filter(col("vec_id") =!= 0)
+          .withColumn("cos", vec_dot(col("embedding"), qlit) /
+            (sqrt(vec_dot(col("embedding"), col("embedding"))) * lit(qnorm)))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .select(col("vec_id"), round(col("cos"), 6).as("cos_r"))
+          .limit(10)
+      }
     },
 
     // Batched exact top-k (differential-tested): MANY query vectors at
     // once — the shape a retrieval/labeling pipeline actually runs, not
-    // one ad-hoc probe. The query block (Q × dim) broadcasts; the corpus
-    // scan streams past it once; the per-query top-k is a window over
-    // (qid), so adding queries never adds corpus passes. At 100 TB: one
-    // scan, one shuffle on (qid, vec_id) partial dots, Q bounded by the
-    // broadcast budget (a few thousand 64-dim queries ≈ MBs).
+    // one ad-hoc probe. Twin-gated like q_sim_topk:
+    //  - verify SF: exploded exact-decimal chain (the oracle twin);
+    //  - production: the Q query vectors are baked into the plan as
+    //    literal arrays, each corpus row emits Q (qid, cos) structs
+    //    scored by the codegen'd vec_dot — ONE scan, no dim explode, no
+    //    join — and the per-query top-k is a window over (qid). At
+    //    100 TB: the only shuffle is the skinny (qid, vec_id, cos)
+    //    scored rows into the window (Q·N 24-byte rows, 64× less than
+    //    the exploded chain's partial dots), Q bounded by the plan-
+    //    literal budget (a few thousand 64-dim queries ≈ MBs).
     "q_sim_batch_topk" -> QueryDef.sql(
       "batched cosine top-k: 5 query vectors, one corpus pass, per-query window",
       """WITH flat AS (
@@ -637,27 +694,52 @@ object SimilarityOps {
         |  FROM scored)
         |WHERE rk <= 3""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val flat = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
-      val q = flat.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("i"), col("v").as("qv"))
-      val nrm = flat.groupBy("vec_id")
-        .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
-      val qn = nrm.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("n2").as("qn2"))
-      flat.filter(col("vec_id") >= 5)
-        .join(broadcast(q), Seq("i"))
-        .groupBy("qid", "vec_id")
-        .agg(sum((col("v") * col("qv")).cast(DecimalType(28, 12))).as("dot"))
-        .join(nrm, Seq("vec_id"))
-        .join(broadcast(qn), Seq("qid"))
-        .withColumn("cos", col("dot").cast("double") /
-          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
-        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      if (emb.count() <= VerifyExactGate) {
+        // verify SF: the exploded exact-decimal oracle twin
+        val flat = emb
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").cast("double").as("v"))
+        val q = flat.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("i"), col("v").as("qv"))
+        val nrm = flat.groupBy("vec_id")
+          .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
+        val qn = nrm.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("n2").as("qn2"))
+        flat.filter(col("vec_id") >= 5)
+          .join(broadcast(q), Seq("i"))
+          .groupBy("qid", "vec_id")
+          .agg(sum((col("v") * col("qv")).cast(DecimalType(28, 12))).as("dot"))
+          .join(nrm, Seq("vec_id"))
+          .join(broadcast(qn), Seq("qid"))
+          .withColumn("cos", col("dot").cast("double") /
+            (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+      } else {
+        // production: Q query vectors as plan literals, codegen vec_dot
+        // per struct, one scan — the window sees only skinny scored rows
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.VecOps.vec_dot
+        val qs = emb.filter(col("vec_id") < 5)
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+        val scores = array(qs.map { case (qid, qv) =>
+          val qlit = array(qv.map(lit(_)): _*)
+          val qnorm = math.sqrt(qv.map(x => x * x).sum)
+          struct(lit(qid).as("qid"),
+            (vec_dot(col("embedding"), qlit) / (col("nrm") * lit(qnorm))).as("cos"))
+        }: _*)
+        emb.filter(col("vec_id") >= 5)
+          .withColumn("nrm", sqrt(vec_dot(col("embedding"), col("embedding"))))
+          .select(col("vec_id"), explode(scores).as("s"))
+          .select(col("s.qid").as("qid"), col("vec_id"), col("s.cos").as("cos"))
+          .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+      }
     },
 
     // K-means topic clustering, EXACT and differential-tested: k = 8
@@ -991,7 +1073,12 @@ object SimilarityOps {
       // + cached per dataset so the Lloyd chain is neither recomputed
       // within a call nor re-cached per sweep call (ADVICE r6)
       val centroids = ivfCentroidsMemo.getOrElseUpdate(
-        (System.identityHashCode(s), dir), trainVecCentroids(emb, k).cache())
+        (System.identityHashCode(s), dir), {
+          SessionCaches.onRelease(s, s"sim.ivf:$dir")(() =>
+            ivfCentroidsMemo.remove((System.identityHashCode(s), dir))
+              .foreach(_.unpersist(false)))
+          trainVecCentroids(emb, k).cache()
+        })
 
       // query = vec 0: its nprobe nearest centroids
       val qEmb = emb.filter(col("vec_id") === 0)

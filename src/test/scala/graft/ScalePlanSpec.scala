@@ -236,6 +236,49 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"JL production plan joins:\n$plan")
   }
 
+  test("VerifyExactGate sweep: production plans above the gate are vec_dot-native") {
+    // One sweep locking EVERY twin-gated query: above the gate the plan
+    // must not regress to the 64-way exploded exact-decimal oracle chain
+    // — no posexplode of the corpus embeddings, no decimal(28,12)
+    // arithmetic. (Below the gate the driver's DuckDB hash check IS the
+    // guarantee, so only the production side needs a plan lock.)
+    // q_sim_ann_ivf's corpus scoring is vec_dot-native too but its plan
+    // prints the cached k×dim TRAINING relation — sample-bounded and
+    // decimal by design for deterministic Lloyd means — so it is covered
+    // by its recall spec rather than a text match here.
+    val big = "/root/testdata/sf0.1" // 2000 vectors, above the 512 gate
+    def assertNative(name: String, plan: String): Unit = {
+      assert(!plan.contains("posexplode"),
+        s"$name: dim explode in production plan:\n$plan")
+      assert(!plan.contains("decimal(28,12)"),
+        s"$name: exact-decimal twin arithmetic in production plan:\n$plan")
+    }
+    for (name <- Seq("q_embed_rp", "q_sim_topk", "q_sim_batch_topk"))
+      assertNative(name, finalPlan(SparkEntry.queries(name)(spark, big)))
+    // the shared near-dup pair chain (memo bypassed so the plan is visible)
+    assertNative("embeddingCosPairs",
+      finalPlan(queries.DedupOps.embeddingCosPairs(spark, big)))
+  }
+
+  test("exact-cosine production shapes: scan-only top-k, single blocked pair join") {
+    val big = "/root/testdata/sf0.1"
+    val topk = finalPlan(SparkEntry.queries("q_sim_topk")(spark, big))
+    assert(!topk.contains("Join"), s"q_sim_topk production plan joins:\n$topk")
+    assert(topk.contains("TakeOrderedAndProject"),
+      s"q_sim_topk materializes a full sort instead of partial top-k:\n$topk")
+    val batch = finalPlan(SparkEntry.queries("q_sim_batch_topk")(spark, big))
+    assert(!batch.contains("Join"), s"q_sim_batch_topk production plan joins:\n$batch")
+    // pairs: exactly ONE join — the packed self-join on the blocking key;
+    // the norm rides the scan, so no second norm-attach join exists
+    // (AQE echoes the initial plan after the final one — count only the
+    // final section or every operator double-counts)
+    val pairs = finalPlan(queries.DedupOps.embeddingCosPairs(spark, big))
+      .split("== Initial Plan ==")(0)
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllMatchIn(pairs).length
+    assert(joins == 1, s"expected 1 blocked self-join, found $joins:\n$pairs")
+  }
+
   test("HLL vocab sketch: registers partial-aggregate map-side") {
     // the 100 TB claim: only (lang, register, max-rank) partials shuffle,
     // never the token stream
