@@ -239,7 +239,12 @@ object Hpack {
     private var tableSize = 0
     private var sizeLimit = maxTableSize
 
-    private def entrySize(e: (String, String)): Int = e._1.length + e._2.length + 32
+    // RFC 7541 §4.1: entry size counts UTF-8 OCTETS, not UTF-16 chars —
+    // a char-count desyncs the eviction boundary from a conformant peer
+    // on any non-ASCII header value
+    private def entrySize(e: (String, String)): Int =
+      e._1.getBytes(StandardCharsets.UTF_8).length +
+        e._2.getBytes(StandardCharsets.UTF_8).length + 32
 
     private def evict(): Unit =
       while (tableSize > sizeLimit && dynamic.nonEmpty) {
@@ -296,7 +301,11 @@ object Hpack {
     if (huffman) {
       val h = huffmanEncode(s)
       encodeInt(7, 0x80, h.length) ++ h
-    } else encodeInt(7, 0x00, s.length) ++ s.getBytes(StandardCharsets.UTF_8)
+    } else {
+      // length prefix counts the emitted UTF-8 octets, not UTF-16 chars
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      encodeInt(7, 0x00, b.length) ++ b
+    }
   }
 
   /** §6.1 indexed field. */

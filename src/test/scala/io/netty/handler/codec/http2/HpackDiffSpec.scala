@@ -53,6 +53,63 @@ class HpackDiffSpec extends AnyFunSuite {
     }
   }
 
+  test("non-ASCII values: octet-counted sizes keep both codecs in sync") {
+    // RFC 7541 §4.1 sizes count UTF-8 octets; multi-byte values used to
+    // desync our eviction boundary (char-counted) from netty's and emit
+    // malformed non-Huffman length prefixes (ADVICE r8). Small table +
+    // multi-byte-heavy values force evictions right at the boundary.
+    val values = Seq("naïve-café", "διάλεξη-αρχείο", "配信データ", "🚀🚀",
+      "mixed-ascii-und-größe", "emoji-✓-done")
+    // our encoder (non-Huffman: length must be octets) → netty decoder
+    val dec = new HpackDecoder(4096L)
+    val block = values.zipWithIndex.flatMap { case (v, i) =>
+      Hpack.encLiteralIndexing(s"x-h$i", v, huffman = i % 2 == 0)
+    }.toArray
+    val out = new DefaultHttp2Headers(false)
+    dec.decode(1, Unpooled.wrappedBuffer(block), out, false)
+    values.zipWithIndex.foreach { case (v, i) =>
+      val got = out.get(s"x-h$i")
+      // netty surfaces header values as Latin-1 chars over the raw
+      // octets — compare at the octet level
+      val gotOctets = got.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      assert(got != null && java.util.Arrays.equals(gotOctets,
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        s"netty read back x-h$i as $got")
+    }
+    // netty encoder with a 128-octet table (evicts every entry or two)
+    // → our decoder: indexed references stay valid only if both sides
+    // compute identical entry sizes
+    val enc = new HpackEncoder()
+    val ourDec = new Hpack.Decoder
+    val sens = Http2HeadersEncoder.NEVER_SENSITIVE
+    val sizeBuf = Unpooled.buffer()
+    enc.setMaxHeaderTableSize(sizeBuf, 128L)
+    ourDec.maxTableSize = 128
+    val prefix = new Array[Byte](sizeBuf.readableBytes())
+    sizeBuf.readBytes(prefix)
+    var first = prefix
+    for (round <- 1 to 4; (v, i) <- values.zipWithIndex) {
+      // netty encodes CharSequence chars as single octets (Latin-1), so
+      // hand it the UTF-8 octets re-read as Latin-1; our decoder reads
+      // the octets back as UTF-8 and must recover the original value —
+      // which only works if both sides' entry sizes count those octets
+      val wire = new String(
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val nettyHeaders = new DefaultHttp2Headers(false)
+      nettyHeaders.add(s"x-h$i", wire)
+      nettyHeaders.add(s"x-h$i", wire)
+      val buf = Unpooled.buffer()
+      enc.encodeHeaders(1, buf, nettyHeaders, sens)
+      val block = new Array[Byte](buf.readableBytes())
+      buf.readBytes(block)
+      val got = ourDec.decode(first ++ block)
+      first = Array.emptyByteArray
+      assert(got == Seq(s"x-h$i" -> v, s"x-h$i" -> v),
+        s"round $round: $got vs $v")
+    }
+  }
+
   test("our encoded blocks decode through netty's decoder") {
     val dec = new HpackDecoder(4096L)
     for (round <- 1 to 30) {
