@@ -94,7 +94,19 @@ object Sinks {
     * at their target count are untouched, so the pass is idempotent and
     * re-runnable after every intake window, like the reference's per-day
     * publish step. Returns (relative partition path → (before, after))
-    * file counts for rewritten partitions. */
+    * file counts for rewritten partitions.
+    *
+    * CONCURRENCY CONTRACT (single-writer maintenance window): at most one
+    * compactor runs per archive root at a time. Because each rename is
+    * atomic, a concurrent reader listing a partition sees either the old
+    * complete file set or the new one, NEVER a mix — but between the two
+    * renames the partition directory itself is briefly ABSENT; readers
+    * must treat a missing partition dir during a maintenance window as
+    * transient (retry), not as an empty partition. A compactor that
+    * crashes inside the window strands the data under the dot-prefixed
+    * `.old-<tag>` stage; every pass begins with [[recoverArchiveStaging]],
+    * so simply re-running the compaction restores the partition and
+    * finishes the job idempotently. */
   def compactDailyArchive(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -103,6 +115,7 @@ object Sinks {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MILLIS")
+    recoverArchiveStaging(spark, path)
     try {
       // walk to LEAF partition dirs (k=v segments holding parquet files
       // directly) at ANY nesting depth, so the same pass serves the
@@ -157,6 +170,49 @@ object Sinks {
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  /** Recover staging state a crashed [[compactDailyArchive]] left behind
+    * (ADVICE r8): a compactor killed between its two renames strands the
+    * partition's data under `.old-<tag>` while the partition dir itself
+    * is absent — readers, which skip dot-prefixed entries, would see the
+    * partition as gone forever. Walking the tree:
+    *  - `.old-<tag>` with NO live sibling partition dir → the crash hit
+    *    inside the swap window: rename the stage back into place (the
+    *    data was complete — stage-out is a pure rename);
+    *  - `.old-<tag>` WITH a live sibling → the crash hit after swap-in,
+    *    before cleanup: the stage is a superseded copy, delete it;
+    *  - `.compact-<tag>` → a possibly-partial rewrite, delete it (the
+    *    next pass rebuilds from the restored source).
+    * Idempotent and safe to run at every startup; [[compactDailyArchive]]
+    * runs it automatically before compacting. Returns the relative paths
+    * of partitions restored from their `.old-` stage. */
+  def recoverArchiveStaging(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val kids = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      kids.map(_.getPath).filter { k =>
+        k.getName.startsWith(".old-") || k.getName.startsWith(".compact-")
+      } ++ kids.filterNot(_.getPath.getName.startsWith("."))
+        .flatMap(k => walk(k.getPath))
+    }
+    val stages = walk(root)
+    // restore .old- stages first so a same-tag .compact- delete can never
+    // race ahead of the restore decision
+    val restored = stages.filter(_.getName.startsWith(".old-")).flatMap { st =>
+      val tag = st.getName.stripPrefix(".old-")
+      val dir = new org.apache.hadoop.fs.Path(st.getParent, tag.split('~').last)
+      if (!fs.exists(dir)) {
+        if (!fs.rename(st, dir))
+          throw new java.io.IOException(s"recover: cannot restore ${dir.getName}")
+        Some(tag.replace('~', '/'))
+      } else { fs.delete(st, true); None }
+    }
+    stages.filter(_.getName.startsWith(".compact-")).foreach(fs.delete(_, true))
+    restored
   }
 
   /** The frozen metadata CSV column order (common/txsummary.go:17-36). */
