@@ -151,6 +151,7 @@ object Collect {
   def dedupStateful(stream: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import stream.sparkSession.implicits._
+    val TtlMs = 30L * 60000L
     stream
       .select("timestamp_ms", "hash", "raw_tx_hex", "source", "ts")
       .withWatermark("ts", "30 minutes")
@@ -160,8 +161,21 @@ object Collect {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String, rows: Iterator[FeedRow], state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) Iterator.empty // duplicate within the TTL
-          else {
+          else if (state.exists &&
+              state.getCurrentWatermarkMs() < state.get + TtlMs) {
+            // duplicate within the TTL: suppress — and RE-ARM the timeout,
+            // because Spark cancels a key's timeout on every invocation;
+            // the TTL stays anchored at the FIRST-seen time, never
+            // refreshed by duplicates (tx_processor.go:241-245 checks,
+            // :310-312 records only on first processing)
+            state.setTimeoutTimestamp(state.get, "30 minutes")
+            Iterator.empty
+          } else {
+            // no state, or an entry past its exact TTL that eviction has
+            // not swept yet (timeouts only fire in a batch where the key
+            // has no data): either way the hash is FRESH again — emit and
+            // restart the TTL, like a re-arrival after the reference's
+            // minute sweeper dropped the entry
             val first = rows.minBy(_.timestamp_ms)
             state.update(first.timestamp_ms)
             state.setTimeoutTimestamp(first.ts.getTime, "30 minutes")

@@ -62,6 +62,59 @@ class CollectStreamSpec extends AnyFunSuite {
     } finally { qa.stop(); qb.stop() }
   }
 
+  test("TTL boundary: re-arrival before 30 min suppressed, after expiry re-emitted") {
+    // The reference sweeps knownTxs once a minute and drops entries older
+    // than 30 min (collector/tx_processor.go:501-508) — a hash seen again
+    // AFTER that is a fresh emission. Virtual time via MemoryStream: each
+    // addData is one micro-batch, and batch N's watermark derives from
+    // batch N-1's max event time, so the timeline below drives both dedup
+    // paths across the exact expiry deterministically:
+    //   b1 A,B @ t0         → both emitted, TTL set to t0+30m
+    //   b2 A   @ t0+29m     → inside TTL: suppressed
+    //   b3 C   @ t0+61m     → filler; watermark still t0-1m, A survives
+    //   b4 D   @ t0+62m     → watermark advances past t0+30m
+    //   b5 E   @ t0+63m     → A has no data and the watermark exceeds its
+    //                         TTL: A,B evicted (timeout processing sees
+    //                         the watermark one batch late, and eviction
+    //                         needs a data-less batch for the key —
+    //                         exactly the reference's sweeper shape)
+    //   b6 A   @ t0+64m     → state gone: RE-EMITTED
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    def row(hash: String, offsetMin: Double) = {
+      val ms = t0 + (offsetMin * 60000L).toLong
+      Collect.FeedRow(ms, hash, s"0xraw-$hash", "src0", new java.sql.Timestamp(ms))
+    }
+    val batches = Seq(
+      Seq(row("0xa", 0), row("0xb", 0)),
+      Seq(row("0xa", 29)),
+      Seq(row("0xc", 61)),
+      Seq(row("0xd", 62)),
+      Seq(row("0xe", 63)),
+      Seq(row("0xa", 64)))
+    for ((path, name) <- Seq(
+        (Collect.dedupStateful(_: org.apache.spark.sql.DataFrame), "ttl_state"),
+        (Collect.dedup(_: org.apache.spark.sql.DataFrame), "ttl_builtin"))) {
+      val mem = MemoryStream[Collect.FeedRow]
+      val q = path(mem.toDF()).writeStream.format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(50)).start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val got = spark.table(name)
+        .select("hash", "timestamp_ms").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == Set(
+        ("0xa", t0), ("0xb", t0),                    // first arrivals
+        ("0xc", t0 + 61 * 60000L), ("0xd", t0 + 62 * 60000L),
+        ("0xe", t0 + 63 * 60000L),
+        ("0xa", t0 + 64 * 60000L)),                  // post-expiry re-emit
+        s"$name: got $got")
+    }
+  }
+
   test("validation split + hourly bucketed file sink end-to-end") {
     val in = Files.createTempDirectory("graft-feed2").toString
     val out = Files.createTempDirectory("graft-collect").toString
