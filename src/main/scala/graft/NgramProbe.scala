@@ -26,8 +26,8 @@ object NgramProbe {
     val docs = Tables.documents(spark, dir)
     time("warmup scan")(docs.count())
     val sh2 = docs.select(col("doc_id"), col("lang"), col("source"),
-      explode(array_distinct(graft.functions.TextNgrams.char_ngrams(
-        col("text"), lit(3)))).as("s"))
+      explode(graft.functions.TextNgrams.char_ngram_codes(
+        col("text"), lit(3))).as("s"))
     time("explode only")(sh2.count())
     val dfreq = sh2.groupBy("s").agg(count(lit(1)).as("df"))
     val dict = dfreq.select(col("s"),

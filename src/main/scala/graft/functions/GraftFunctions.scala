@@ -65,6 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams"),
       (exprs: Seq[Expression]) => CharNgramsExpr(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("char_ngram_codes"),
+      new ExpressionInfo(classOf[CharNgramCodesExpr].getName, "char_ngram_codes"),
+      (exprs: Seq[Expression]) => CharNgramCodesExpr(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
   }
 }
 
@@ -85,5 +93,11 @@ object GraftFunctions {
       "word_ngrams", exprs => WordNgramsExpr(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams", exprs => CharNgramsExpr(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngram_codes",
+      exprs => CharNgramCodesExpr(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
   }
 }

@@ -69,6 +69,43 @@ object NgramOps {
     new GenericArrayData(out)
   }
 
+  /** Sorted distinct packed-codepoint n-gram codes for
+    * [[CharNgramCodesExpr]]: 21 bits per codepoint (covers U+10FFFF), so
+    * n ≤ 3 fits a long and long order == codepoint-lexicographic order.
+    * Dedup by primitive sort + squash — no boxing, no hash set. */
+  def computeCharCodes(str: UTF8String, n: Int): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    require(n > 0 && n <= 3, s"char_ngram_codes supports n in 1..3, got $n")
+    val s = str.toString
+    val total = s.codePointCount(0, s.length)
+    val count = total - n + 1
+    if (count <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val codes = new Array[Long](count)
+    // rolling window over codepoints: shift in 21-bit fields, mask to n
+    val mask = if (n == 3) (1L << 63) - 1 else (1L << (21 * n)) - 1
+    var acc = 0L
+    var seen = 0
+    var i = 0 // char index into s
+    var w = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      acc = ((acc << 21) | cp) & mask
+      seen += 1
+      if (seen >= n) { codes(w) = acc; w += 1 }
+    }
+    java.util.Arrays.sort(codes)
+    var out = 1
+    var k = 1
+    while (k < count) {
+      if (codes(k) != codes(k - 1)) { codes(out) = codes(k); out += 1 }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(codes, out))
+  }
+
   def compute(str: UTF8String, n: Int): GenericArrayData = {
     val words = Ws.split(str.toString, -1)
     val count = words.length - n + 1
@@ -122,6 +159,42 @@ case class CharNgramsExpr(left: Expression, right: Expression) extends BinaryExp
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for INT-CODED character n-gram sets:
+  * `char_ngram_codes(str, n)` → sorted DISTINCT `array<long>` where each
+  * element packs the n-gram's codepoints at 21 bits each (n ≤ 3, so 63
+  * bits). Because 21 bits hold any codepoint and UTF-8 byte order equals
+  * codepoint order, the packed-long ordering IS the n-gram string
+  * ordering — a consumer sorting by (df, code) gets the identical global
+  * order the string dict produced. This is the allocation-free shape of
+  * `array_distinct(char_ngrams(s, n))` for set consumers (ngram-jaccard):
+  * one String materialization per ROW instead of one UTF8String per
+  * WINDOW, dedup via primitive sort instead of a boxed hash set —
+  * tokenize went from the dominant cost of the jaccard pipeline to noise
+  * (r8). */
+case class CharNgramCodesExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_codes requires (string, int), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_codes"
+
+  override protected def nullSafeEval(str: Any, n: Any): Any =
+    NgramOps.computeCharCodes(str.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.functions.NgramOps.computeCharCodes($s, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharNgramCodesExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextNgrams {
   /** Column API: all word n-grams of a string column. Requires
     * [[GraftFunctions.register]] (idempotent) on the session. */
@@ -129,4 +202,8 @@ object TextNgrams {
 
   /** Column API: all character n-grams of a string column. */
   def char_ngrams(s: Column, n: Column): Column = call_function("char_ngrams", s, n)
+
+  /** Column API: sorted distinct packed-codepoint n-gram codes (n ≤ 3). */
+  def char_ngram_codes(s: Column, n: Column): Column =
+    call_function("char_ngram_codes", s, n)
 }

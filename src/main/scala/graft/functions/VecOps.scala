@@ -147,6 +147,57 @@ object LshOps {
   }
 }
 
+/** Native Catalyst expression counting the intersection size of two
+  * SORTED int arrays (set semantics — callers pass `array_sort`ed
+  * distinct-element arrays, e.g. the ngram-jaccard per-doc shingle-id
+  * sets). A single merge walk: O(|a|+|b|), zero allocation — versus
+  * `array_intersect`, which builds a hash set AND materializes the
+  * intersection array per row only to take its size. On the near-dup
+  * verify path this runs once per candidate pair, so the per-row
+  * constant is the whole cost. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<int> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SetOps.sortedIntersectCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SetOps.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Merge-walk helper for [[SortedIntersectCount]] (static so generated
+  * code calls straight in, like Keccak256.hash / LshOps.compute). */
+object SetOps {
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 object VecOps {
   /** Column API: dot product of two embedding columns. Requires
     * [[GraftFunctions.register]] (or the GraftExtensions session
@@ -156,4 +207,8 @@ object VecOps {
   /** Column API: random-hyperplane LSH bucket id (low `planes` bits). */
   def lsh_bucket(emb: Column, planes: Column): Column =
     call_function("lsh_bucket", emb, planes)
+
+  /** Column API: |a ∩ b| of two sorted distinct int arrays. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 }

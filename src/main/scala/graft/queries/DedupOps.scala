@@ -480,24 +480,27 @@ object DedupOps {
       graft.functions.GraftFunctions.register(s)
       val t = 0.7 // = 7/10 — the integer bounds below use the exact rational
       val docs = Tables.documents(s, dir)
-      // tokenize ONCE, narrow, and cache the per-doc distinct shingle
-      // arrays: this is corpus-sized (~3 bytes/char of text), not the
-      // ~600× exploded row set the r1 note warns against caching — both
-      // passes below (global df, int coding) explode from it instead of
-      // re-running the ngram expression over the text
+      // tokenize ONCE — straight to SORTED DISTINCT packed-codepoint
+      // codes (codegen char_ngram_codes): no per-window string
+      // allocation, no boxed-hash array_distinct; the string tokenize
+      // dominated the whole pipeline before (r8). Cached narrow: ~8
+      // bytes/shingle, corpus-sized, not the ~600× exploded row set the
+      // r1 note warns against caching. Both passes below (global df, int
+      // coding) explode from it instead of re-tokenizing.
       val docSh = docs.select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(graft.functions.TextNgrams.char_ngrams(
-          col("text"), lit(3))).as("shs")).cache()
+        graft.functions.TextNgrams.char_ngram_codes(
+          col("text"), lit(3)).as("shs")).cache()
       val sh2 = docSh.select(col("doc_id"), col("lang"), col("source"),
         explode(col("shs")).as("s"))
-      // global document frequency per shingle: the char-3-gram domain is
-      // bounded by charset³, so this side broadcasts at ANY corpus size —
-      // the big shingle-row side never shuffles for the DF lookup.
-      // VERDICT r6 item 5: the strings stop here — a dense df-ascending
-      // id (sid) replaces the 3-char shingle everywhere downstream, so
-      // sorting by sid alone IS the (df, s) canonical order and every
-      // later compare/hash/intersect runs on ints. The charset³-bounded
-      // global window (377 rows here) is dict-sized, not corpus-sized.
+      // global document frequency per shingle code: the char-3-gram
+      // domain is bounded by charset³, so this side broadcasts at ANY
+      // corpus size — the big shingle-row side never shuffles for the DF
+      // lookup. VERDICT r6 item 5: a dense df-ascending id (sid) replaces
+      // the shingle everywhere downstream, so sorting by sid alone IS the
+      // (df, shingle) canonical order — packed-codepoint long order
+      // equals the old string order, so even the tie-break is unchanged.
+      // The charset³-bounded global window (377 rows here) is dict-sized,
+      // not corpus-sized.
       val dfreq = sh2.groupBy("s").agg(count(lit(1)).as("df"))
       // dict is charset³-bounded (377 rows here) — its global window is
       // dict-sized, and caching it keeps the perDoc build from replaying
@@ -544,15 +547,19 @@ object DedupOps {
           col("na") * 10 >= col("nb") * 7 && col("nb") * 10 >= col("na") * 7 &&
           lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1) >= minO)
         .select("doc_a", "doc_b", "na", "nb").distinct()
-      // exact verification on the FULL int shingle arrays (sorted is
-      // still a set — array_intersect is order-blind), candidates only;
-      // the candidate table is near-dup-bounded and broadcasts, so the
-      // verify is two map-side joins against the cached perDoc
+      // exact verification on the FULL int shingle arrays, candidates
+      // only; the candidate table is near-dup-bounded and broadcasts, so
+      // the verify is two map-side joins against the cached perDoc. The
+      // arrays are sorted sets, so |a ∩ b| is the codegen'd merge walk
+      // (sorted_intersect_count) — array_intersect built a hash set AND
+      // materialized the intersection array per pair just to size it,
+      // which dominated the verify at 70k+ candidates (r8)
       val sets = perDoc.select(col("doc_id"), col("sh"))
       broadcast(cand)
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("i", graft.functions.VecOps.sorted_intersect_count(
+          col("sh_a"), col("sh_b")).cast("double"))
         .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
         .filter(col("jaccard") >= t)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard_r"))
