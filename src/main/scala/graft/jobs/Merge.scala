@@ -30,7 +30,10 @@ object Merge {
       rawTxs: DataFrame, // timestamp_ms LONG, hash STRING, raw_tx_hex STRING
       sourcelog: DataFrame, // timestamp_ms LONG, hash STRING, source STRING
       blacklist: Option[DataFrame] = None, // hash STRING
-      blocks: Option[DataFrame] = None) // hash STRING, block_number LONG, block_ts_ms LONG
+      blocks: Option[DataFrame] = None, // hash STRING, block_number LONG, block_ts_ms LONG
+      // live-RPC alternative to `blocks` (reference's actual shape —
+      // cmd/merge/inclusioncheck.go); used only when `blocks` is None
+      inclusionRpc: Option[InclusionCheck.ResolverFactory] = None)
 
   final case class Output(transactions: DataFrame, trash: DataFrame)
 
@@ -79,8 +82,8 @@ object Merge {
       .withColumn("sources", coalesce(col("sources"), array()))
 
     // ── inclusion enrichment (J3) + delay (P13) ───────────────────────
-    val enriched = in.blocks match {
-      case Some(blocks) =>
+    val enriched = (in.blocks, in.inclusionRpc) match {
+      case (Some(blocks), _) =>
         val dim = blocks.select(lower(col("hash")).as("hash"),
           col("block_number"), col("block_ts_ms"))
         withSources.join(broadcast(dim), Seq("hash"), "left")
@@ -90,7 +93,9 @@ object Merge {
             when(col("block_ts_ms").isNotNull, col("block_ts_ms") - col("timestamp"))
               .otherwise(lit(0L)))
           .drop("block_number", "block_ts_ms")
-      case None =>
+      case (None, Some(factory)) =>
+        InclusionCheck.enrich(withSources, factory)
+      case (None, None) =>
         withSources
           .withColumn("includedAtBlockHeight", lit(0L))
           .withColumn("includedBlockTimestamp", lit(0L))
