@@ -148,7 +148,9 @@ object Bench {
       (Set("q_dedup_semantic"),
         () => queries.SimilarityOps.releaseSemClusters(spark, sfDir)),
       (Set("q_sim_ann_ivf"),
-        () => queries.SimilarityOps.releaseIvfCentroids(spark, sfDir)))
+        () => queries.SimilarityOps.releaseIvfCentroids(spark, sfDir)),
+      (Set("q_dedup_simhash"),
+        () => queries.DedupOps.releaseSimhashFp(spark, sfDir)))
     val releaseAt: Map[Int, Seq[() => Unit]] = families
       .flatMap { case (members, rel) =>
         val idxs = sweep.zipWithIndex.collect {

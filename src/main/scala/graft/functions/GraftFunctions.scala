@@ -73,6 +73,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_chunks"),
+      new ExpressionInfo(classOf[SimhashChunksAgg].getName, "simhash_chunks"),
+      (exprs: Seq[Expression]) => SimhashChunksAgg(exprs.head)))
   }
 }
 
@@ -99,5 +103,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_chunks", exprs => SimhashChunksAgg(exprs.head), "scala_udf")
   }
 }

@@ -46,6 +46,43 @@ object DedupOps {
     pairsMemo.remove((System.identityHashCode(s), dir))
       .foreach(_.unpersist(false))
 
+  /** SimHash fingerprints, one row per doc (doc_id + eight 16-bit majority
+    * chunks), cached because the band self-join reads it from BOTH sides
+    * and Spark does not reuse the exchange across them. Tiny at any scale
+    * (9 longs per doc); released after q_dedup_simhash runs. */
+  private val simhashFpMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[graft] def simhashFp(s: SparkSession, dir: String): DataFrame =
+    simhashFpMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      SessionCaches.onRelease(s, s"dedup.simhash.fp:$dir")(() =>
+        releaseSimhashFp(s, dir))
+      graft.functions.GraftFunctions.register(s)
+      // explode words once; ALL 128 majority votes run inside ONE custom
+      // typed aggregate (long[129] buffer) — the per-bit `sum` column
+      // form was semantically identical but its 129-field generated
+      // aggregate class billed multi-second Janino compilation to the
+      // first run and fell outside the whole-stage-codegen field budget
+      val wordRows = withPlanted(s, dir).select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      val fp = wordRows.groupBy("doc_id")
+        .agg(call_function("simhash_chunks", col("w")).as("mc"))
+        .select(col("doc_id") +: (0 until 8).map(j =>
+          element_at(col("mc"), j + 1).as(s"m$j")): _*)
+        .cache()
+      // materialize NOW: the band self-join reads fp from two concurrent
+      // jobs (broadcast build + probe), and a lazily-cached plan gets
+      // computed by BOTH before either fills the cache
+      fp.count()
+      fp
+    })
+
+  /** Unpersist + evict the fingerprint table — Bench calls this right
+    * after q_dedup_simhash (its only consumer); idempotent. */
+  def releaseSimhashFp(s: SparkSession, dir: String): Unit =
+    simhashFpMemo.remove((System.identityHashCode(s), dir))
+      .foreach(_.unpersist(false))
+
   /** Blocked embedding-cosine near-dup pairs (vec_a < vec_b, cos ≥ 0.25)
     * — shared by the pair query and the connected-components clustering.
     * Twin-gated like q_embed_rp (VERDICT r7 item 2):
@@ -235,7 +272,7 @@ object DedupOps {
       .groupBy("doc_id", "mh").agg(max("np").as("np"))
   }
 
-  private def withPlanted(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withPlanted(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     val words = split(trim(col("text")), "\\s+")
     val perturbed = docs.select(
@@ -405,32 +442,12 @@ object DedupOps {
     "q_dedup_simhash" -> QueryDef.sql(
       "SimHash near-dup: 128-bit md5 majority fingerprint, 32-bit block buckets, hamming verify",
       simhashOracleSql) { (s, dir) =>
-      // explode words once; the 128 per-bit majority votes run as one
-      // codegen'd hash aggregate (sum columns) instead of interpreted
-      // nested lambdas (30× faster at sf0.1)
-      val wordRows = withPlanted(s, dir).select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .select(col("doc_id"), md5(col("w")).as("h"))
-      // eight 16-bit chunks of the md5, projected ONCE per word row (the
-      // 128 vote aggregates below reference these columns, so the hex
-      // decode runs 8×, not 128×, per row)
-      val chunked = wordRows.select(col("doc_id") +: (0 until 8).map(j =>
-        conv(substring(col("h"), 4 * j + 1, 4), 16, 10).cast("int").as(s"c$j")): _*)
-      // branchless votes: sum the raw bit (0/1) per position plus ONE row
-      // count — the ±1 majority "vote ≥ 0" is exactly "2·setBits ≥ words"
-      // (S − (W − S) ≥ 0), so the 128 conditional branches leave the
-      // per-row hot path and the aggregate is a pure shift-mask-add
-      val bitAggs = (for (j <- 0 until 8; b <- 0 until 16) yield
-        sum(shiftright(col(s"c$j"), b).bitwiseAND(1).cast("long"))
-          .as(s"v${j}_$b")).toSeq
-      val votes = chunked.groupBy("doc_id")
-        .agg(count(lit(1)).as("w"), bitAggs: _*)
-      // majority chunk: bit b set iff set-bit count wins the vote
-      val fp = votes.select(col("doc_id") +: (0 until 8).map { j =>
-        (0 until 16).map(b =>
-          when(col(s"v${j}_$b") * 2 >= col("w"), lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-          .as(s"m$j")
-      }: _*)
+      // the fingerprint table feeds BOTH sides of the band self-join, and
+      // Spark does not reuse the exchange across the sides (the two
+      // branches canonicalize differently once the join's constraints
+      // propagate into them) — without the memoized cache the whole
+      // explode + md5 + 129-column vote aggregate ran twice per query
+      val fp = simhashFp(s, dir)
       val bands = (0 until 8).map(i => col(s"m$i") * 65536L + col(s"m${(i + 1) % 8}")) ++
         (0 until 8).map(i => col(s"m$i") * 65536L + col(s"m${(i + 2) % 8}"))
       val blocked = fp.select(

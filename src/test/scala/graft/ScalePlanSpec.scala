@@ -124,9 +124,22 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in minhash plan:\n$plan")
   }
 
-  test("simhash votes run as one partial hash aggregate, no cartesian") {
+  test("simhash votes run as one partial typed aggregate, no cartesian") {
+    // the fingerprint build: all 128 votes live in ONE custom aggregate
+    // (long[129] buffer) with map-side partial aggregation — the
+    // 129-column sum form compiled a >100-field aggregate class
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val votePlan = queries.DedupOps.withPlanted(spark, sf)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy("doc_id")
+      .agg(call_function("simhash_chunks", col("w")).as("mc"))
+      .queryExecution.executedPlan.toString
+    assert(votePlan.contains("partial_simhash_chunks"),
+      s"no map-side partial vote aggregate:\n$votePlan")
+    // the full query joins the cached fingerprints; still no cartesian
     val plan = finalPlan(SparkEntry.queries("q_dedup_simhash")(spark, sf))
-    assert(plan.contains("partial_sum"), s"no map-side vote sums:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in simhash plan:\n$plan")
   }
 
