@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_chunks"),
       new ExpressionInfo(classOf[SimhashChunksAgg].getName, "simhash_chunks"),
       (exprs: Seq[Expression]) => SimhashChunksAgg(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("winnow_sel"),
+      new ExpressionInfo(classOf[WinnowSelExpr].getName, "winnow_sel"),
+      (exprs: Seq[Expression]) => WinnowSelExpr(exprs.head, exprs(1), exprs(2))))
   }
 }
 
@@ -105,5 +109,8 @@ object GraftFunctions {
       exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_chunks", exprs => SimhashChunksAgg(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_sel",
+      exprs => WinnowSelExpr(exprs.head, exprs(1), exprs(2)), "scala_udf")
   }
 }

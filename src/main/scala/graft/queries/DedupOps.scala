@@ -258,18 +258,17 @@ object DedupOps {
     * fingerprint). */
   private[graft] def winnowSelectedFromDocs(
       s: SparkSession, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
+    // one scan-local pass per doc (native winnow_sel: md5 per gram +
+    // monotonic-deque window minimum) — the posexplode → md5 → window-min
+    // chain this replaces shuffled and sorted one row per corpus char;
+    // values are bit-identical so the DuckDB twin stays hash-green
     val d = docs.select(col("doc_id"),
       lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("t"))
-    val g = d.select(col("doc_id"), posexplode(
-      graft.functions.TextNgrams.char_ngrams(col("t"), lit(5))))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), md5(col("col")).as("h"))
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    g.withColumn("mh", min("h").over(w.rowsBetween(Window.currentRow, 3)))
-      .withColumn("np", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .filter(col("i") <= col("np") - 3)
-      .groupBy("doc_id", "mh").agg(max("np").as("np"))
+    d.select(col("doc_id"),
+        explode(call_function("winnow_sel", col("t"), lit(5), lit(4))).as("mh"),
+        (length(col("t")) - lit(4)).cast("long").as("np"))
+      .select(col("doc_id"), col("mh"), col("np"))
   }
 
   private[graft] def withPlanted(s: SparkSession, dir: String): DataFrame = {
