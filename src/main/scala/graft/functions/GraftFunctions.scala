@@ -81,6 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("winnow_sel"),
       new ExpressionInfo(classOf[WinnowSelExpr].getName, "winnow_sel"),
       (exprs: Seq[Expression]) => WinnowSelExpr(exprs.head, exprs(1), exprs(2))))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinhashSigExpr(exprs.head)))
   }
 }
 
@@ -112,5 +116,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_sel",
       exprs => WinnowSelExpr(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinhashSigExpr(exprs.head), "scala_udf")
   }
 }

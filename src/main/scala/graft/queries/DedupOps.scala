@@ -286,13 +286,10 @@ object DedupOps {
     * signature aggregate); a_k stays below 2^15 so a_k·h < 2^63 in signed
     * 64-bit on BOTH engines. The constants are mirrored verbatim into the
     * DuckDB oracle's VALUES block. */
-  private val MinhashP = 2305843009213693951L // 2^61 − 1
-  private val MinhashA: Seq[Long] = Seq(
-    14327, 25253, 9209, 30103, 17291, 5449, 28657, 12553,
-    21841, 7919, 31259, 16411, 3571, 26993, 11311, 19937)
-  private val MinhashB: Seq[Long] = Seq(
-    911, 104729, 68213, 7727, 49999, 15485863, 32452843, 982451653,
-    86028121, 533000401, 613651369, 3093077, 179424673, 57885161, 715225739, 2038074743)
+  // single source with the native minhash_sig expression
+  private val MinhashP = graft.functions.MinhashOps.P
+  private val MinhashA: Seq[Long] = graft.functions.MinhashOps.A.toSeq
+  private val MinhashB: Seq[Long] = graft.functions.MinhashOps.B.toSeq
 
   /** 16 minhash minima as COLUMNS of one grouped aggregate (mirrors the
     * Spark plan; the k-row CROSS JOIN shape measured 48× slower in
@@ -395,12 +392,18 @@ object DedupOps {
       val base = withPlanted(s, dir)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .cache()
-      val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      // scan-local native signature (md5 + 16 permutation minima in one
+      // pass over the shingle array) — the explode → md5 → hex-conv →
+      // 16-column min aggregate it replaces materialized one row per
+      // shingle; values are bit-identical so the twin stays hash-green.
+      // minhash_sig is null for empty shingle arrays, matching the docs
+      // that produced zero exploded rows.
+      val sig = base
         .select(col("doc_id"),
-          conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("h"))
-      val minAggs = (0 until 16).map(k =>
-        min((lit(MinhashA(k)) * col("h") + lit(MinhashB(k))) % MinhashP).as(s"mh$k"))
-      val sig = exploded.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+          call_function("minhash_sig", col("sh")).as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("doc_id") +: (0 until 16).map(k =>
+          element_at(col("sig"), k + 1).as(s"mh$k")): _*)
       val banded = sig.select(col("doc_id"),
         posexplode(array((0 until 4).map(b =>
           concat_ws("_", (b * 4 until b * 4 + 4).map(k =>

@@ -116,12 +116,23 @@ class ScalePlanSpec extends AnyFunSuite {
       s"eval grams / contaminated ids did not broadcast:\n$plan")
   }
 
-  test("minhash signatures run as one partial hash aggregate, no cartesian") {
+  test("minhash signatures compute scan-locally, no cartesian") {
     val plan = finalPlan(SparkEntry.queries("q_dedup_minhash")(spark, sf))
-    // the 16 permutation minima must partial-aggregate map-side so only
-    // one signature row per doc shuffles, never the shingle rows
-    assert(plan.contains("partial_min"), s"no map-side signature minima:\n$plan")
+    // the 16 permutation minima come from the native minhash_sig pass
+    // over each doc's shingle array — no per-shingle row explosion, no
+    // signature aggregate exchange
+    assert(plan.contains("minhash_sig"), s"no native signature pass:\n$plan")
+    assert(!plan.contains("partial_min"), s"per-shingle min aggregate is back:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in minhash plan:\n$plan")
+  }
+
+  test("winnow selection computes scan-locally: no window exchange") {
+    val plan = finalPlan(SparkEntry.queries("q_dedup_winnow")(spark, sf))
+    // fingerprint selection is the native winnow_sel pass per doc — the
+    // per-character-position window sort would shuffle more bytes than
+    // the corpus itself at scale
+    assert(plan.contains("winnow_sel"), s"no native winnow selection:\n$plan")
+    assert(!plan.contains("Window"), s"window exec in winnow plan:\n$plan")
   }
 
   test("simhash votes run as one partial typed aggregate, no cartesian") {
