@@ -59,9 +59,7 @@ object WinnowOps {
     MessageDigest.getInstance("MD5"))
   private val HexDigits = "0123456789abcdef".toCharArray
 
-  private def md5Hex(d: MessageDigest, bytes: Array[Byte]): String = {
-    d.reset()
-    val dig = d.digest(bytes)
+  private def hexOf(dig: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -74,16 +72,30 @@ object WinnowOps {
 
   def compute(str: UTF8String, k: Int, w: Int): GenericArrayData = {
     require(k > 0 && w > 0, s"winnow_sel requires k > 0 and w > 0, got k=$k w=$w")
-    val n = str.numChars()
+    val bytes = str.getBytes
+    // one pass to index every char's byte offset — substringSQL would
+    // rescan from the string head per position (quadratic per doc)
+    val offs = new Array[Int](str.numChars() + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      offs(ci) = bi
+      ci += 1
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+    }
+    offs(ci) = bytes.length
+    val n = ci
     val np = n - k + 1 // number of k-gram positions
     if (np < w) return new GenericArrayData(Array.empty[Any])
     val d = md5.get()
     val hashes = new Array[String](np)
     var i = 0
     while (i < np) {
-      // 1-based codepoint substring — same gram text as substringSQL /
-      // DuckDB substr in the replaced chain
-      hashes(i) = md5Hex(d, str.substringSQL(i + 1, k).getBytes)
+      // gram = chars [i, i+k) — same UTF-8 bytes as substringSQL(i+1, k)
+      // in the replaced chain / DuckDB substr
+      d.reset()
+      d.update(bytes, offs(i), offs(i + k) - offs(i))
+      hashes(i) = hexOf(d.digest())
       i += 1
     }
     // sliding-window minimum via monotonic deque (indices, increasing

@@ -83,6 +83,63 @@ object DedupOps {
     simhashFpMemo.remove((System.identityHashCode(s), dir))
       .foreach(_.unpersist(false))
 
+  /** MinHash+LSH near-dup pairs over any (doc_id, text) frame — shared by
+    * q_dedup_minhash (over the planted corpus) and CorpusScaleBench
+    * (over million-doc synthetic corpora). Returns (doc_a, doc_b,
+    * jaccard_r ≥ 0.6), candidates banded and exact-verified. */
+  private val minhashBaseTag = new java.util.concurrent.atomic.AtomicInteger
+
+  private[graft] def minhashPairsFromDocs(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // shingle arrays feed three plan branches (signature pass + two verify
+    // joins) — materialize once instead of recomputing the regex split.
+    // Released by the session-end sweep (consumers finish within the
+    // calling query/bench).
+    val base = docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .cache()
+    SessionCaches.onRelease(s,
+      s"dedup.minhash.base:${minhashBaseTag.incrementAndGet()}")(() =>
+      base.unpersist(false))
+    // scan-local native signature (md5 + 16 permutation minima in one
+    // pass over the shingle array) — the explode → md5 → hex-conv →
+    // 16-column min aggregate it replaces materialized one row per
+    // shingle; values are bit-identical so the twin stays hash-green.
+    // minhash_sig is null for empty shingle arrays, matching the docs
+    // that produced zero exploded rows.
+    val sig = base
+      .select(col("doc_id"),
+        call_function("minhash_sig", col("sh")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +: (0 until 16).map(k =>
+        element_at(col("sig"), k + 1).as(s"mh$k")): _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        concat_ws("_", (b * 4 until b * 4 + 4).map(k =>
+          col(s"mh$k").cast("string")): _*)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify: sort-merge hints — the rows carry full shingle
+    // arrays, and letting the optimizer broadcast a fat pairs-with-arrays
+    // intermediate collects it to the driver (observed: >1 GiB at 300k
+    // docs, killed by maxResultSize). SMJ shuffles on the doc ids only
+    // and holds at any corpus size.
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("merge"), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("merge"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard_r"))
+  }
+
   /** Blocked embedding-cosine near-dup pairs (vec_a < vec_b, cos ≥ 0.25)
     * — shared by the pair query and the connected-components clustering.
     * Twin-gated like q_embed_rp (VERDICT r7 item 2):
@@ -386,41 +443,7 @@ object DedupOps {
          |SELECT doc_a, doc_b, round(i * 1.0 / (sx.n + sy.n - i), 6) AS jaccard_r
          |FROM inter JOIN sz sx ON doc_a = sx.doc_id JOIN sz sy ON doc_b = sy.doc_id
          |WHERE i * 1.0 / (sx.n + sy.n - i) >= 0.6""".stripMargin) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      // shingle arrays feed three plan branches (signature agg + two verify
-      // joins) — materialize once instead of recomputing the regex split
-      val base = withPlanted(s, dir)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .cache()
-      // scan-local native signature (md5 + 16 permutation minima in one
-      // pass over the shingle array) — the explode → md5 → hex-conv →
-      // 16-column min aggregate it replaces materialized one row per
-      // shingle; values are bit-identical so the twin stays hash-green.
-      // minhash_sig is null for empty shingle arrays, matching the docs
-      // that produced zero exploded rows.
-      val sig = base
-        .select(col("doc_id"),
-          call_function("minhash_sig", col("sh")).as("sig"))
-        .filter(col("sig").isNotNull)
-        .select(col("doc_id") +: (0 until 16).map(k =>
-          element_at(col("sig"), k + 1).as(s"mh$k")): _*)
-      val banded = sig.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b =>
-          concat_ws("_", (b * 4 until b * 4 + 4).map(k =>
-            col(s"mh$k").cast("string")): _*)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard_r"))
+      minhashPairsFromDocs(s, withPlanted(s, dir))
     },
 
     // SimHash: per-word hashes → bitwise majority fingerprint → block
