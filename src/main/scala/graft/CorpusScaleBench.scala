@@ -75,6 +75,14 @@ object CorpusScaleBench {
     // near-dup pairs: shingle → minhash_sig → band → bucket join → verify
     val pairs = queries.DedupOps.minhashPairsFromDocs(spark, docs).cache()
     val (nPairs, pairSec) = stage("minhash pairs")(pairs.count())
+    // sub-stage attribution on the SECOND pass (shingle cache warm): how
+    // the pair bill splits between banding and the exact verify
+    if (args.length > 1 && args(1) == "--stages") {
+      val cand = queries.DedupOps.minhashCandidatesFromDocs(spark, docs)
+      stage("  candidates (warm)")(cand.count())
+      stage("  pairs (warm)")(
+        queries.DedupOps.minhashPairsFromDocs(spark, docs).count())
+    }
 
     // connected components over the pair graph (large-star/small-star)
     val nodes = docs.select(col("doc_id").as("vec_id"))

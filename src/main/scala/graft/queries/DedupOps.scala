@@ -89,45 +89,50 @@ object DedupOps {
     * jaccard_r ≥ 0.6), candidates banded and exact-verified. */
   private val minhashBaseTag = new java.util.concurrent.atomic.AtomicInteger
 
-  private[graft] def minhashPairsFromDocs(
-      s: SparkSession, docs: DataFrame): DataFrame = {
+  /** Cached (doc_id, sh[, extra…]) shingle-array table — the one branch
+    * point the signature pass and both verify joins read. Released by the
+    * session-end sweep (consumers finish within the calling query/bench). */
+  private def minhashBase(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // shingle arrays feed three plan branches (signature pass + two verify
-    // joins) — materialize once instead of recomputing the regex split.
-    // Released by the session-end sweep (consumers finish within the
-    // calling query/bench).
+    val extra = docs.columns.filter(c => c != "doc_id" && c != "text").map(col)
     val base = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id") +: shingles(col("text")).as("sh") +: extra.toSeq: _*)
       .cache()
     SessionCaches.onRelease(s,
       s"dedup.minhash.base:${minhashBaseTag.incrementAndGet()}")(() =>
       base.unpersist(false))
-    // scan-local native signature (md5 + 16 permutation minima in one
-    // pass over the shingle array) — the explode → md5 → hex-conv →
-    // 16-column min aggregate it replaces materialized one row per
-    // shingle; values are bit-identical so the twin stays hash-green.
-    // minhash_sig is null for empty shingle arrays, matching the docs
-    // that produced zero exploded rows.
+    base
+  }
+
+  /** LSH banding rows (doc_id, band, bucket[, extra…]) via the scan-local
+    * native signature (md5 + 16 permutation minima in one pass over the
+    * shingle array) — the explode → md5 → hex-conv → 16-column min
+    * aggregate it replaces materialized one row per shingle; values are
+    * bit-identical so the twins stay hash-green. minhash_sig is null for
+    * empty shingle arrays, matching docs that produced zero exploded
+    * rows. */
+  private def minhashBanded(base: DataFrame): DataFrame = {
+    val extra = base.columns.filter(c => c != "doc_id" && c != "sh").map(col)
     val sig = base
-      .select(col("doc_id"),
-        call_function("minhash_sig", col("sh")).as("sig"))
+      .select(col("doc_id") +: call_function("minhash_sig", col("sh")).as("sig")
+        +: extra.toSeq: _*)
       .filter(col("sig").isNotNull)
-      .select(col("doc_id") +: (0 until 16).map(k =>
+      .select((col("doc_id") +: extra.toSeq) ++ (0 until 16).map(k =>
         element_at(col("sig"), k + 1).as(s"mh$k")): _*)
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id") +: extra.toSeq :+
       posexplode(array((0 until 4).map(b =>
         concat_ws("_", (b * 4 until b * 4 + 4).map(k =>
-          col(s"mh$k").cast("string")): _*)): _*)))
+          col(s"mh$k").cast("string")): _*)): _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // exact verify: sort-merge hints — the rows carry full shingle
-    // arrays, and letting the optimizer broadcast a fat pairs-with-arrays
-    // intermediate collects it to the driver (observed: >1 GiB at 300k
-    // docs, killed by maxResultSize). SMJ shuffles on the doc ids only
-    // and holds at any corpus size.
+  }
+
+  /** Exact Jaccard verify of candidate id pairs against the shingle
+    * table. Sort-merge hints — the rows carry full shingle arrays, and
+    * letting the optimizer broadcast a fat pairs-with-arrays intermediate
+    * collects it to the driver (observed: >1 GiB at 300k docs, killed by
+    * maxResultSize). SMJ shuffles on the doc ids only and holds at any
+    * corpus size. */
+  private def minhashVerify(cand: DataFrame, base: DataFrame): DataFrame =
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         .hint("merge"), Seq("doc_a"))
@@ -138,6 +143,57 @@ object DedupOps {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard_r"))
+
+  /** Banded candidate id pairs (pre-verify) — the CorpusScaleBench
+    * sub-stage probe. */
+  private[graft] def minhashCandidatesFromDocs(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    val banded = minhashBanded(minhashBase(s, docs))
+    banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs over any (doc_id, text) frame — shared by
+    * q_dedup_minhash (over the planted corpus) and CorpusScaleBench
+    * (over million-doc synthetic corpora). Returns (doc_a, doc_b,
+    * jaccard_r ≥ 0.6), candidates banded and exact-verified. */
+  private[graft] def minhashPairsFromDocs(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    val base = minhashBase(s, docs)
+    val banded = minhashBanded(base)
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    minhashVerify(cand, base)
+  }
+
+  /** Incremental near-dup pairing: every pair TOUCHING a `fresh` doc
+    * (fresh↔existing and fresh↔fresh), WITHOUT the existing↔existing
+    * bucket self-join — the daily-ingest shape at corpus scale, where
+    * re-pairing the whole archive per batch is the thing you cannot do.
+    * The existing side's banding rows are exactly the persisted LSH index
+    * a production deployment would keep (like the ANN index tables); here
+    * they are recomputed because the oracle owns no state between runs.
+    * Same candidate bound per bucket, and the bucket join volume scales
+    * with |fresh|, not |existing∪fresh|. */
+  private[graft] def minhashPairsIncremental(
+      s: SparkSession, existing: DataFrame, fresh: DataFrame): DataFrame = {
+    val all = existing.select(col("doc_id"), col("text"), lit(false).as("fresh"))
+      .union(fresh.select(col("doc_id"), col("text"), lit(true).as("fresh")))
+    val base = minhashBase(s, all)
+    val banded = minhashBanded(base)
+    // probe side: fresh only; build side: everything — a pair of two
+    // existing docs can never form
+    val cand = banded.filter(col("fresh")).as("a")
+      .join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    minhashVerify(cand, base.drop("fresh"))
   }
 
   /** Blocked embedding-cosine near-dup pairs (vec_a < vec_b, cos ≥ 0.25)
@@ -406,6 +462,29 @@ object DedupOps {
        |WHERE $ham <= 24""".stripMargin
   }
 
+  /** DuckDB twin of the full minhash pipeline (shared by q_dedup_minhash
+    * and, filtered, by q_dedup_incremental). */
+  private def minhashOracleSql: String =
+    s"""WITH $PlantedDocsSql,
+       |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM docs),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |       FROM w, generate_series(1, 600) t(i) WHERE i <= len(ws) - 2),
+       |hh AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h FROM sh),
+       |mh AS (SELECT doc_id, $minhashMinColsSql FROM hh GROUP BY doc_id),
+       |band AS (SELECT doc_id, unnest(range(4)) AS band,
+       |         unnest([$minhashBandKeysSql]) AS bkey FROM mh),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+       |           AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+       |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+       |          JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(i * 1.0 / (sx.n + sy.n - i), 6) AS jaccard_r
+       |FROM inter JOIN sz sx ON doc_a = sx.doc_id JOIN sz sy ON doc_b = sy.doc_id
+       |WHERE i * 1.0 / (sx.n + sy.n - i) >= 0.6""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // MinHash + LSH banding: shingle → 16 minhashes → 4 bands of 4 →
@@ -424,26 +503,24 @@ object DedupOps {
     // join is scan-local.
     "q_dedup_minhash" -> QueryDef.sql(
       "MinHash+LSH near-dup: shingle, md5+linear-perm minhash, band, bucket-join, verify",
-      s"""WITH $PlantedDocsSql,
-         |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM docs),
-         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-         |       FROM w, generate_series(1, 600) t(i) WHERE i <= len(ws) - 2),
-         |hh AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h FROM sh),
-         |mh AS (SELECT doc_id, $minhashMinColsSql FROM hh GROUP BY doc_id),
-         |band AS (SELECT doc_id, unnest(range(4)) AS band,
-         |         unnest([$minhashBandKeysSql]) AS bkey FROM mh),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
-         |           AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-         |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
-         |          JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
-         |          GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, round(i * 1.0 / (sx.n + sy.n - i), 6) AS jaccard_r
-         |FROM inter JOIN sz sx ON doc_a = sx.doc_id JOIN sz sy ON doc_b = sy.doc_id
-         |WHERE i * 1.0 / (sx.n + sy.n - i) >= 0.6""".stripMargin) { (s, dir) =>
+      minhashOracleSql) { (s, dir) =>
       minhashPairsFromDocs(s, withPlanted(s, dir))
+    },
+
+    // Incremental near-dup pairing: the daily-ingest shape — only pairs
+    // touching the "fresh" batch (doc_id ≡ 0 mod 5 plays the new batch)
+    // form; the existing↔existing bucket self-join never runs. The twin
+    // is the FULL batch pipeline filtered to fresh-touching pairs, so the
+    // hash check proves the incremental path finds exactly the pairs the
+    // batch path finds — same candidates, same exact-verify values.
+    "q_dedup_incremental" -> QueryDef.sql(
+      "incremental MinHash dedup: fresh batch banded against the standing corpus",
+      s"""SELECT doc_a, doc_b, jaccard_r FROM ($minhashOracleSql) t
+         |WHERE doc_a % 5 = 0 OR doc_b % 5 = 0""".stripMargin) { (s, dir) =>
+      val all = withPlanted(s, dir)
+      minhashPairsIncremental(s,
+        all.filter(col("doc_id") % 5 =!= 0),
+        all.filter(col("doc_id") % 5 === 0))
     },
 
     // SimHash: per-word hashes → bitwise majority fingerprint → block

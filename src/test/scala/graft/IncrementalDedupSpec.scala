@@ -1,0 +1,42 @@
+package graft
+
+import graft.queries.DedupOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-level equivalence of the incremental pairing path (r8): banding
+  * a fresh batch against the standing corpus must find exactly the
+  * fresh-touching subset of the full batch pairing — same pairs, same
+  * exact-verified Jaccard values — for any split of the corpus.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // planted corpus: every doc has a guaranteed near-copy at +1,000,000
+  private def docs = DedupOps.withPlanted(spark, dir)
+
+  test("incremental == batch restricted to fresh-touching pairs") {
+    for (mod <- Seq(2L, 5L)) {
+      val fresh = docs.filter(col("doc_id") % mod === 0)
+      val existing = docs.filter(col("doc_id") % mod =!= 0)
+      val inc = DedupOps.minhashPairsIncremental(spark, existing, fresh)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      val full = DedupOps.minhashPairsFromDocs(spark, docs)
+        .filter(col("doc_a") % mod === 0 || col("doc_b") % mod === 0)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(inc == full, s"split mod=$mod diverges")
+      assert(inc.nonEmpty, s"split mod=$mod found no pairs — fixture too sparse")
+    }
+  }
+
+  test("empty fresh batch pairs nothing; everything-fresh equals batch") {
+    val none = DedupOps.minhashPairsIncremental(spark, docs, docs.limit(0))
+    assert(none.count() == 0)
+    val all = DedupOps.minhashPairsIncremental(spark, docs.limit(0), docs)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val full = DedupOps.minhashPairsFromDocs(spark, docs)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(all == full)
+  }
+}
