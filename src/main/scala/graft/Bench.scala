@@ -150,7 +150,11 @@ object Bench {
       (Set("q_sim_ann_ivf"),
         () => queries.SimilarityOps.releaseIvfCentroids(spark, sfDir)),
       (Set("q_dedup_simhash"),
-        () => queries.DedupOps.releaseSimhashFp(spark, sfDir)))
+        () => queries.DedupOps.releaseSimhashFp(spark, sfDir)),
+      (Set("q_bpe_train", "q_bpe_encode"),
+        () => queries.TextOps.releaseBpe(spark, sfDir, 3)),
+      (Set("q_bpe_train6"),
+        () => queries.TextOps.releaseBpe(spark, sfDir, 6)))
     val releaseAt: Map[Int, Seq[() => Unit]] = families
       .flatMap { case (members, rel) =>
         val idxs = sweep.zipWithIndex.collect {
