@@ -109,8 +109,31 @@ object CorpusScaleBench {
         .groupBy("doc_id").count().count()
     }
 
+    // incremental ingest, production shape: the standing corpus's band
+    // index is PERSISTED state (built once here, billed separately); a
+    // 5% fresh batch is shingled+signed, probed against the index, and
+    // verified against only the existing docs it actually collides with.
+    // The claim behind q_dedup_incremental, measured at N: batch cost
+    // tracks the batch, not the corpus.
+    val batch = n / 20
+    val existingDocs = spark.range(batch, n).as[Long]
+      .mapPartitions(_.map(i => (i, docText(i)))).toDF("doc_id", "text")
+    val freshDocs = spark.range(batch).as[Long]
+      .mapPartitions(_.map(i => (i, docText(i)))).toDF("doc_id", "text")
+    val (index, indexSec) = stage("band index build") {
+      val ix = queries.DedupOps.minhashIndex(spark, existingDocs).cache()
+      ix.count()
+      ix
+    }
+    val (nIncPairs, incSec) = stage("incremental 5% batch") {
+      queries.DedupOps
+        .minhashPairsAgainstIndex(spark, index, existingDocs, freshDocs)
+        .count()
+    }
+    index.unpersist()
+
     val total = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"corpus_scale","n_docs":$n,"pairs":$nPairs,"clusters":$nClusters,"cc_rounds":$rounds,"kept":$kept,"planted_recall":$recall%.4f,"winnow_docs":$nSel,"gen_sec":$genSec%.1f,"pairs_sec":$pairSec%.1f,"cc_sec":$ccSec%.1f,"apply_sec":$applySec%.1f,"winnow_sec":$winnowSec%.1f,"total_sec":$total%.1f,"docs_per_sec":${n / total}%.0f}""")
+    println(f"""{"metric":"corpus_scale","n_docs":$n,"pairs":$nPairs,"clusters":$nClusters,"cc_rounds":$rounds,"kept":$kept,"planted_recall":$recall%.4f,"winnow_docs":$nSel,"inc_pairs":$nIncPairs,"gen_sec":$genSec%.1f,"pairs_sec":$pairSec%.1f,"cc_sec":$ccSec%.1f,"apply_sec":$applySec%.1f,"winnow_sec":$winnowSec%.1f,"index_sec":$indexSec%.1f,"inc_sec":$incSec%.1f,"total_sec":$total%.1f,"docs_per_sec":${n / total}%.0f}""")
     spark.stop()
   }
 }

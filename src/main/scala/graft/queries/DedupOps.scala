@@ -196,6 +196,41 @@ object DedupOps {
     minhashVerify(cand, base.drop("fresh"))
   }
 
+  /** The banding rows (doc_id, band, bucket) of a corpus — what a
+    * production deployment persists per ingested batch as the standing
+    * LSH index. */
+  private[graft] def minhashIndex(s: SparkSession, docs: DataFrame): DataFrame =
+    minhashBanded(minhashBase(s, docs)).select("doc_id", "band", "bucket")
+
+  /** The production incremental shape: a fresh batch against a PERSISTED
+    * band index — nothing about the standing corpus is recomputed except
+    * the shingle sets of the existing docs that actually collide with the
+    * batch (a semi-join read of the archive). Work scales with the batch:
+    * shingle+sign the fresh docs, probe the index, verify the touched
+    * pairs. Same result as [[minhashPairsIncremental]] (spec-asserted). */
+  private[graft] def minhashPairsAgainstIndex(
+      s: SparkSession, index: DataFrame, existing: DataFrame,
+      fresh: DataFrame): DataFrame = {
+    val freshBase = minhashBase(s, fresh)
+    val freshBanded = minhashBanded(freshBase).select("doc_id", "band", "bucket")
+    val allBanded = index.union(freshBanded)
+    val cand = freshBanded.as("a")
+      .join(allBanded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    // verify reads shingles for fresh docs from the batch and, for the
+    // existing side, ONLY for docs that actually appear in a candidate
+    val touched = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val touchedExisting = existing
+      .join(touched.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    val verifyBase = minhashBase(s, touchedExisting)
+      .union(freshBase.select("doc_id", "sh"))
+    minhashVerify(cand, verifyBase)
+  }
+
   /** Blocked embedding-cosine near-dup pairs (vec_a < vec_b, cos ≥ 0.25)
     * — shared by the pair query and the connected-components clustering.
     * Twin-gated like q_embed_rp (VERDICT r7 item 2):

@@ -30,6 +30,19 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted-index variant equals the inline incremental path") {
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val index = DedupOps.minhashIndex(spark, existing)
+    val viaIndex = DedupOps
+      .minhashPairsAgainstIndex(spark, index, existing, fresh)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val inline = DedupOps.minhashPairsIncremental(spark, existing, fresh)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(viaIndex == inline)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("empty fresh batch pairs nothing; everything-fresh equals batch") {
     val none = DedupOps.minhashPairsIncremental(spark, docs, docs.limit(0))
     assert(none.count() == 0)
