@@ -126,6 +126,21 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in minhash plan:\n$plan")
   }
 
+  test("incremental dedup verifies via sort-merge, no cartesian") {
+    // the exact-verify joins carry full shingle arrays: SMJ is pinned so
+    // the optimizer can never broadcast a fat pairs-with-arrays
+    // intermediate to the driver (observed >1 GiB at 300k docs)
+    val plan = finalPlan(SparkEntry.queries("q_dedup_incremental")(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"verify joins not SMJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in incremental plan:\n$plan")
+  }
+
+  test("BPE encode is one scan of the symbol stream plus a token count") {
+    val plan = finalPlan(SparkEntry.queries("q_bpe_encode")(spark, sf))
+    assert(!plan.contains("Join"), s"unexpected join in encode plan:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side token count:\n$plan")
+  }
+
   test("winnow selection computes scan-locally: no window exchange") {
     val plan = finalPlan(SparkEntry.queries("q_dedup_winnow")(spark, sf))
     // fingerprint selection is the native winnow_sel pass per doc — the
