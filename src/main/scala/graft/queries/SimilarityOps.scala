@@ -86,11 +86,70 @@ object SimilarityOps {
     def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
       memo.getOrElseUpdate((System.identityHashCode(s), dir), {
         SessionCaches.onRelease(s, s"sim.pq:$dir")(() => release(s, dir))
-        val f = flat(s, dir)
-        val c1 = codebook(f).cache()
-        val codes = assign(f, c1).cache()
-        (c1, codes)
+        if (Tables.embeddings(s, dir).count() <= VerifyExactGate) {
+          // verify SFs: the exact-decimal twin the q_embed_pq /
+          // q_sim_ann_pq oracles hash against
+          val f = flat(s, dir)
+          val c1 = codebook(f).cache()
+          val codes = assign(f, c1).cache()
+          (c1, codes)
+        } else {
+          // production: the SAME algorithm (first-16 seeds, one Lloyd
+          // round over the 25% sample, per-subspace argmin) scored
+          // array-native on 8-dim slices by the codegen vec_dot — 8×
+          // fewer join rows than the per-dim exploded chain and no
+          // decimal arithmetic. The codebook keeps the per-dim (c, i,
+          // cv) shape the ADC LUT joins consume.
+          graft.functions.GraftFunctions.register(s)
+          val sl = slices(s, dir)
+          val c1 = codebookF(sl).cache()
+          val codes = assignF(sl, cents8(c1)).cache()
+          (c1, codes)
+        }
       })
+
+    /** (vec_id, sub, e8): the 8 contiguous 8-dim slices of each vector —
+      * literal-offset `slice` (codegen'd), 8 rows per vector. */
+    private def slices(s: SparkSession, dir: String): DataFrame =
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), explode(array((0 until 8).map(b =>
+          struct(lit(b).cast("long").as("sub"),
+            slice(col("embedding"), b * 8 + 1, 8).as("e8"))): _*)).as("s"))
+        .select(col("vec_id"), col("s.sub").as("sub"),
+          transform(col("s.e8"), _.cast("double")).as("e8"))
+
+    /** Regroup the per-dim codebook rows into (c, sub, m8 arrays). */
+    private def cents8(c1: DataFrame): DataFrame =
+      c1.groupBy(col("c"), floor((col("i") - 1) / 8).as("sub"))
+        .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("im"))
+        .select(col("c"), col("sub"), transform(col("im"), _.getField("cv")).as("m8"))
+
+    /** vec_dot argmin per (vector, subspace) — same (d2, c) ordering as
+      * [[assign]], float sums. */
+    private def assignF(rows: DataFrame, cents: DataFrame): DataFrame = {
+      import graft.functions.VecOps.vec_dot
+      rows.join(broadcast(cents), Seq("sub"))
+        .withColumn("d2",
+          vec_dot(col("e8"), col("e8")) - lit(2.0) * vec_dot(col("e8"), col("m8"))
+            + vec_dot(col("m8"), col("m8")))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("c"))).as("best"))
+        .select(col("vec_id"), col("sub"), col("best.c").as("c"))
+    }
+
+    /** Float twin of [[codebook]]: first-16 seeds, one Lloyd round over
+      * the 25% sample, means emitted straight in the per-dim (c, i, cv)
+      * consumer shape. */
+    private def codebookF(sl: DataFrame): DataFrame = {
+      val samp = sl.filter(col("vec_id") % 4 === 0)
+      val c0 = sl.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c"), col("sub"), col("e8").as("m8"))
+      val a1 = assignF(samp, c0)
+      samp.join(a1, Seq("vec_id", "sub"))
+        .select(col("c"), col("sub"), posexplode(col("e8")))
+        .groupBy(col("c"), (col("sub") * 8 + col("pos") + 1).as("i"))
+        .agg(avg(col("col")).as("cv"))
+    }
 
     def release(s: SparkSession, dir: String): Unit =
       memo.remove((System.identityHashCode(s), dir)).foreach { case (c1, codes) =>
