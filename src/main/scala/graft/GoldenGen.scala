@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Regenerates the frozen golden-result parquets for every
+  * [[QueryDef.golden]] query (the secp256k1-parse family DuckDB cannot
+  * recompute). Run ONCE after an intentional behavioral change, at the
+  * driver's correctness SF:
+  *
+  *   sbt "runMain graft.GoldenGen /root/testdata/sf0.01"
+  *
+  * Each query's result is written as a SINGLE parquet file at
+  * `QueryDef.goldenDir/<name>.parquet`, which the driver's DuckDB oracle
+  * reads verbatim (`QueryDef.goldenOracle`). The queries are deterministic
+  * (fixture rows are pure functions of the row index; the one aggregate,
+  * q_mempool_analyze, sums longs only), so a regenerated file is
+  * bit-stable run-to-run. GoldenParitySpec asserts the live engine still
+  * reproduces these files exactly.
+  */
+object GoldenGen {
+  /** Golden query names, derived from the oracle shape so the registry
+    * cannot drift from SparkEntry. */
+  def goldenNames: Seq[String] =
+    SparkEntry.all.collect {
+      case (k, QueryDef(_, Some(o), _)) if o == QueryDef.goldenOracle(k) => k
+    }.toSeq
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val outRoot = Paths.get(QueryDef.goldenDir)
+    Files.createDirectories(outRoot)
+    goldenNames.foreach { name =>
+      val tmp = outRoot.resolve(s".$name.tmp")
+      SparkEntry.all(name).fn(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      Files.move(part, outRoot.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      // best-effort temp cleanup (part file already moved out)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      val n = spark.read.parquet(outRoot.resolve(s"$name.parquet").toString).count()
+      println(s"[golden] $name: $n rows -> ${outRoot.resolve(s"$name.parquet")}")
+    }
+    spark.stop()
+  }
+}

@@ -8,9 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parse-UDF and end-to-end merge-job queries over deterministic synthetic
-  * mempool data (no DuckDB oracle — keccak/secp256k1 are not SQL; the
-  * driver records rows-only checks, and golden-vector correctness lives in
-  * EthTxSpec).
+  * mempool data. keccak/secp256k1 are not SQL, so DuckDB cannot recompute
+  * these — instead each query carries a FROZEN GOLDEN RESULT oracle
+  * ([[QueryDef.golden]]): its own sf0.01 output, generated once by
+  * [[graft.GoldenGen]] after the parse path was validated against the
+  * reference golden vectors (EthTxSpec / PropertySpec), checked into
+  * /root/repo/golden/, and hash-compared by the driver like any SQL
+  * oracle. GoldenParitySpec gates drift at test time.
   */
 object MempoolParse {
 
@@ -81,8 +85,9 @@ object MempoolParse {
   val defs: Map[String, QueryDef] = Map(
 
     // P1/P2/P3: the core RLP+keccak+secp256k1 projection.
-    "q_parse_raw_tx" -> QueryDef.rowsOnly(
-      "P1: parse_raw_tx UDF — RLP decode, keccak hash, sender recovery") { (s, dir) =>
+    "q_parse_raw_tx" -> QueryDef.golden(
+      "P1: parse_raw_tx UDF — RLP decode, keccak hash, sender recovery",
+      "q_parse_raw_tx") { (s, dir) =>
       ParseTx.project(rawTxs(s, dir))
         .drop("rawTx") // binary column: keep the dump light
     },
@@ -91,21 +96,24 @@ object MempoolParse {
     // The dump stringifies `sources` (space-joined, the reference's own CSV
     // layout — common/txsummary.go:104) so the driver's pandas rows-check can
     // sort it; ArrayType columns are unhashable in the comparer.
-    "q_mempool_merge" -> QueryDef.rowsOnly(
-      "§3.1 merge job end-to-end: dedup, anti-join, parse, attach, enrich, F1, sort") { (s, dir) =>
+    "q_mempool_merge" -> QueryDef.golden(
+      "§3.1 merge job end-to-end: dedup, anti-join, parse, attach, enrich, F1, sort",
+      "q_mempool_merge") { (s, dir) =>
       mergeOutput(s, dir).transactions.drop("rawTx")
         .withColumn("sources", concat_ws(" ", col("sources")))
     },
 
     // F2 trash side-output of the same run.
-    "q_mempool_trash" -> QueryDef.rowsOnly(
-      "F2: validation-reject side output (trash) of the merge job") { (s, dir) =>
+    "q_mempool_trash" -> QueryDef.golden(
+      "F2: validation-reject side output (trash) of the merge job",
+      "q_mempool_trash") { (s, dir) =>
       mergeOutput(s, dir).trash
     },
 
     // §3.2 analyzer per-source stats on the merged archive.
-    "q_mempool_analyze" -> QueryDef.rowsOnly(
-      "§3.2 analyzer: per-source landed/exclusive aggregate pack") { (s, dir) =>
+    "q_mempool_analyze" -> QueryDef.golden(
+      "§3.2 analyzer: per-source landed/exclusive aggregate pack",
+      "q_mempool_analyze") { (s, dir) =>
       Analyze.perSourceStats(mergeOutput(s, dir).transactions)
     },
 
@@ -114,8 +122,9 @@ object MempoolParse {
     // raw-hex, and geth/alchemy tx-object envelopes over the fixture txs,
     // decoded back to feed rows. The dump hash-checks that every envelope
     // shape reproduces its tx hash.
-    "q_envelope_decode" -> QueryDef.rowsOnly(
-      "S6-S8: wire-envelope decode (raw-hex paths + tx-object RLP re-encode)") { (s, dir) =>
+    "q_envelope_decode" -> QueryDef.golden(
+      "S6-S8: wire-envelope decode (raw-hex paths + tx-object RLP re-encode)",
+      "q_envelope_decode") { (s, dir) =>
       import s.implicits._
       val n = math.min(nFor(dir), 20000L)
       val envelopes = s.range(n).as[Long].mapPartitions(_.map { i =>
