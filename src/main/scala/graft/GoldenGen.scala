@@ -26,8 +26,16 @@ object GoldenGen {
       case (k, QueryDef(_, Some(o), _)) if o == QueryDef.goldenOracle(k) => k
     }.toSeq
 
+  /** Goldens are only valid at this SF: query row counts scale with the SF
+    * parsed from the data dir, so generating or comparing at any other SF
+    * silently invalidates every frozen hash. */
+  val frozenSf = "sf0.01"
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sfDir = args.headOption.getOrElse(s"/root/testdata/$frozenSf")
+    require(Paths.get(sfDir).getFileName.toString == frozenSf,
+      s"goldens are frozen at $frozenSf; refusing to regenerate from $sfDir " +
+        "(would invalidate every frozen hash against the driver's verify SF)")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -41,13 +49,18 @@ object GoldenGen {
       val tmp = outRoot.resolve(s".$name.tmp")
       SparkEntry.all(name).fn(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow()
+      val part = scala.util.Using.resource(Files.list(tmp)) { files =>
+        files.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() => new IllegalStateException(
+            s"golden '$name': no part file written under $tmp"))
+      }
       Files.move(part, outRoot.resolve(s"$name.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       // best-effort temp cleanup (part file already moved out)
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      scala.util.Using.resource(Files.walk(tmp)) { walk =>
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
       val n = spark.read.parquet(outRoot.resolve(s"$name.parquet").toString).count()
       println(s"[golden] $name: $n rows -> ${outRoot.resolve(s"$name.parquet")}")
     }

@@ -16,7 +16,10 @@ object PlanCheck {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_filter_threshold", "q_agg_pricing", "q_join_dim_chain",
         "q_join_anti", "q_merge_pipeline", "q_sim_topk",
-        "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_envelope_decode")
+        "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_envelope_decode",
+        // the three queries the r9 driver bench flagged under contention —
+        // plans on record so a flagged number can be reviewed against them
+        "q_dedup_incremental", "q_select_dsir", "q_bpe_train6")
     names.foreach { n =>
       println(s"\n════════ $n ════════")
       SparkEntry.all(n).fn(spark, dir).explain("formatted")

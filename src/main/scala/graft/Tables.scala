@@ -2,16 +2,18 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver testdata (TESTDATA.md). Parquet schemas are fixed
   * and self-describing — no schema inference anywhere (mirrors the
   * reference's fixed, code-declared schemas; /root/reference/common/txsummary.go:41).
   *
-  * `events.ts` is physically TIMESTAMP(NANOS) which Spark's parquet reader
-  * rejects; we read it as raw Long nanoseconds
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds.
-  * DuckDB performs the identical ns→µs truncation on scan, so query results
-  * stay oracle-comparable.
+  * `events.ts` has shipped with two physical types across testdata
+  * generations: TIMESTAMP(NANOS) (readable only as raw Long ns via
+  * `spark.sql.legacy.parquet.nanosAsLong`, then truncated to µs) and plain
+  * timestamp[us] (read by Spark as TIMESTAMP_NTZ). [[events]] branches on
+  * the type actually loaded so both resolve to the same session-UTC
+  * TimestampType column the queries and the DuckDB oracle expect.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -24,11 +26,17 @@ object Tables {
       case _        => spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** events with `ts` exposed as a microsecond TimestampType column. */
+  /** events with `ts` exposed as a microsecond TimestampType column,
+    * whatever physical type the parquet carries (see object doc).
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

@@ -17,6 +17,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
@@ -26,7 +27,12 @@ object Verify {
             .parquet(s"$outDir/$name")
           println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
         } catch { case e: Throwable =>
+          // A thrown query must leave a visible artifact: without one the
+          // driver's CORRECTNESS table silently drops the key and a
+          // regression reads as "not run" (this hid r9's 18-query break).
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
+          Files.writeString(Paths.get(s"$outDir/$name._error"), errors(name) + "\n")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +50,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -102,8 +102,6 @@ object InclusionCheck {
 
     in.mapPartitions { rows =>
       val resolver = factory.open()
-      Option(TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => resolver.close()))
       // tx hash → (block number, block ts ms); insertion-order bounded
       val cache = new java.util.LinkedHashMap[String, (Long, Long)](1024, 0.75f) {
         override def removeEldestEntry(
@@ -111,9 +109,24 @@ object InclusionCheck {
           size() > maxCacheEntries
       }
       var hits = 0L; var misses = 0L; var receipts = 0L; var blocks = 0L
+      def flushStats(): Unit = stats.foreach { st =>
+        st.cacheHits.add(hits); st.cacheMisses.add(misses)
+        st.receiptCalls.add(receipts); st.blockCalls.add(blocks)
+        hits = 0; misses = 0; receipts = 0; blocks = 0
+      }
+      // Flush on TASK COMPLETION, not iterator exhaustion (ADVICE r8): a
+      // downstream limit/take can abandon the iterator mid-partition, and
+      // an exhaustion-only flush would silently drop that task's counts.
+      // Listeners run before the task's accumulator updates are shipped.
+      val tc = Option(TaskContext.get())
+      tc.foreach(_.addTaskCompletionListener[Unit] { _ =>
+        flushStats(); resolver.close()
+      })
 
       val out = rows.map { row =>
-        val hash = row.getString(hashIdx)
+        // block-fold inserts are lowercased below; lowercase the lookup key
+        // too, or a checksummed input hash never hits (ADVICE r8)
+        val hash = row.getString(hashIdx).toLowerCase(java.util.Locale.ROOT)
         val ts = row.getLong(tsIdx)
         var numTs = cache.get(hash)
         if (numTs != null) hits += 1
@@ -128,7 +141,8 @@ object InclusionCheck {
                 case Some(b) =>
                   var j = 0
                   while (j < b.txHashes.length) {
-                    cache.put(b.txHashes(j).toLowerCase, (b.number, b.tsMs))
+                    cache.put(b.txHashes(j).toLowerCase(java.util.Locale.ROOT),
+                      (b.number, b.tsMs))
                     j += 1
                   }
                   cache.put(hash, (b.number, b.tsMs)) // robust to a lagging tx list
@@ -140,14 +154,11 @@ object InclusionCheck {
         Row.fromSeq(row.toSeq :+ numTs._1 :+ numTs._2 :+ delay)
       }
 
-      new Iterator[Row] {
+      if (tc.isDefined) out
+      else new Iterator[Row] { // driver-side eval (tests): no TaskContext
         def hasNext: Boolean = {
           val more = out.hasNext
-          if (!more) stats.foreach { st =>
-            st.cacheHits.add(hits); st.cacheMisses.add(misses)
-            st.receiptCalls.add(receipts); st.blockCalls.add(blocks)
-            hits = 0; misses = 0; receipts = 0; blocks = 0
-          }
+          if (!more) { flushStats(); resolver.close() }
           more
         }
         def next(): Row = out.next()
@@ -159,13 +170,20 @@ object InclusionCheck {
     * the reference dials (ethclient over geth's JSON-RPC). Block
     * `timestamp` is seconds per the Ethereum JSON-RPC spec; the reference
     * multiplies by 1000 (inclusioncheck.go:116) and so do we. */
-  final case class JsonRpcFactory(uri: String) extends ResolverFactory {
+  final case class JsonRpcFactory(
+      uri: String,
+      connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000) extends ResolverFactory {
     def open(): Resolver = new Resolver {
       private val mapper = new ObjectMapper()
       private val url = java.net.URI.create(uri).toURL
 
       private def call(method: String, params: String) = {
         val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        // without explicit timeouts a hung endpoint pins the partition task
+        // forever (ADVICE r8) — the reference's HTTP client carries its own
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
         conn.setRequestMethod("POST")
         conn.setDoOutput(true)
         conn.setRequestProperty("Content-Type", "application/json")

@@ -138,7 +138,7 @@ object Sinks {
           // (qualify both sides so scheme differences cannot break it)
           val rel = fs.makeQualified(dir).toString
             .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
-          val tag = rel.replace('/', '~')
+          val tag = stageTag(rel)
           val parent = dir.getParent
           val tmp = new org.apache.hadoop.fs.Path(parent, s".compact-$tag")
           fs.delete(tmp, true)
@@ -172,6 +172,20 @@ object Sinks {
     }
   }
 
+  /** Staging-tag codec: a partition's root-relative path flattened into a
+    * single dir-name-safe token. '/' becomes '~'; literal '~' (and '%')
+    * inside a segment are percent-escaped first, so a partition value
+    * containing '~' (e.g. `day=2023~x`) round-trips instead of being
+    * mis-split on recovery (ADVICE r8). Legacy tags without escapes decode
+    * unchanged. */
+  private def encSeg(s: String): String = s.replace("%", "%25").replace("~", "%7E")
+  private def decSeg(s: String): String = s.replace("%7E", "~").replace("%25", "%")
+  private[ops] def stageTag(rel: String): String =
+    rel.split('/').map(encSeg).mkString("~")
+  private[ops] def stageRel(tag: String): String =
+    tag.split('~').map(decSeg).mkString("/")
+  private[ops] def stageLeaf(tag: String): String = decSeg(tag.split('~').last)
+
   /** Recover staging state a crashed [[compactDailyArchive]] left behind
     * (ADVICE r8): a compactor killed between its two renames strands the
     * partition's data under `.old-<tag>` while the partition dir itself
@@ -204,11 +218,11 @@ object Sinks {
     // race ahead of the restore decision
     val restored = stages.filter(_.getName.startsWith(".old-")).flatMap { st =>
       val tag = st.getName.stripPrefix(".old-")
-      val dir = new org.apache.hadoop.fs.Path(st.getParent, tag.split('~').last)
+      val dir = new org.apache.hadoop.fs.Path(st.getParent, stageLeaf(tag))
       if (!fs.exists(dir)) {
         if (!fs.rename(st, dir))
           throw new java.io.IOException(s"recover: cannot restore ${dir.getName}")
-        Some(tag.replace('~', '/'))
+        Some(stageRel(tag))
       } else { fs.delete(st, true); None }
     }
     stages.filter(_.getName.startsWith(".compact-")).foreach(fs.delete(_, true))

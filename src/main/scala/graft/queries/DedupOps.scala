@@ -87,21 +87,25 @@ object DedupOps {
     * q_dedup_minhash (over the planted corpus) and CorpusScaleBench
     * (over million-doc synthetic corpora). Returns (doc_a, doc_b,
     * jaccard_r ≥ 0.6), candidates banded and exact-verified. */
-  private val minhashBaseTag = new java.util.concurrent.atomic.AtomicInteger
-
   /** Cached (doc_id, sh[, extra…]) shingle-array table — the one branch
-    * point the signature pass and both verify joins read. Released by the
-    * session-end sweep (consumers finish within the calling query/bench). */
+    * point the signature pass and both verify joins read. Memoized on the
+    * semantic hash of the input plan so repeated calls over the same docs
+    * frame (pairs + index + incremental variants within one Verify/Bench
+    * session) share ONE cache instead of pinning a fresh copy each; the
+    * session-end sweep (or an explicit release) unpersists it once. */
+  private val minhashBaseMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
+
   private def minhashBase(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val extra = docs.columns.filter(c => c != "doc_id" && c != "text").map(col)
-    val base = docs
-      .select(col("doc_id") +: shingles(col("text")).as("sh") +: extra.toSeq: _*)
-      .cache()
-    SessionCaches.onRelease(s,
-      s"dedup.minhash.base:${minhashBaseTag.incrementAndGet()}")(() =>
-      base.unpersist(false))
-    base
+    val key = (System.identityHashCode(s), docs.queryExecution.analyzed.semanticHash())
+    minhashBaseMemo.getOrElseUpdate(key, {
+      SessionCaches.onRelease(s, s"dedup.minhash.base:${key._2}")(() =>
+        minhashBaseMemo.remove(key).foreach(_.unpersist(false)))
+      val extra = docs.columns.filter(c => c != "doc_id" && c != "text").map(col)
+      docs.select(col("doc_id") +: shingles(col("text")).as("sh") +: extra.toSeq: _*)
+        .cache()
+    })
   }
 
   /** LSH banding rows (doc_id, band, bucket[, extra…]) via the scan-local
