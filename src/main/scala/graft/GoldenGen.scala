@@ -26,6 +26,15 @@ object GoldenGen {
       case (k, QueryDef(_, Some(o), _)) if o == QueryDef.goldenOracle(k) => k
     }.toSeq
 
+  /** Frozen fixture INPUT tables for the SQL-derived merge-family oracles
+    * (MempoolParse.mergeCtes): DuckDB cannot regenerate these (their hashes
+    * are keccak outputs), so the generator freezes them alongside the parse
+    * golden and GoldenParitySpec gates their drift like any golden. */
+  def inputGoldens: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "in_sourcelog" -> ((s, dir) => queries.MempoolParse.sourcelog(s, dir)),
+      "in_blocks"    -> ((s, dir) => queries.MempoolParse.blocks(s, dir)))
+
   /** Goldens are only valid at this SF: query row counts scale with the SF
     * parsed from the data dir, so generating or comparing at any other SF
     * silently invalidates every frozen hash. */
@@ -45,10 +54,9 @@ object GoldenGen {
     spark.sparkContext.setLogLevel("WARN")
     val outRoot = Paths.get(QueryDef.goldenDir)
     Files.createDirectories(outRoot)
-    goldenNames.foreach { name =>
+    def freeze(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val tmp = outRoot.resolve(s".$name.tmp")
-      SparkEntry.all(name).fn(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = scala.util.Using.resource(Files.list(tmp)) { files =>
         files.filter(_.getFileName.toString.endsWith(".parquet"))
           .findFirst().orElseThrow(() => new IllegalStateException(
@@ -64,6 +72,8 @@ object GoldenGen {
       val n = spark.read.parquet(outRoot.resolve(s"$name.parquet").toString).count()
       println(s"[golden] $name: $n rows -> ${outRoot.resolve(s"$name.parquet")}")
     }
+    goldenNames.foreach(name => freeze(name, SparkEntry.all(name).fn(spark, sfDir)))
+    inputGoldens.foreach { case (name, fn) => freeze(name, fn(spark, sfDir)) }
     spark.stop()
   }
 }

@@ -180,11 +180,11 @@ object Sinks {
     * unchanged. */
   private def encSeg(s: String): String = s.replace("%", "%25").replace("~", "%7E")
   private def decSeg(s: String): String = s.replace("%7E", "~").replace("%25", "%")
-  private[ops] def stageTag(rel: String): String =
+  private[graft] def stageTag(rel: String): String =
     rel.split('/').map(encSeg).mkString("~")
-  private[ops] def stageRel(tag: String): String =
+  private[graft] def stageRel(tag: String): String =
     tag.split('~').map(decSeg).mkString("/")
-  private[ops] def stageLeaf(tag: String): String = decSeg(tag.split('~').last)
+  private[graft] def stageLeaf(tag: String): String = decSeg(tag.split('~').last)
 
   /** Recover staging state a crashed [[compactDailyArchive]] left behind
     * (ADVICE r8): a compactor killed between its two renames strands the

@@ -96,7 +96,7 @@ object DedupOps {
   private val minhashBaseMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
 
-  private def minhashBase(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def minhashBase(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val key = (System.identityHashCode(s), docs.queryExecution.analyzed.semanticHash())
     minhashBaseMemo.getOrElseUpdate(key, {

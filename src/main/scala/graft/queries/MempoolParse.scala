@@ -9,12 +9,23 @@ import org.apache.spark.sql.functions._
 
 /** Parse-UDF and end-to-end merge-job queries over deterministic synthetic
   * mempool data. keccak/secp256k1 are not SQL, so DuckDB cannot recompute
-  * these — instead each query carries a FROZEN GOLDEN RESULT oracle
-  * ([[QueryDef.golden]]): its own sf0.01 output, generated once by
-  * [[graft.GoldenGen]] after the parse path was validated against the
-  * reference golden vectors (EthTxSpec / PropertySpec), checked into
-  * /root/repo/golden/, and hash-compared by the driver like any SQL
+  * the PARSE stage — q_parse_raw_tx and q_envelope_decode carry a frozen
+  * golden-result oracle ([[QueryDef.golden]]): their own sf0.01 output,
+  * generated once by [[graft.GoldenGen]] after the parse path was validated
+  * against the reference golden vectors (EthTxSpec / PropertySpec), checked
+  * into /root/repo/golden/, and hash-compared by the driver like any SQL
   * oracle. GoldenParitySpec gates drift at test time.
+  *
+  * Everything DOWNSTREAM of parse (A1 dedup, J2 blacklist anti-join, F2
+  * split, J1/A2/O3 sources attach, J3/P13 enrichment, F1 discard) is
+  * re-derived independently in DuckDB SQL over the frozen parse output plus
+  * two frozen fixture INPUT tables (in_sourcelog, in_blocks — DuckDB cannot
+  * regenerate them because their hashes are keccak outputs), so the
+  * merge/trash/analyze oracles differential-test the pipeline rather than
+  * pass its own output through (ADVICE r9). The frozen-at-generation-time
+  * facts this relies on, asserted by GoldenParitySpec: duplicate fixture
+  * hashes differ ONLY in timestamp (so earliest-wins ≡ rank-by-timestamp),
+  * and the parse `timestamp` column IS the raw row's timestamp_ms.
   */
 object MempoolParse {
 
@@ -107,6 +118,62 @@ object MempoolParse {
     releaseInputs(s, dir)
   }
 
+  private def gp(name: String): String = s"${QueryDef.goldenDir}/$name.parquet"
+
+  /** Shared CTE prelude for the SQL-derived merge-family oracles: re-derives
+    * the pipeline stages downstream of parse from the frozen tables.
+    *  - `deduped`: A1 earliest-wins over the parse golden (duplicate fixture
+    *    hashes carry identical payloads, distinct timestamps — so
+    *    min-struct ≡ rank by timestamp);
+    *  - `fresh`: J2 blacklist anti-join (the blacklist is every hash ANY of
+    *    whose raw rows has timestamp_ms % 31 == 0, derived pre-dedup);
+    *  - `srcs`: A2 per-(hash,source) earliest + O3 (first_ts, source)
+    *    attach order, space-joined like the Spark side's concat_ws;
+    *  - `merged`: J3/P13 enrichment off the blocks dim + F1 discard,
+    *    valid (reason IS NULL) rows only. */
+  private def mergeCtes: String = s"""
+    |WITH deduped AS (
+    |  SELECT * FROM (
+    |    SELECT *, row_number() OVER (PARTITION BY hash ORDER BY timestamp) AS rn
+    |    FROM read_parquet('${gp("q_parse_raw_tx")}')
+    |  ) WHERE rn = 1
+    |),
+    |fresh AS (
+    |  SELECT * FROM deduped WHERE hash NOT IN (
+    |    SELECT hash FROM read_parquet('${gp("q_parse_raw_tx")}')
+    |    WHERE timestamp % 31 = 0)
+    |),
+    |srcs AS (
+    |  SELECT hash, string_agg(source, ' ' ORDER BY first_ts, source) AS sources
+    |  FROM (
+    |    SELECT lower(hash) AS hash, source, min(timestamp_ms) AS first_ts
+    |    FROM read_parquet('${gp("in_sourcelog")}')
+    |    WHERE regexp_full_match(lower(hash), '0x[0-9a-f]{64}')
+    |    GROUP BY lower(hash), source)
+    |  GROUP BY hash
+    |),
+    |blk AS (
+    |  SELECT lower(hash) AS hash, block_number, block_ts_ms
+    |  FROM read_parquet('${gp("in_blocks")}')
+    |),
+    |merged AS (
+    |  SELECT f.timestamp, f.hash, f.chainId, f.txType, f."from", f."to",
+    |         f.value, f.nonce, f.gas, f.gasPrice, f.gasTipCap, f.gasFeeCap,
+    |         f.dataSize, f.data4Bytes,
+    |         coalesce(s.sources, '') AS sources,
+    |         coalesce(b.block_number, 0) AS includedAtBlockHeight,
+    |         coalesce(b.block_ts_ms, 0) AS includedBlockTimestamp,
+    |         CASE WHEN b.block_ts_ms IS NOT NULL
+    |              THEN b.block_ts_ms - f.timestamp ELSE 0 END AS inclusionDelayMs
+    |  FROM fresh f
+    |  LEFT JOIN srcs s ON f.hash = s.hash
+    |  LEFT JOIN blk b ON f.hash = b.hash
+    |  WHERE f.reason IS NULL
+    |    AND NOT (coalesce(b.block_number, 0) > 0
+    |      AND (CASE WHEN b.block_ts_ms IS NOT NULL
+    |           THEN b.block_ts_ms - f.timestamp ELSE 0 END) <= -12000)
+    |)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // P1/P2/P3: the core RLP+keccak+secp256k1 projection.
@@ -123,24 +190,44 @@ object MempoolParse {
     // The dump stringifies `sources` (space-joined, the reference's own CSV
     // layout — common/txsummary.go:104) so the driver's pandas rows-check can
     // sort it; ArrayType columns are unhashable in the comparer.
-    "q_mempool_merge" -> QueryDef.golden(
+    "q_mempool_merge" -> QueryDef.sql(
       "§3.1 merge job end-to-end: dedup, anti-join, parse, attach, enrich, F1, sort",
-      "q_mempool_merge") { (s, dir) =>
+      s"""$mergeCtes
+         |SELECT timestamp, hash, chainId, txType, "from", "to", value, nonce,
+         |       gas, gasPrice, gasTipCap, gasFeeCap, dataSize, data4Bytes,
+         |       sources, includedAtBlockHeight, includedBlockTimestamp,
+         |       inclusionDelayMs
+         |FROM merged""".stripMargin) { (s, dir) =>
       mergeOutput(s, dir).transactions.drop("rawTx")
         .withColumn("sources", concat_ws(" ", col("sources")))
     },
 
     // F2 trash side-output of the same run.
-    "q_mempool_trash" -> QueryDef.golden(
+    "q_mempool_trash" -> QueryDef.sql(
       "F2: validation-reject side output (trash) of the merge job",
-      "q_mempool_trash") { (s, dir) =>
+      s"""$mergeCtes
+         |SELECT timestamp AS timestamp_ms, hash, 'merge' AS source, reason,
+         |       '' AS notes
+         |FROM fresh WHERE reason IS NOT NULL""".stripMargin) { (s, dir) =>
       mergeOutput(s, dir).trash
     },
 
     // §3.2 analyzer per-source stats on the merged archive.
-    "q_mempool_analyze" -> QueryDef.golden(
+    "q_mempool_analyze" -> QueryDef.sql(
       "§3.2 analyzer: per-source landed/exclusive aggregate pack",
-      "q_mempool_analyze") { (s, dir) =>
+      s"""$mergeCtes,
+         |exploded AS (
+         |  SELECT includedAtBlockHeight <> 0 AS included,
+         |         len(string_split(sources, ' ')) AS nsrc,
+         |         unnest(string_split(sources, ' ')) AS source
+         |  FROM merged WHERE sources <> ''
+         |)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN included THEN 1 ELSE 0 END) AS BIGINT) AS on_chain,
+         |  CAST(sum(CASE WHEN NOT included THEN 1 ELSE 0 END) AS BIGINT) AS not_on_chain,
+         |  CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exclusive
+         |FROM exploded GROUP BY source""".stripMargin) { (s, dir) =>
       Analyze.perSourceStats(mergeOutput(s, dir).transactions)
     },
 

@@ -113,6 +113,36 @@ class CompactionRecoverySpec extends AnyFunSuite {
     assert(spark.read.parquet(archive).count() == 400)
   }
 
+  test("partition value containing '~' round-trips through staging (ADVICE r8)") {
+    // '~' is the tag's path separator; an unescaped value like day=2024~x
+    // used to mis-split on recovery and restore into a dir named "x"
+    val rel = "day=2024~x/hour=1~2"
+    assert(Sinks.stageRel(Sinks.stageTag(rel)) == rel)
+    assert(Sinks.stageLeaf(Sinks.stageTag(rel)) == "hour=1~2")
+    // legacy tags (no escapes) still decode unchanged
+    assert(Sinks.stageRel("day=2024-01-01~hour=0") == "day=2024-01-01/hour=0")
+
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cc-tilde").toString
+    (0 until 100).map(i => (i.toLong, if (i % 2 == 0) "2024~a" else "2024-01-02"))
+      .toDF("id", "day")
+      .repartition(4).write.partitionBy("day")
+      .option("compression", "gzip").parquet(s"$tmp/archive")
+    val archive = s"$tmp/archive"
+    // full compaction pass over the '~'-valued partition
+    val done = Sinks.compactDailyArchive(spark, archive)
+    assert(done.keySet.contains("day=2024~a"), s"compacted: $done")
+    // crash-sim: strand the partition under its encoded .old- tag
+    val part = new File(s"$archive/day=2024~a")
+    val tag = Sinks.stageTag("day=2024~a")
+    assert(part.renameTo(new File(s"$archive/.old-$tag")))
+    val restored = Sinks.recoverArchiveStaging(spark, archive)
+    assert(restored == Seq("day=2024~a"), s"restored: $restored")
+    assert(part.exists(), "partition dir not restored under its real name")
+    assert(spark.read.parquet(archive).count() == 100)
+  }
+
   test("nested layout: a stranded hour partition restores into its day dir") {
     val spark2 = spark
     import spark2.implicits._

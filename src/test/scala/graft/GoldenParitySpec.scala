@@ -20,29 +20,59 @@ class GoldenParitySpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.01"
 
   test("golden registry is non-empty and every golden file exists") {
-    val names = GoldenGen.goldenNames
-    assert(names.nonEmpty)
+    val names = GoldenGen.goldenNames ++ GoldenGen.inputGoldens.keys
+    assert(GoldenGen.goldenNames.nonEmpty)
     names.foreach { n =>
       val p = Paths.get(QueryDef.goldenDir, s"$n.parquet")
       assert(Files.isRegularFile(p), s"missing golden file $p — run GoldenGen")
     }
   }
 
+  private def assertParity(name: String, liveDf: org.apache.spark.sql.DataFrame): Unit = {
+    val frozen = spark.read.parquet(
+      Paths.get(QueryDef.goldenDir, s"$name.parquet").toString)
+    assert(liveDf.columns.toSeq == frozen.columns.toSeq,
+      s"$name column drift: live=${liveDf.columns.toSeq} frozen=${frozen.columns.toSeq}")
+    val l = liveDf.cache()
+    try {
+      val extra   = l.exceptAll(frozen).count()
+      val missing = frozen.exceptAll(l).count()
+      assert(extra == 0 && missing == 0,
+        s"$name drifted from golden: $extra live-only rows, " +
+          s"$missing golden-only rows — intentional change? re-run GoldenGen")
+    } finally l.unpersist()
+  }
+
   GoldenGen.goldenNames.sorted.foreach { name =>
     test(s"$name reproduces its frozen golden exactly") {
-      val live = SparkEntry.all(name).fn(spark, sf)
-      val frozen = spark.read.parquet(
-        Paths.get(QueryDef.goldenDir, s"$name.parquet").toString)
-      assert(live.columns.toSeq == frozen.columns.toSeq,
-        s"$name column drift: live=${live.columns.toSeq} frozen=${frozen.columns.toSeq}")
-      val l = live.cache()
-      try {
-        val extra   = l.exceptAll(frozen).count()
-        val missing = frozen.exceptAll(l).count()
-        assert(extra == 0 && missing == 0,
-          s"$name drifted from golden: $extra live-only rows, " +
-            s"$missing golden-only rows — intentional change? re-run GoldenGen")
-      } finally l.unpersist()
+      assertParity(name, SparkEntry.all(name).fn(spark, sf))
     }
+  }
+
+  GoldenGen.inputGoldens.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name fixture input reproduces its frozen golden exactly") {
+      assertParity(name, fn(spark, sf))
+    }
+  }
+
+  // The SQL-derived merge oracles (MempoolParse.mergeCtes) re-derive A1
+  // dedup as rank-by-timestamp over the parse golden. That is only valid
+  // while duplicate fixture hashes carry IDENTICAL payloads and DISTINCT
+  // timestamps — pin both facts so a fixture change that breaks the
+  // equivalence fails here by name, not as an opaque driver hash mismatch.
+  test("duplicate fixture hashes differ only in timestamp (dedup ≡ rank)") {
+    import org.apache.spark.sql.functions._
+    val parse = spark.read.parquet(
+      Paths.get(QueryDef.goldenDir, "q_parse_raw_tx.parquet").toString)
+    val payload = struct(parse.columns.filterNot(_ == "timestamp").map(col): _*)
+    val bad = parse.groupBy("hash")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(payload).as("dv"),
+        countDistinct(col("timestamp")).as("dt"))
+      .filter(col("n") > 1 && (col("dv") =!= 1 || col("dt") =!= col("n")))
+      .count()
+    assert(bad == 0,
+      "a duplicated fixture hash has divergent payloads or tied timestamps — " +
+        "the SQL oracle's rank-by-timestamp dedup no longer equals earliest-wins")
   }
 }

@@ -170,6 +170,72 @@ class InclusionCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("checksummed (mixed-case) input hashes still hit the block cache (ADVICE r8)") {
+    import spark.implicits._
+    // uppercase the hex digits: the block-fold inserts are lowercase, so
+    // before the lowercase-lookup fix every one of these probes missed
+    val mixed = (0 until nTx)
+      .map(i => (txHash(i).toUpperCase.replace("0X", "0x"), baseTs + 37L * i))
+      .toDF("hash", "timestamp")
+    withRpcServer() { (uri, receiptReqs, blockReqs) =>
+      val stats = InclusionCheck.Stats(spark)
+      val out = InclusionCheck.enrich(mixed.repartition(1),
+        InclusionCheck.JsonRpcFactory(uri), Some(stats)).persist()
+      out.count()
+      // same shared-cache accounting as the all-lowercase run
+      assert(stats.blockCalls.value == nBlocks)
+      assert(stats.cacheHits.value == included.size - nBlocks)
+      assert(receiptReqs.get() == stats.receiptCalls.value)
+      assert(blockReqs.get() == stats.blockCalls.value)
+      // and the enrichment itself matches the join path modulo case
+      val got = out.withColumn("hash", lower(col("hash")))
+      assert(collectSorted(got) == collectSorted(joinPath(inputDf, blocksDim)))
+      out.unpersist()
+    }
+  }
+
+  test("stats survive a downstream limit abandoning the iterator (ADVICE r8)") {
+    withRpcServer() { (uri, _, _) =>
+      val stats = InclusionCheck.Stats(spark)
+      // limit(10) stops consuming mid-partition; the TaskCompletionListener
+      // flush must still ship the processed rows' counts (an
+      // exhaustion-only flush reported zero here)
+      val n = InclusionCheck.enrich(inputDf.repartition(1),
+        InclusionCheck.JsonRpcFactory(uri), Some(stats)).limit(10).count()
+      assert(n == 10)
+      val processed = stats.cacheHits.value + stats.cacheMisses.value
+      assert(processed >= 10, s"counts dropped: $processed")
+    }
+  }
+
+  test("a hung endpoint trips the read timeout instead of pinning the task") {
+    // server that accepts but never answers within the window
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        Thread.sleep(5000)
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      val one = Seq((txHash(0), baseTs)).toDF("hash", "timestamp")
+      val uri = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val t0 = System.nanoTime()
+      val ex = intercept[Exception] {
+        InclusionCheck.enrich(one.repartition(1),
+          InclusionCheck.JsonRpcFactory(uri, readTimeoutMs = 300)).count()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(sec < 4.0, s"timeout did not trip promptly ($sec s)")
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.isInstanceOf[java.net.SocketTimeoutException])
+        || ex.getMessage.toLowerCase.contains("timed out"), ex.toString)
+    } finally server.stop(0)
+  }
+
   test("full merge DAG over the RPC path equals the blocks-dim DAG") {
     val dir = "/root/testdata/sf0.001"
     // second-aligned twin of MempoolParse.blocks so RPC seconds == dim ms.
