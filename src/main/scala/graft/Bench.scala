@@ -23,11 +23,17 @@ object Bench {
 
     // warm-up: a scan + shuffle, enough fixture-GENERATION + parse
     // iterations to C2-compile the RLP/keccak/secp sign AND recover paths
-    // (12k invocations clears the default C2 threshold), and one tiny
+    // (12k invocations clears the default C2 threshold), and one
     // same-shape merge DAG so janino compiles every codegen stage the
     // real merge will run. Measured: without this, the first heavy job
     // was billed ~8 s of compiler warm-up that belongs to none of the
     // queries (MergeStageProbe: bench-cold 8.2 s vs steady 0.7 s).
+    // The warm merge runs at sf0.01, NOT the nFor floor: at 2k rows AQE
+    // picks different join strategies than at bench scale, so the floor
+    // warm-up left the real merge's generated stages uncompiled and ~6 s
+    // of janino/C2 was still billed to q_mempool_merge (probe r10:
+    // sf0.001-warmed cold 8.35 s vs sf0.01-warmed cold 2.68 s, steady
+    // 0.45 s).
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
@@ -37,7 +43,7 @@ object Bench {
         graft.functions.ParseTx.parseHex(graft.functions.TxFixtures.rawTxHex(i))
         i += 1
       }
-      val warmDir = "sf0.001" // nFor floor: 2000-row fixture inputs
+      val warmDir = "sf0.01"
       import org.apache.spark.sql.functions.col
       val raws = queries.MempoolParse.rawTxs(spark, warmDir)
       val warm = jobs.Merge.run(spark, jobs.Merge.Inputs(
@@ -49,7 +55,7 @@ object Bench {
       warm.trash.count()
       warm.transactions.unpersist()
       // drop the warm-up fixtures' own cached input too — the sweep runs
-      // against sfDir, so nothing reads the sf0.001 merge DAG again
+      // against sfDir, so nothing reads the warm-up merge DAG again
       queries.MempoolParse.releaseMerge(spark, warmDir)
     } catch { case _: Throwable => }
 

@@ -35,15 +35,20 @@ object MergeStageProbe {
     // fresh full DAG, twice, BEFORE the per-stage probes: #1 is exactly
     // what Bench bills to q_mempool_merge (codegen+JIT cold), #2 is the
     // steady-state cost — the delta is warm-up, not engine work
-    def freshMerge() = {
+    def freshMerge(d: String = dir) = {
       import graft.jobs.Merge
       import org.apache.spark.sql.functions._
-      val raws = MempoolParse.rawTxs(spark, dir)
+      val raws = MempoolParse.rawTxs(spark, d)
       Merge.run(spark, Merge.Inputs(
         rawTxs = raws,
-        sourcelog = MempoolParse.sourcelog(spark, dir),
+        sourcelog = MempoolParse.sourcelog(spark, d),
         blacklist = Some(raws.filter(col("timestamp_ms") % 31 === 0).select("hash")),
-        blocks = Some(MempoolParse.blocks(spark, dir))))
+        blocks = Some(MempoolParse.blocks(spark, d))))
+    }
+    // optional warm-up merge at another SF first (arg 2), to measure how
+    // much of #1 a different-shaped warm-up DAG absorbs
+    args.drop(1).headOption.foreach { warmDir =>
+      time(s"warm merge @$warmDir")(freshMerge(warmDir).transactions.count())
     }
     time("fresh merge #1 (bench-cold)")(freshMerge().transactions.count())
     time("fresh merge #2 (steady)")(freshMerge().transactions.count())
