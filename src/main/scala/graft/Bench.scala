@@ -22,18 +22,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up: a scan + shuffle, enough fixture-GENERATION + parse
-    // iterations to C2-compile the RLP/keccak/secp sign AND recover paths
-    // (12k invocations clears the default C2 threshold), and one
-    // same-shape merge DAG so janino compiles every codegen stage the
-    // real merge will run. Measured: without this, the first heavy job
-    // was billed ~8 s of compiler warm-up that belongs to none of the
-    // queries (MergeStageProbe: bench-cold 8.2 s vs steady 0.7 s).
-    // The warm merge runs at sf0.01, NOT the nFor floor: at 2k rows AQE
-    // picks different join strategies than at bench scale, so the floor
-    // warm-up left the real merge's generated stages uncompiled and ~6 s
-    // of janino/C2 was still billed to q_mempool_merge (probe r10:
-    // sf0.001-warmed cold 8.35 s vs sf0.01-warmed cold 2.68 s, steady
-    // 0.45 s).
+    // iterations to C2-compile the RLP/keccak/secp recover paths (12k
+    // invocations clears the default C2 threshold), and one same-SHAPE
+    // merge DAG over disjoint fixture rows so janino compiles every
+    // codegen stage the real merge will run. The shape must match at
+    // the REAL scale: sf0.01- and floor-shaped warm-ups both left AQE
+    // picking different physical plans than the sfDir merge, and ~9 s of
+    // one-time compile cost was still billed to q_mempool_merge
+    // (merge_sec 13.7 s vs ~5 s steady in MergeStageProbe, r10).
+    // warmMergeShape runs Merge.run over rows [n, 2n) — identical counts
+    // and cached-input plan nodes, none of the real data or caches.
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
@@ -43,20 +41,7 @@ object Bench {
         graft.functions.ParseTx.parseHex(graft.functions.TxFixtures.rawTxHex(i))
         i += 1
       }
-      val warmDir = "sf0.01"
-      import org.apache.spark.sql.functions.col
-      val raws = queries.MempoolParse.rawTxs(spark, warmDir)
-      val warm = jobs.Merge.run(spark, jobs.Merge.Inputs(
-        rawTxs = raws,
-        sourcelog = queries.MempoolParse.sourcelog(spark, warmDir),
-        blacklist = Some(raws.filter(col("timestamp_ms") % 31 === 0).select("hash")),
-        blocks = Some(queries.MempoolParse.blocks(spark, warmDir))))
-      warm.transactions.count()
-      warm.trash.count()
-      warm.transactions.unpersist()
-      // drop the warm-up fixtures' own cached input too — the sweep runs
-      // against sfDir, so nothing reads the warm-up merge DAG again
-      queries.MempoolParse.releaseMerge(spark, warmDir)
+      queries.MempoolParse.warmMergeShape(spark, sfDir)
     } catch { case _: Throwable => }
 
     // Calibration (VERDICT r4/r5): a FIXED CPU-bound reference job whose
@@ -205,7 +190,8 @@ object Bench {
     val loadEnd = loadAvg
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""calibration_sec":$calibrationSec,"calibration_scan_sec":$calibrationScanSec,""" +
-      s""""fixture_sec":$fixtureSec,""" +
+      s""""fixture_sec":$fixtureSec,"merge_sec":$mergeSec,"pairs_sec":$pairsSec,""" +
+      s""""pq_sec":$pqSec,"coarse_sec":$coarseSec,""" +
       s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -45,10 +45,16 @@ object MergeStageProbe {
         blacklist = Some(raws.filter(col("timestamp_ms") % 31 === 0).select("hash")),
         blocks = Some(MempoolParse.blocks(spark, d))))
     }
-    // optional warm-up merge at another SF first (arg 2), to measure how
-    // much of #1 a different-shaped warm-up DAG absorbs
-    args.drop(1).headOption.foreach { warmDir =>
-      time(s"warm merge @$warmDir")(freshMerge(warmDir).transactions.count())
+    // optional warm-up merge first (arg 2): a dir measures how much of #1
+    // a different-SF warm-up absorbs; "shape" runs the same-shape
+    // disjoint-row warm-up Bench uses (MempoolParse.warmMergeShape)
+    args.drop(1).headOption.foreach {
+      case "shape" =>
+        time(s"warm merge (same-shape)") {
+          MempoolParse.warmMergeShape(spark, dir); 0L
+        }
+      case warmDir =>
+        time(s"warm merge @$warmDir")(freshMerge(warmDir).transactions.count())
     }
     time("fresh merge #1 (bench-cold)")(freshMerge().transactions.count())
     time("fresh merge #2 (steady)")(freshMerge().transactions.count())
@@ -74,6 +80,14 @@ object MergeStageProbe {
     val fresh = deduped.join(broadcast(bl), Seq("hash"), "left_anti")
     val parsed = graft.functions.ParseTx.project(fresh.drop("hash"))
     time("parse (post-dedup)")(parsed.count())
+    // AQE coalesces the small dedup shuffle output by BYTES; the parse UDF
+    // is CPU-bound (~70 µs secp recovery/row), so partition count here is
+    // the parse stage's parallelism — 1 partition = serial parse.
+    println(s"[stage] parse-stage partitions: " +
+      parsed.rdd.getNumPartitions)
+    val parsedWide = graft.functions.ParseTx.project(
+      fresh.drop("hash").repartition(cpus.toInt))
+    time("parse (repartitioned)")(parsedWide.count())
     val sourcesByHash = MempoolParse.sourcelog(spark, dir)
       .withColumn("hash", lower(col("hash")))
       .groupBy("hash", "source").agg(min("timestamp_ms").as("first_ts"))

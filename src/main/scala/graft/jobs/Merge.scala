@@ -35,7 +35,11 @@ object Merge {
       // cmd/merge/inclusioncheck.go); used only when `blocks` is None
       inclusionRpc: Option[InclusionCheck.ResolverFactory] = None)
 
-  final case class Output(transactions: DataFrame, trash: DataFrame)
+  /** `parsed` is the job's internal post-parse cache (both outputs read
+    * it); exposed so owners can unpersist it with the rest of the DAG
+    * instead of pinning ~1 KB/row of raw-tx hex until session end. */
+  final case class Output(transactions: DataFrame, trash: DataFrame,
+      parsed: DataFrame)
 
   /** P11 hash validity (common/sourcelog.go:41-48). */
   def validHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -112,7 +116,7 @@ object Merge {
         "includedBlockTimestamp", "inclusionDelayMs", "rawTx")
       .orderBy("timestamp")
 
-    Output(out, trash)
+    Output(out, trash, parsed)
   }
 
   /** A2 standalone: sourcelog merge (cmd/merge/sourcelog.go:64-108 +

@@ -106,16 +106,53 @@ object MempoolParse {
         blocks = Some(blks)))
       // the archive side feeds all three reader queries — materialize the
       // joined/sorted result once, not just the parse stage inside Merge
-      Merge.Output(out.transactions.cache(), out.trash)
+      out.copy(transactions = out.transactions.cache())
     })
 
   /** Unpersist + evict the shared merge DAG and its cached fixture inputs
     * — Bench calls this after the last q_mempool_* reader; the session-end
     * sweep covers everything else. Idempotent. */
   def releaseMerge(s: SparkSession, dir: String): Unit = {
-    memo.remove((System.identityHashCode(s), dir))
-      .foreach(_.transactions.unpersist(false))
+    memo.remove((System.identityHashCode(s), dir)).foreach { out =>
+      out.transactions.unpersist(false)
+      out.parsed.unpersist(false)
+    }
     releaseInputs(s, dir)
+  }
+
+  /** Same-SHAPE warm-up merge over DISJOINT fixture rows ([n, 2n)):
+    * identical row counts, widths, and cached-input plan nodes → AQE makes
+    * the same join/coalesce choices and janino compiles the same generated
+    * stages as the real merge at this dir's scale — but none of the real
+    * data, caches, or memo entries are touched. Bench materializes this
+    * before its timed windows so the real `mergeOutput` materialization
+    * measures engine work, not one-time codegen/JIT (an sf0.01-shaped
+    * warm-up was not enough: at 10k rows AQE picks different plans and
+    * ~9 s of compile cost was still billed to q_mempool_merge). */
+  def warmMergeShape(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val n = nFor(dir)
+    val raws = s.range(n, 2 * n).as[Long].mapPartitions(_.map(TxFixtures.rawRow))
+      .toDF("timestamp_ms", "hash", "raw_tx_hex").cache()
+    val slog = s.range(n, 2 * n).as[Long].mapPartitions(_.flatMap(TxFixtures.sourcelogRows))
+      .toDF("timestamp_ms", "hash", "source").cache()
+    val blks = s.range(n, 2 * n).as[Long].filter((i: Long) => i % 4 == 0)
+      .mapPartitions(_.map { i: Long =>
+        val (ts, hash, _) = TxFixtures.rawRow(i)
+        val delta = if (i % 12 == 4) -20000L else 4000L + (i % 2000)
+        (hash, 18000000L + i / 100, ts + delta)
+      }).toDF("hash", "block_number", "block_ts_ms").cache()
+    val out = Merge.run(s, Merge.Inputs(
+      rawTxs = raws,
+      sourcelog = slog,
+      blacklist = Some(raws.filter(col("timestamp_ms") % 31 === 0).select("hash")),
+      blocks = Some(blks)))
+    val warmTx = out.transactions.cache()
+    try { warmTx.count(); out.trash.count() }
+    finally {
+      warmTx.unpersist(false); out.parsed.unpersist(false)
+      raws.unpersist(false); slog.unpersist(false); blks.unpersist(false)
+    }
   }
 
   private def gp(name: String): String = s"${QueryDef.goldenDir}/$name.parquet"
