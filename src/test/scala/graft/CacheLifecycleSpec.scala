@@ -51,6 +51,25 @@ class CacheLifecycleSpec extends AnyFunSuite {
     assert(fresh != path && Files.exists(Paths.get(fresh)))
   }
 
+  test("warmMergeShape leaves no cached artifacts behind") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    queries.MempoolParse.warmMergeShape(spark, sf)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "warm-up merge left persisted blocks")
+  }
+
+  test("releaseMerge unpersists the internal parsed cache too") {
+    val out = queries.MempoolParse.mergeOutput(spark, sf)
+    out.transactions.count()
+    assert(out.parsed.storageLevel != StorageLevel.NONE,
+      "parsed stage not cached after materialization")
+    queries.MempoolParse.releaseMerge(spark, sf)
+    assert(out.parsed.storageLevel == StorageLevel.NONE,
+      "releaseMerge left the parsed stage cached")
+    assert(out.transactions.storageLevel == StorageLevel.NONE,
+      "releaseMerge left the archive cached")
+  }
+
   test("releaseAll runs every outstanding finalizer for the session") {
     val pairs = queries.DedupOps.pairsCache(spark, sf)
     pairs.count()
