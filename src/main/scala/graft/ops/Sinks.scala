@@ -373,11 +373,18 @@ object Sinks {
 
   /** S15: hourly-bucketed file layout (collector/tx_processor.go:419-489):
     * dirs keyed by date + hour via partitionBy — the batch shape of the
-    * collector's `timestamp/3600` bucketing. */
+    * collector's `timestamp/3600` bucketing. An AQE rebalance on the
+    * bucket keys clusters each (date, hour) into as few tasks as its size
+    * needs before the partitioned write: without it every task holds rows
+    * of every bucket and emits one file per (task × bucket) — a
+    * small-files explosion at any scale — while a plain repartition on
+    * the keys would put each bucket in exactly ONE task and serialize hot
+    * hours; rebalance splits oversized buckets across tasks instead. */
   def writeHourlyBucketed(df: DataFrame, tsCol: String, path: String): Unit =
     df
       .withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
       .withColumn("hour", date_format(col(tsCol), "HH"))
+      .hint("rebalance", "date", "hour")
       .write.partitionBy("date", "hour")
       .option("header", "true").mode("overwrite").csv(path)
 }
