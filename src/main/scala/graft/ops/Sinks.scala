@@ -66,7 +66,11 @@ object Sinks {
             df.withColumn(c, timestamp_millis(col(c).cast("long")))
           else df
         }
-      annotated.write
+      // rebalance on the partition key before the partitioned write (same
+      // rationale as writeHourlyBucketed): each day clusters into as few
+      // tasks as its size needs instead of one file per (task × day), and
+      // AQE still splits an oversized day across tasks.
+      rebalanceOn(annotated, "day").write
         .option("compression", "gzip")
         .option("parquet.block.size", (128L * 1024 * 1024).toString)
         .option("parquet.page.size", (1024 * 1024).toString)
@@ -381,10 +385,22 @@ object Sinks {
     * the keys would put each bucket in exactly ONE task and serialize hot
     * hours; rebalance splits oversized buckets across tasks instead. */
   def writeHourlyBucketed(df: DataFrame, tsCol: String, path: String): Unit =
-    df
-      .withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
-      .withColumn("hour", date_format(col(tsCol), "HH"))
-      .hint("rebalance", "date", "hour")
+    hourlyBucketedRows(df, tsCol)
       .write.partitionBy("date", "hour")
       .option("header", "true").mode("overwrite").csv(path)
+
+  /** The hourly sink's pre-write plan, exposed so ScalePlanSpec can assert
+    * the rebalance actually resolves (a misspelled hint is silently
+    * ignored by Catalyst — a one-warning regression otherwise). */
+  private[graft] def hourlyBucketedRows(df: DataFrame, tsCol: String): DataFrame =
+    rebalanceOn(df
+      .withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col(tsCol), "HH")),
+      "date", "hour")
+
+  /** AQE rebalance on the named columns — the pre-partitionBy shuffle that
+    * clusters each key into as few tasks as its size needs while still
+    * splitting oversized keys (unlike a plain repartition on the keys). */
+  private[graft] def rebalanceOn(df: DataFrame, cols: String*): DataFrame =
+    df.hint("rebalance", cols: _*)
 }

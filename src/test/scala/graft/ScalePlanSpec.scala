@@ -354,4 +354,21 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in CMS plan:\n$plan")
   }
+
+  test("partitioned sinks rebalance on the bucket keys before the write") {
+    import org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions
+    // a misspelled hint is dropped by Catalyst with only a warning — assert
+    // the sink's pre-write plan carries a resolved RebalancePartitions on
+    // the bucket keys, so each key clusters into as few tasks as its size
+    // needs (no per-(task × bucket) small files, no serialized hot keys)
+    val rows = Tables.events(spark, sf).select("event_id", "ts")
+    val hourly = ops.Sinks.hourlyBucketedRows(rows, "ts")
+    val reb = hourly.queryExecution.optimizedPlan.collect {
+      case r: RebalancePartitions => r
+    }
+    assert(reb.nonEmpty, "hourly sink plan lost its rebalance:\n" +
+      hourly.queryExecution.optimizedPlan)
+    assert(reb.head.partitionExpressions.size == 2,
+      s"expected rebalance on (date, hour): ${reb.head.partitionExpressions}")
+  }
 }
