@@ -52,6 +52,7 @@ object Core {
   private val archiveLayout = new PublishedLayout("archive")
   private val sourcelogCsvLayout = new PublishedLayout("sourcelog-csv")
   private val hourlyLayout = new PublishedLayout("hourly")
+  private val malformedCsvLayout = new PublishedLayout("sourcelog-malformed")
 
   /** The events table published through the per-day archive sink
     * ([[graft.ops.Sinks.writeDailyArchive]]) so every q_archive_day call
@@ -80,6 +81,32 @@ object Core {
     }
     graft.ops.Sources.readSourcelogCsv(s, path)
   }
+
+  /** Raw sourcelog CSV text with three deliberate corruption modes mixed
+    * in (truncated hash / non-numeric timestamp / missing source column),
+    * published once per session. The S3 CSV source must drop exactly the
+    * corrupted lines via its schema-cast null filters and the P11 hash
+    * predicate — the reference's `continue` branches
+    * (common/sourcelog.go:22-48). */
+  private[graft] def malformedSourcelogCsv(s: SparkSession, dir: String): String =
+    malformedCsvLayout(s, dir) { path =>
+      val base = Tables.events(s, dir).select(
+        col("event_id").as("id"),
+        unix_millis(col("ts")).cast("string").as("ts_ms"),
+        concat(lit("0x"), md5(col("event_id").cast("string")),
+          md5((col("event_id") + 1).cast("string"))).as("hash"),
+        col("event_type").as("source"))
+      base.select(
+        when(col("id") % 13 === 0, // short hash → P11 length/hex filter
+          concat_ws(",", col("ts_ms"), substring(col("hash"), 1, 12), col("source")))
+          .when(col("id") % 17 === 0, // non-numeric ts → P10 cast-null filter
+            concat_ws(",", concat(lit("t"), col("ts_ms")), col("hash"), col("source")))
+          .when(col("id") % 19 === 0, // wrong arity → null source filter
+            concat_ws(",", col("ts_ms"), col("hash")))
+          .otherwise(concat_ws(",", col("ts_ms"), col("hash"), col("source")))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+    }
 
   /** One week of events written through the S15 hourly-bucketed CSV sink
     * once per session (~168 date=…/hour=… partitions at any SF). */
@@ -442,6 +469,26 @@ object Core {
         |  COUNT(DISTINCT md5(CAST(event_id AS VARCHAR))) AS n_hash
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       sourcelogCsvRoundtrip(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          min("timestamp_ms").as("min_ts"), max("timestamp_ms").as("max_ts"),
+          countDistinct(substring(col("hash"), 3, 32)).as("n_hash"))
+    },
+
+    // F3/P10/P11 malformed-line skip: the CSV source must drop EXACTLY the
+    // corrupted lines (short hash, non-numeric timestamp, wrong arity) —
+    // the oracle re-derives the surviving set from the parquet table by
+    // excluding the same id classes, so both over- and under-filtering
+    // break the hash.
+    "q_source_malformed_skip" -> QueryDef.sql(
+      "F3: CSV scan drops exactly the malformed lines (3 corruption modes)",
+      """SELECT event_type AS source, COUNT(*) AS n,
+        |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts,
+        |  COUNT(DISTINCT md5(CAST(event_id AS VARCHAR))) AS n_hash
+        |FROM events
+        |WHERE event_id % 13 <> 0 AND event_id % 17 <> 0 AND event_id % 19 <> 0
+        |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      graft.ops.Sources.readSourcelogCsv(s, malformedSourcelogCsv(s, dir))
         .groupBy("source")
         .agg(count(lit(1)).as("n"),
           min("timestamp_ms").as("min_ts"), max("timestamp_ms").as("max_ts"),
