@@ -53,6 +53,7 @@ object Core {
   private val sourcelogCsvLayout = new PublishedLayout("sourcelog-csv")
   private val hourlyLayout = new PublishedLayout("hourly")
   private val malformedCsvLayout = new PublishedLayout("sourcelog-malformed")
+  private val txZipLayout = new PublishedLayout("tx-zip")
 
   /** The events table published through the per-day archive sink
     * ([[graft.ops.Sinks.writeDailyArchive]]) so every q_archive_day call
@@ -106,6 +107,42 @@ object Core {
           .otherwise(concat_ws(",", col("ts_ms"), col("hash"), col("source")))
           .as("value"))
         .write.mode("overwrite").text(path)
+    }
+
+  /** Collector-shaped tx CSVs packed into `.csv.zip` archives (one per
+    * Spark part file, plus a non-CSV member the reader must skip),
+    * published once per session. Zipping is driver-side file IO over the
+    * written parts — input synthesis, not engine work; the engine op
+    * under test is the streaming per-task ZIP decode (S2). */
+  private[graft] def txCsvZipDir(s: SparkSession, dir: String): String =
+    txZipLayout(s, dir) { path =>
+      Tables.events(s, dir).select(concat_ws(",",
+        unix_millis(col("ts")),
+        concat(lit("0x"), md5(col("event_id").cast("string")),
+          md5((col("event_id") + 1).cast("string"))),
+        concat(lit("0x"), md5((col("event_id") + 2).cast("string"))))
+        .as("value"))
+        .write.mode("overwrite").text(s"$path/csv")
+      val zips = java.nio.file.Paths.get(path, "zips")
+      java.nio.file.Files.createDirectories(zips)
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(path, "csv"))
+      try parts.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-")) {
+            val out = new java.util.zip.ZipOutputStream(
+              java.nio.file.Files.newOutputStream(
+                zips.resolve(p.getFileName.toString + ".csv.zip")))
+            try {
+              out.putNextEntry(new java.util.zip.ZipEntry("README.txt"))
+              out.write("not a csv member — the reader must skip this\n"
+                .getBytes("UTF-8"))
+              out.closeEntry()
+              out.putNextEntry(new java.util.zip.ZipEntry("transactions.csv"))
+              java.nio.file.Files.copy(p, out)
+              out.closeEntry()
+            } finally out.close()
+          }
+        }
+      finally parts.close()
     }
 
   /** One week of events written through the S15 hourly-bucketed CSV sink
@@ -490,6 +527,24 @@ object Core {
         |GROUP BY event_type""".stripMargin) { (s, dir) =>
       graft.ops.Sources.readSourcelogCsv(s, malformedSourcelogCsv(s, dir))
         .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          min("timestamp_ms").as("min_ts"), max("timestamp_ms").as("max_ts"),
+          countDistinct(substring(col("hash"), 3, 32)).as("n_hash"))
+    },
+
+    // S2 CSV-in-ZIP scan: the per-task streaming ZIP decode must surface
+    // every line of every .csv member (skipping the planted non-CSV
+    // member) — the oracle recomputes the bucketed aggregate from parquet,
+    // so a dropped member, a dropped line, or buffered bytes crossing an
+    // entry boundary all break the hash.
+    "q_source_zip_scan" -> QueryDef.sql(
+      "S2: csv-in-zip archive scan (streaming per-task decode) vs parquet re-derivation",
+      """SELECT substring(md5(CAST(event_id AS VARCHAR)), 1, 1) AS bucket,
+        |  COUNT(*) AS n, MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts,
+        |  COUNT(DISTINCT md5(CAST(event_id AS VARCHAR))) AS n_hash
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.ops.Sources.readTxCsvZip(s, s"${txCsvZipDir(s, dir)}/zips/*.csv.zip")
+        .groupBy(substring(col("hash"), 3, 1).as("bucket"))
         .agg(count(lit(1)).as("n"),
           min("timestamp_ms").as("min_ts"), max("timestamp_ms").as("max_ts"),
           countDistinct(substring(col("hash"), 3, 32)).as("n_hash"))
