@@ -550,6 +550,42 @@ object Core {
           countDistinct(substring(col("hash"), 3, 32)).as("n_hash"))
     },
 
+    // P8/P9/S13 report formatting: thousands-grouped counts, one-decimal
+    // floor percentages, and human-bytes labels as engine-side strings.
+    // All fractional steps use exact integer division (x*1000 div total,
+    // x*10 div 1024^k) so both engines format the same k/10 value — no
+    // float-rounding disputes in the last decimal.
+    "q_report_format" -> QueryDef.sql(
+      "P8/P9: report-renderer formatting (grouped counts, floor-pct, human bytes)",
+      """WITH agg AS (
+        |  SELECT event_type AS source, COUNT(*) AS n,
+        |    CAST(SUM(event_id) AS BIGINT) AS b
+        |  FROM events GROUP BY event_type
+        |), tot AS (SELECT SUM(n) AS tot FROM agg)
+        |SELECT source,
+        |  format('{:,}', n) AS n_fmt,
+        |  printf('%.1f%%', ((n * 1000 // tot)) / 10.0) AS pct_fmt,
+        |  CASE WHEN b < 1024 THEN CAST(b AS VARCHAR) || ' B'
+        |       WHEN b < 1048576 THEN printf('%.1f KB', (b * 10 // 1024) / 10.0)
+        |       WHEN b < 1073741824 THEN printf('%.1f MB', (b * 10 // 1048576) / 10.0)
+        |       ELSE printf('%.1f GB', (b * 10 // 1073741824) / 10.0) END AS bytes_h
+        |FROM agg, tot""".stripMargin) { (s, dir) =>
+      val agg = Tables.events(s, dir)
+        .groupBy(col("event_type").as("source"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("b"))
+      val tot = agg.agg(sum("n").as("tot"))
+      def tenth(e: String): Column = format_number(expr(e) / 10.0, 1)
+      agg.crossJoin(broadcast(tot)).select(
+        col("source"),
+        format_number(col("n"), 0).as("n_fmt"),
+        concat(tenth("n * 1000 div tot"), lit("%")).as("pct_fmt"),
+        when(col("b") < 1024L, concat(col("b").cast("string"), lit(" B")))
+          .when(col("b") < 1048576L, concat(tenth("b * 10 div 1024"), lit(" KB")))
+          .when(col("b") < 1073741824L, concat(tenth("b * 10 div 1048576"), lit(" MB")))
+          .otherwise(concat(tenth("b * 10 div 1073741824"), lit(" GB")))
+          .as("bytes_h"))
+    },
+
     // S15 hourly-bucketed layout: date=…/hour=… partition values must
     // reconstruct each row's receive hour exactly (the collector's
     // timestamp/3600 bucketing, collector/tx_processor.go:421-423); the
