@@ -586,6 +586,24 @@ object Core {
           .as("bytes_h"))
     },
 
+    // S1 plain tx CSV scan: same published lines as the zip variant (the
+    // layout's csv/ subdir), read through the schema-cast `readTxCsv`
+    // path instead of the per-task zip decoder — the two queries carry
+    // the SAME oracle, so the plain and zip read paths are also
+    // transitively proven equal.
+    "q_source_tx_csv" -> QueryDef.sql(
+      "S1: plain collector tx CSV scan (schema cast + validity filters)",
+      """SELECT substring(md5(CAST(event_id AS VARCHAR)), 1, 1) AS bucket,
+        |  COUNT(*) AS n, MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts,
+        |  COUNT(DISTINCT md5(CAST(event_id AS VARCHAR))) AS n_hash
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.ops.Sources.readTxCsv(s, s"${txCsvZipDir(s, dir)}/csv")
+        .groupBy(substring(col("hash"), 3, 1).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("timestamp_ms").as("min_ts"), max("timestamp_ms").as("max_ts"),
+          countDistinct(substring(col("hash"), 3, 32)).as("n_hash"))
+    },
+
     // S15 hourly-bucketed layout: date=…/hour=… partition values must
     // reconstruct each row's receive hour exactly (the collector's
     // timestamp/3600 bucketing, collector/tx_processor.go:421-423); the
