@@ -54,6 +54,7 @@ object Core {
   private val hourlyLayout = new PublishedLayout("hourly")
   private val malformedCsvLayout = new PublishedLayout("sourcelog-malformed")
   private val txZipLayout = new PublishedLayout("tx-zip")
+  private val streamDedupLayout = new PublishedLayout("stream-dedup")
 
   /** The events table published through the per-day archive sink
     * ([[graft.ops.Sinks.writeDailyArchive]]) so every q_archive_day call
@@ -144,6 +145,37 @@ object Core {
         }
       finally parts.close()
     }
+
+  /** The A5 streaming TTL dedup run through the REAL Structured Streaming
+    * engine once per session: a collector-shaped feed (hash keyed on
+    * user_id → heavy duplicates; all rows timestamp-compressed inside one
+    * TTL window so earliest-wins is the exact expected output) is written
+    * as ONE csv file → one micro-batch through [[graft.streaming.Collect
+    * .dedupStateful]] (flatMapGroupsWithState, event-time TTL state) into
+    * a memory sink, and the emitted rows are frozen to parquet. The
+    * timestamps are base + event_id·10 — globally unique, so min-by-ts
+    * has no ties and the keep is deterministic. */
+  private[graft] def streamDedupResult(s: SparkSession, dir: String): DataFrame = {
+    val path = streamDedupLayout(s, dir) { p =>
+      Tables.events(s, dir).select(concat_ws(",",
+        lit(1700000000000L) + col("event_id") * 10,
+        concat(lit("0x"), md5(col("user_id").cast("string")),
+          md5((col("user_id") + 1).cast("string"))),
+        concat(lit("0x"), md5(col("event_id").cast("string"))),
+        col("event_type")).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(s"$p/in")
+      val qn = "stream_dedup_" + math.abs(p.hashCode).toString
+      val q = graft.streaming.Collect.dedupStateful(
+        graft.streaming.Collect.feed(s, s"$p/in"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).select("timestamp_ms", "hash", "raw_tx_hex", "source")
+        .write.mode("overwrite").parquet(s"$p/out")
+    }
+    s.read.parquet(s"$path/out")
+  }
 
   /** One week of events written through the S15 hourly-bucketed CSV sink
     * once per session (~168 date=…/hour=… partitions at any SF). */
@@ -602,6 +634,25 @@ object Core {
         .agg(count(lit(1)).as("n"),
           min("timestamp_ms").as("min_ts"), max("timestamp_ms").as("max_ts"),
           countDistinct(substring(col("hash"), 3, 32)).as("n_hash"))
+    },
+
+    // A5 streaming TTL dedup, driver-verified through the REAL streaming
+    // engine (flatMapGroupsWithState + event-time TTL state + memory
+    // sink): earliest-wins per hash inside one TTL window. The oracle
+    // re-derives the expected emission set with a window rank over the
+    // same synthetic feed.
+    "q_stream_dedup_ttl" -> QueryDef.sql(
+      "A5: streaming TTL dedup (flatMapGroupsWithState) vs SQL earliest-wins",
+      """SELECT timestamp_ms, hash, raw_tx_hex, source FROM (
+        |  SELECT 1700000000000 + event_id * 10 AS timestamp_ms,
+        |    '0x' || md5(CAST(user_id AS VARCHAR))
+        |         || md5(CAST(user_id + 1 AS VARCHAR)) AS hash,
+        |    '0x' || md5(CAST(event_id AS VARCHAR)) AS raw_tx_hex,
+        |    event_type AS source,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      streamDedupResult(s, dir)
     },
 
     // S15 hourly-bucketed layout: date=…/hour=… partition values must
