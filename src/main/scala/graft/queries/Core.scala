@@ -55,6 +55,7 @@ object Core {
   private val malformedCsvLayout = new PublishedLayout("sourcelog-malformed")
   private val txZipLayout = new PublishedLayout("tx-zip")
   private val streamDedupLayout = new PublishedLayout("stream-dedup")
+  private val streamWindowLayout = new PublishedLayout("stream-window")
 
   /** The events table published through the per-day archive sink
     * ([[graft.ops.Sinks.writeDailyArchive]]) so every q_archive_day call
@@ -172,6 +173,37 @@ object Core {
         .start()
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select("timestamp_ms", "hash", "raw_tx_hex", "source")
+        .write.mode("overwrite").parquet(s"$p/out")
+    }
+    s.read.parquet(s"$path/out")
+  }
+
+  /** The A13/A14 per-minute source counters run through the real streaming
+    * engine once per session: one day of events as a collector feed →
+    * [[graft.streaming.Collect.sourceMetrics]] (1-minute tumbling windows)
+    * → memory sink in complete mode, frozen to parquet. Only the exact
+    * count column is kept — the approximate-uniques column is monitoring
+    * output no SQL engine reproduces bit-for-bit. */
+  private[graft] def streamWindowResult(s: SparkSession, dir: String): DataFrame = {
+    val path = streamWindowLayout(s, dir) { p =>
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-11").cast("timestamp"))
+        .select(concat_ws(",",
+          unix_millis(col("ts")),
+          concat(lit("0x"), md5(col("event_id").cast("string")),
+            md5((col("event_id") + 1).cast("string"))),
+          concat(lit("0x"), md5((col("event_id") + 2).cast("string"))),
+          col("event_type")).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(s"$p/in")
+      val qn = "stream_window_" + math.abs(p.hashCode).toString
+      val q = graft.streaming.Collect.sourceMetrics(
+        graft.streaming.Collect.feed(s, s"$p/in"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).select("minute", "source", "n_all")
         .write.mode("overwrite").parquet(s"$p/out")
     }
     s.read.parquet(s"$path/out")
@@ -653,6 +685,21 @@ object Core {
         |  FROM events
         |) WHERE rn = 1""".stripMargin) { (s, dir) =>
       streamDedupResult(s, dir)
+    },
+
+    // A13/A14 per-minute source counters via the real streaming engine
+    // (1-minute tumbling windows, complete mode): the window starts and
+    // exact counts must match a batch date_trunc re-derivation. The feed
+    // truncates timestamps to millis (the collector wire format), so the
+    // oracle buckets epoch-ms the same way.
+    "q_stream_window_counts" -> QueryDef.sql(
+      "A13/A14: streaming 1-min tumbling per-source counts vs date_trunc oracle",
+      """SELECT make_timestamp((epoch_ms(ts) // 60000) * 60000000) AS minute,
+        |  event_type AS source, COUNT(*) AS n_all
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      streamWindowResult(s, dir)
     },
 
     // S15 hourly-bucketed layout: date=…/hour=… partition values must
