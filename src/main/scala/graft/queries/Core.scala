@@ -56,6 +56,8 @@ object Core {
   private val txZipLayout = new PublishedLayout("tx-zip")
   private val streamDedupLayout = new PublishedLayout("stream-dedup")
   private val streamWindowLayout = new PublishedLayout("stream-window")
+  private val trashCsvLayout = new PublishedLayout("trash-csv")
+  private val streamInclusionLayout = new PublishedLayout("stream-inclusion")
 
   /** The events table published through the per-day archive sink
     * ([[graft.ops.Sinks.writeDailyArchive]]) so every q_archive_day call
@@ -204,6 +206,59 @@ object Core {
         .start()
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select("minute", "source", "n_all")
+        .write.mode("overwrite").parquet(s"$p/out")
+    }
+    s.read.parquet(s"$path/out")
+  }
+
+  /** A3 trash merge → S12 trash CSV sink → S3 trash CSV source, published
+    * once per session. The trash fixture keys hashes on user_id so each
+    * (hash, source) pair recurs with distinct timestamps — the
+    * min-struct earliest-wins keep does real work. */
+  private[graft] def trashRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = trashCsvLayout(s, dir) { p =>
+      val trashIn = Tables.events(s, dir).select(
+        unix_millis(col("ts")).as("timestamp_ms"),
+        concat(lit("0x"), md5(col("user_id").cast("string")),
+          md5((col("user_id") + 1).cast("string"))).as("hash"),
+        col("event_type").as("source"),
+        when(col("event_id") % 3 === 0, "low-fee")
+          .when(col("event_id") % 3 === 1, "bad-sig")
+          .otherwise("decode-error").as("reason"),
+        lit("").as("notes"))
+      graft.ops.Sinks.writeTrashCsv(graft.jobs.Merge.mergeTrash(trashIn), p)
+    }
+    graft.ops.Sources.readTrashCsv(s, path)
+      .withColumn("notes", coalesce(col("notes"), lit("")))
+  }
+
+  /** The J4 collector inline inclusion check through the real streaming
+    * engine once per session: a stream-static broadcast join against a
+    * blocks dim (every 4th event's hash), rejects tagged
+    * `tx-already-onchain`, frozen to parquet. */
+  private[graft] def streamInclusionResult(s: SparkSession, dir: String): DataFrame = {
+    val path = streamInclusionLayout(s, dir) { p =>
+      Tables.events(s, dir).select(concat_ws(",",
+        unix_millis(col("ts")),
+        concat(lit("0x"), md5(col("event_id").cast("string")),
+          md5((col("event_id") + 1).cast("string"))),
+        concat(lit("0x"), md5((col("event_id") + 2).cast("string"))),
+        col("event_type")).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(s"$p/in")
+      val blocks = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0)
+        .select(concat(lit("0x"), md5(col("event_id").cast("string")),
+          md5((col("event_id") + 1).cast("string"))).as("hash"))
+      val qn = "stream_incl_" + math.abs(p.hashCode).toString
+      val q = graft.streaming.Collect.inclusionCheck(
+        graft.streaming.Collect.feed(s, s"$p/in")
+          .withColumn("reason", lit(null).cast("string")),
+        blocks)
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).select("timestamp_ms", "hash", "source", "reason")
         .write.mode("overwrite").parquet(s"$p/out")
     }
     s.read.parquet(s"$path/out")
@@ -700,6 +755,42 @@ object Core {
         |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       streamWindowResult(s, dir)
+    },
+
+    // A3 trash merge + S12/S3 trash CSV round-trip: earliest (hash, source)
+    // entry wins carrying ITS reason/notes (min-struct); the oracle is a
+    // window rank over the same derivation, ordered by the struct's exact
+    // comparison key, so the keep rule and the CSV layout both gate.
+    "q_trash_roundtrip" -> QueryDef.sql(
+      "A3/S12/S3: trash merge earliest-wins → CSV sink → CSV source round-trip",
+      """WITH t AS (
+        |  SELECT epoch_ms(ts) AS timestamp_ms,
+        |    '0x' || md5(CAST(user_id AS VARCHAR))
+        |         || md5(CAST(user_id + 1 AS VARCHAR)) AS hash,
+        |    event_type AS source,
+        |    CASE event_id % 3 WHEN 0 THEN 'low-fee' WHEN 1 THEN 'bad-sig'
+        |         ELSE 'decode-error' END AS reason,
+        |    '' AS notes
+        |  FROM events)
+        |SELECT timestamp_ms, hash, source, reason, notes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY hash, source
+        |    ORDER BY timestamp_ms, reason, notes) AS rn FROM t
+        |) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      trashRoundtrip(s, dir)
+    },
+
+    // J4 collector inline inclusion check via the real streaming engine:
+    // stream-static broadcast join, on-chain hashes tagged with the trash
+    // reason; the oracle re-derives the tag from the dim membership rule.
+    "q_stream_inclusion" -> QueryDef.sql(
+      "J4: streaming stream-static inclusion check vs SQL join re-derivation",
+      """SELECT epoch_ms(ts) AS timestamp_ms,
+        |  '0x' || md5(CAST(event_id AS VARCHAR))
+        |       || md5(CAST(event_id + 1 AS VARCHAR)) AS hash,
+        |  event_type AS source,
+        |  CASE WHEN event_id % 4 = 0 THEN 'tx-already-onchain' END AS reason
+        |FROM events""".stripMargin) { (s, dir) =>
+      streamInclusionResult(s, dir)
     },
 
     // S15 hourly-bucketed layout: date=…/hour=… partition values must
