@@ -44,7 +44,11 @@ object Core {
         }
         val path = java.nio.file.Files
           .createTempDirectory(s"graft-$tag").toString
-        write(path)
+        // a failed publish must not leak its partial dir: the memo entry
+        // is only added on success, so the session-end finalizer would
+        // never see this path
+        try write(path)
+        catch { case e: Throwable => rmTree(path); throw e }
         path
       })
   }
