@@ -108,6 +108,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("secp recovery: arbitrary (hash, r, s, recId) returns None or a 20-byte address, deterministically") {
+    import graft.functions.Secp256k1
+    val genCase = for {
+      msg <- Gen.listOfN(32, Arbitrary.arbByte.arbitrary).map(_.toArray)
+      r <- Gen.listOfN(33, Arbitrary.arbByte.arbitrary)
+        .map(b => new java.math.BigInteger(1, b.toArray))
+      s <- Gen.listOfN(33, Arbitrary.arbByte.arbitrary)
+        .map(b => new java.math.BigInteger(1, b.toArray))
+      recId <- Gen.chooseNum(-1, 4)
+    } yield (msg, r, s, recId)
+    samples(genCase, 200).foreach { case (msg, r, s, recId) =>
+      val a1 = Secp256k1.recoverAddress(msg, r, s, recId)
+      a1.foreach(addr => assert(addr.length == 20))
+      val a2 = Secp256k1.recoverAddress(msg, r, s, recId)
+      assert(a1.map(_.toSeq) == a2.map(_.toSeq), "recovery must be deterministic")
+    }
+  }
+
   test("rlp: malformed inputs throw RlpException, never loop or OOM") {
     val bad = Seq(
       Array[Byte](0xb8.toByte), // truncated long-string header
