@@ -25,6 +25,9 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          // a marker from a previous failed run into the same outDir must
+          // not outlive the fix — success clears it
+          Files.deleteIfExists(Paths.get(s"$outDir/$name._error"))
           println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
         } catch { case e: Throwable =>
           // A thrown query must leave a visible artifact: without one the

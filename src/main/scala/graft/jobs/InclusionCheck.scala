@@ -125,8 +125,15 @@ object InclusionCheck {
 
       val out = rows.map { row =>
         // block-fold inserts are lowercased below; lowercase the lookup key
-        // too, or a checksummed input hash never hits (ADVICE r8)
-        val hash = row.getString(hashIdx).toLowerCase(java.util.Locale.ROOT)
+        // too, or a checksummed input hash never hits (ADVICE r8). A null
+        // hash (enrich is a public entry point; only the Merge.run path
+        // filters them upstream) passes through unenriched instead of
+        // NPE-failing the whole task.
+        val rawHash = row.getString(hashIdx)
+        if (rawHash == null)
+          Row.fromSeq(row.toSeq :+ 0L :+ 0L :+ 0L)
+        else {
+        val hash = rawHash.toLowerCase(java.util.Locale.ROOT)
         val ts = row.getLong(tsIdx)
         var numTs = cache.get(hash)
         if (numTs != null) hits += 1
@@ -152,6 +159,7 @@ object InclusionCheck {
         }
         val delay = if (numTs._2 != 0L) numTs._2 - ts else 0L
         Row.fromSeq(row.toSeq :+ numTs._1 :+ numTs._2 :+ delay)
+        }
       }
 
       if (tc.isDefined) out

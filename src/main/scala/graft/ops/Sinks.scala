@@ -180,8 +180,12 @@ object Sinks {
     * single dir-name-safe token. '/' becomes '~'; literal '~' (and '%')
     * inside a segment are percent-escaped first, so a partition value
     * containing '~' (e.g. `day=2023~x`) round-trips instead of being
-    * mis-split on recovery (ADVICE r8). Legacy tags without escapes decode
-    * unchanged. */
+    * mis-split on recovery (ADVICE r8). Legacy pre-escaping tags decode
+    * unchanged UNLESS the raw value itself contained the literal substring
+    * "%7E" or "%25" — an inherent one-upgrade-window ambiguity (the old
+    * format cannot mark itself); recovery of such a stage restores it
+    * under the decoded name. Re-run the compactor after upgrading to
+    * clear old stages before any partition values like that exist. */
   private def encSeg(s: String): String = s.replace("%", "%25").replace("~", "%7E")
   private def decSeg(s: String): String = s.replace("%7E", "~").replace("%25", "%")
   private[graft] def stageTag(rel: String): String =

@@ -19,6 +19,15 @@ object Core {
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
   private val dec = "DECIMAL(18,4)"
 
+  /** The synthetic-but-valid fixture hash every published layout keys on:
+    * `0x` + md5(k) + md5(k+1) = 0x + 64 lowercase hex. ONE definition —
+    * each oracle's SQL twin is
+    * `'0x' || md5(CAST(k AS VARCHAR)) || md5(CAST(k+1 AS VARCHAR))`,
+    * and a drift between copies would desynchronize a query from its
+    * oracle invisibly. */
+  private def syntheticHash(k: Column): Column =
+    concat(lit("0x"), md5(k.cast("string")), md5((k + 1).cast("string")))
+
   private def rmTree(p: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(p)
@@ -35,12 +44,16 @@ object Core {
     * session-end sweep deletes the dir (ADVICE r8 #3 — these used to
     * outlive every session). */
   private final class PublishedLayout(tag: String) {
+    // ConcurrentHashMap.computeIfAbsent runs the publish thunk at most
+    // ONCE per key (concurrent callers block on it) — TrieMap's
+    // getOrElseUpdate evaluates racing defaults and would leak the
+    // losing publish's temp dir with no finalizer pointing at it
     private val memo =
-      scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+      new java.util.concurrent.ConcurrentHashMap[(Int, String), String]
     def apply(s: SparkSession, dir: String)(write: String => Unit): String =
-      memo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      memo.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
         SessionCaches.onRelease(s, s"core.$tag:$dir") { () =>
-          memo.remove((System.identityHashCode(s), dir)).foreach(rmTree)
+          Option(memo.remove((System.identityHashCode(s), dir))).foreach(rmTree)
         }
         val path = java.nio.file.Files
           .createTempDirectory(s"graft-$tag").toString
@@ -78,8 +91,7 @@ object Core {
   private def eventsAsSourcelog(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       unix_millis(col("ts")).as("timestamp_ms"),
-      concat(lit("0x"), md5(col("event_id").cast("string")),
-        md5((col("event_id") + 1).cast("string"))).as("hash"),
+      syntheticHash(col("event_id")).as("hash"),
       col("event_type").as("source"))
 
   /** events written through the S12 sourcelog CSV sink once per session,
@@ -102,8 +114,7 @@ object Core {
       val base = Tables.events(s, dir).select(
         col("event_id").as("id"),
         unix_millis(col("ts")).cast("string").as("ts_ms"),
-        concat(lit("0x"), md5(col("event_id").cast("string")),
-          md5((col("event_id") + 1).cast("string"))).as("hash"),
+        syntheticHash(col("event_id")).as("hash"),
         col("event_type").as("source"))
       base.select(
         when(col("id") % 13 === 0, // short hash → P11 length/hex filter
@@ -126,8 +137,7 @@ object Core {
     txZipLayout(s, dir) { path =>
       Tables.events(s, dir).select(concat_ws(",",
         unix_millis(col("ts")),
-        concat(lit("0x"), md5(col("event_id").cast("string")),
-          md5((col("event_id") + 1).cast("string"))),
+        syntheticHash(col("event_id")),
         concat(lit("0x"), md5((col("event_id") + 2).cast("string"))))
         .as("value"))
         .write.mode("overwrite").text(s"$path/csv")
@@ -166,8 +176,7 @@ object Core {
     val path = streamDedupLayout(s, dir) { p =>
       Tables.events(s, dir).select(concat_ws(",",
         lit(1700000000000L) + col("event_id") * 10,
-        concat(lit("0x"), md5(col("user_id").cast("string")),
-          md5((col("user_id") + 1).cast("string"))),
+        syntheticHash(col("user_id")),
         concat(lit("0x"), md5(col("event_id").cast("string"))),
         col("event_type")).as("value"))
         .coalesce(1)
@@ -197,8 +206,7 @@ object Core {
           col("ts") < lit("2024-01-11").cast("timestamp"))
         .select(concat_ws(",",
           unix_millis(col("ts")),
-          concat(lit("0x"), md5(col("event_id").cast("string")),
-            md5((col("event_id") + 1).cast("string"))),
+          syntheticHash(col("event_id")),
           concat(lit("0x"), md5((col("event_id") + 2).cast("string"))),
           col("event_type")).as("value"))
         .coalesce(1)
@@ -223,8 +231,7 @@ object Core {
     val path = trashCsvLayout(s, dir) { p =>
       val trashIn = Tables.events(s, dir).select(
         unix_millis(col("ts")).as("timestamp_ms"),
-        concat(lit("0x"), md5(col("user_id").cast("string")),
-          md5((col("user_id") + 1).cast("string"))).as("hash"),
+        syntheticHash(col("user_id")).as("hash"),
         col("event_type").as("source"),
         when(col("event_id") % 3 === 0, "low-fee")
           .when(col("event_id") % 3 === 1, "bad-sig")
@@ -244,16 +251,14 @@ object Core {
     val path = streamInclusionLayout(s, dir) { p =>
       Tables.events(s, dir).select(concat_ws(",",
         unix_millis(col("ts")),
-        concat(lit("0x"), md5(col("event_id").cast("string")),
-          md5((col("event_id") + 1).cast("string"))),
+        syntheticHash(col("event_id")),
         concat(lit("0x"), md5((col("event_id") + 2).cast("string"))),
         col("event_type")).as("value"))
         .coalesce(1)
         .write.mode("overwrite").text(s"$p/in")
       val blocks = Tables.events(s, dir)
         .filter(col("event_id") % 4 === 0)
-        .select(concat(lit("0x"), md5(col("event_id").cast("string")),
-          md5((col("event_id") + 1).cast("string"))).as("hash"))
+        .select(syntheticHash(col("event_id")).as("hash"))
       val qn = "stream_incl_" + math.abs(p.hashCode).toString
       val q = graft.streaming.Collect.inclusionCheck(
         graft.streaming.Collect.feed(s, s"$p/in")
@@ -697,7 +702,13 @@ object Core {
         .groupBy(col("event_type").as("source"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("b"))
       val tot = agg.agg(sum("n").as("tot"))
-      def tenth(e: String): Column = format_number(expr(e) / 10.0, 1)
+      // one-decimal string from exact integer parts — NOT format_number,
+      // whose thousands-grouping would insert commas at >= 1,000.0 (e.g.
+      // "1,023.9 KB" vs the oracle printf's "1023.9 KB"); DuckDB's
+      // printf('%.1f') never groups
+      def tenth(e: String): Column =
+        concat(expr(s"($e) div 10").cast("string"), lit("."),
+          expr(s"($e) % 10").cast("string"))
       agg.crossJoin(broadcast(tot)).select(
         col("source"),
         format_number(col("n"), 0).as("n_fmt"),

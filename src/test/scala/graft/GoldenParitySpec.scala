@@ -75,4 +75,34 @@ class GoldenParitySpec extends AnyFunSuite {
       "a duplicated fixture hash has divergent payloads or tied timestamps — " +
         "the SQL oracle's rank-by-timestamp dedup no longer equals earliest-wins")
   }
+
+  // The other two fixture facts mergeCtes relies on (MempoolParse doc):
+  // the parse stage's `timestamp` IS the raw row's timestamp_ms (the SQL
+  // blacklist re-derives `timestamp_ms % 31` from the parse golden), and
+  // every raw row's `hash` column equals keccak(raw_tx) (Merge.run
+  // anti-joins on the RAW hash while the oracle joins on the parse-
+  // computed one). A TxFixtures or ParseTx change breaking either fact
+  // must fail here by name.
+  test("parse timestamp passes through raw timestamp_ms; raw hash = keccak(raw_tx)") {
+    (0L until 2000L).foreach { i =>
+      val (ts, hash, raw) = functions.TxFixtures.rawRow(i)
+      val p = functions.EthTx.decodeHex(raw)
+      assert(p.hash == hash,
+        s"fixture $i: raw hash column $hash != keccak-derived ${p.hash}")
+      assert(functions.ParseTx.parseHex(raw).isDefined, s"fixture $i unparseable")
+      val _ = ts // timestamp passthrough asserted against the golden below
+    }
+    import org.apache.spark.sql.functions._
+    val parse = spark.read.parquet(
+      Paths.get(QueryDef.goldenDir, "q_parse_raw_tx.parquet").toString)
+      .select(col("hash"), col("timestamp").as("t"))
+    val raws = queries.MempoolParse.rawTxs(spark, sf)
+      .select(col("hash"), col("timestamp_ms").as("t"))
+    // multiset equality on (hash, ts) — duplicated hashes carry several
+    // timestamps each, so a pairwise join would cross-match them
+    val drift = parse.exceptAll(raws).count() + raws.exceptAll(parse).count()
+    assert(drift == 0,
+      "parse `timestamp` no longer passes the raw row's timestamp_ms through — " +
+        "the SQL oracle's %-31 blacklist re-derivation is broken")
+  }
 }
