@@ -15,6 +15,7 @@ object SparkEntry {
   val all: Map[String, QueryDef] =
     ListMap.empty[String, QueryDef] ++
       graft.queries.Core.defs ++
+      graft.queries.SinkOracles.defs ++
       graft.queries.Joins.defs ++
       graft.queries.Mempool.defs ++
       graft.queries.MempoolParse.defs ++

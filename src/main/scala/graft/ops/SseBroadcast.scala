@@ -87,7 +87,8 @@ final class SseBroadcast(port: Int = 0) {
       }
     }
   })
-  server.setExecutor(Executors.newCachedThreadPool())
+  private val handlerPool = Executors.newCachedThreadPool()
+  server.setExecutor(handlerPool)
   server.start()
 
   def address: String =
@@ -96,6 +97,7 @@ final class SseBroadcast(port: Int = 0) {
   def close(): Unit = {
     closed = true // handler loops exit on their next poll tick
     server.stop(0)
+    handlerPool.shutdown() // non-daemon workers must not outlive the endpoint
     subscribers.clear()
   }
 

@@ -19,52 +19,9 @@ object Core {
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
   private val dec = "DECIMAL(18,4)"
 
-  /** The synthetic-but-valid fixture hash every published layout keys on:
-    * `0x` + md5(k) + md5(k+1) = 0x + 64 lowercase hex. ONE definition —
-    * each oracle's SQL twin is
-    * `'0x' || md5(CAST(k AS VARCHAR)) || md5(CAST(k+1 AS VARCHAR))`,
-    * and a drift between copies would desynchronize a query from its
-    * oracle invisibly. */
-  private def syntheticHash(k: Column): Column =
-    concat(lit("0x"), md5(k.cast("string")), md5((k + 1).cast("string")))
-
-  private def rmTree(p: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
-    }
-  }
-
-  /** Session-scoped published layout: `write` runs once per (session,
-    * dataset) into a temp dir — like the trained ANN indexes — and the
-    * session-end sweep deletes the dir (ADVICE r8 #3 — these used to
-    * outlive every session). */
-  private final class PublishedLayout(tag: String) {
-    // ConcurrentHashMap.computeIfAbsent runs the publish thunk at most
-    // ONCE per key (concurrent callers block on it) — TrieMap's
-    // getOrElseUpdate evaluates racing defaults and would leak the
-    // losing publish's temp dir with no finalizer pointing at it
-    private val memo =
-      new java.util.concurrent.ConcurrentHashMap[(Int, String), String]
-    def apply(s: SparkSession, dir: String)(write: String => Unit): String =
-      memo.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
-        SessionCaches.onRelease(s, s"core.$tag:$dir") { () =>
-          Option(memo.remove((System.identityHashCode(s), dir))).foreach(rmTree)
-        }
-        val path = java.nio.file.Files
-          .createTempDirectory(s"graft-$tag").toString
-        // a failed publish must not leak its partial dir: the memo entry
-        // is only added on success, so the session-end finalizer would
-        // never see this path
-        try write(path)
-        catch { case e: Throwable => rmTree(path); throw e }
-        path
-      })
-  }
+  // synthetic fixture hash + session-scoped publish machinery live in
+  // [[Layouts]] (shared with the sink-contract oracles in SinkOracles)
+  import Layouts.{PublishedLayout, syntheticHash}
 
   private val archiveLayout = new PublishedLayout("archive")
   private val sourcelogCsvLayout = new PublishedLayout("sourcelog-csv")

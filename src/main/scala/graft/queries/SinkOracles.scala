@@ -1,0 +1,299 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-verified oracles for the sink/egress contracts that previously
+  * had only ScalaTest coverage (SURVEY.md §2.1 S4/S14/S16/S17, §2.6 O2/O4):
+  * each query pushes real data through the engine-side sink (JDBC batch
+  * writer, HTTP fan-out, SSE endpoint, sorted CSV layout, capped archive
+  * scan), observes what actually landed on the other side, and returns it
+  * for the DuckDB hash-compare against an independent re-derivation.
+  *
+  * The endpoints (in-memory Derby, loopback HTTP/SSE servers) are
+  * verification harness, not engine components — they stand in for the
+  * ClickHouse / receiver / browser peers the reference talks to
+  * (collector/clickhouse.go, collector/receiver.go, api/server.go). All
+  * are session-scoped via [[Layouts.PublishedLayout]]: published once per
+  * (session, sf dir), swept at session end.
+  */
+object SinkOracles {
+
+  import Layouts.{PublishedLayout, syntheticHash}
+  import scala.jdk.CollectionConverters._
+
+  private def dropDerby(db: String): Unit =
+    // a successful in-memory drop SIGNALS via SQLException 08006 — that is
+    // Derby's documented success path for ;drop=true
+    try { java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true"); () }
+    catch { case _: java.sql.SQLException => () }
+
+  private val jdbcLayout = new PublishedLayout("graftjdbc", dropDerby)
+  private val httpLayout = new PublishedLayout("http-fanout")
+  private val sseLayout = new PublishedLayout("sse-fanout")
+  private val orderLayout = new PublishedLayout("order-csv")
+
+  private def hexLower(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** S14: the batched-JDBC sink run against a REAL JDBC endpoint (embedded
+    * in-memory Derby — same JVM, the local-mode stand-in for ClickHouse).
+    * Three micro-batches (collector/clickhouse.go:92-242 shape), an
+    * injected transient failure before the first insert (the retry path
+    * must recover with no content change), dedup-before-insert per batch.
+    * Every payload column is a pure function of the dedup key, so the
+    * arbitrary-row-wins of dropDuplicates is still deterministic and the
+    * oracle can re-derive the exact table.
+    *
+    * Batches sample every 7th event; batch b carries event_id % 3 == b, so
+    * a hash (keyed on user_id) recurs in up to 3 batches → final per-hash
+    * row count proves per-batch dedup AND cross-batch accumulation. */
+  private[graft] def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val db = jdbcLayout.named(s, dir) { name =>
+      val url = s"jdbc:derby:memory:$name;create=true"
+      val sample = Tables.events(s, dir)
+        .filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), (col("event_id") % 3).as("b"))
+      val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val sink = graft.ops.Sinks.jdbcBatchSink(
+        write = df => {
+          // transient endpoint failure BEFORE any row lands: the sink's
+          // bounded-retry loop must re-run the insert with no duplicates
+          if (failOnce.getAndSet(false))
+            throw new RuntimeException("injected transient endpoint failure")
+          df.write.mode("append").jdbc(url, "TXS", props)
+        },
+        keyCol = "hash", maxRetries = 2, backoffMs = 1L)
+      try (0 until 3).foreach { b =>
+        sink(sample.filter(col("b") === b).select(
+          syntheticHash(col("user_id")).as("hash"),
+          (lit(1700000000000L) + col("user_id") * 1000L).as("timestamp_ms"),
+          (col("user_id") * 1000003L % 97L).as("fee_bucket"),
+          concat(lit("src"), (col("user_id") % 5).cast("string")).as("source")), b.toLong)
+      } catch { case e: Throwable => dropDerby(name); throw e }
+      name
+    }
+    s.read.jdbc(s"jdbc:derby:memory:$db", "TXS", props)
+      .groupBy("hash")
+      .agg(count(lit(1)).as("n_batches"),
+        min("timestamp_ms").as("ts"),
+        min("fee_bucket").as("fee_bucket"),
+        min("source").as("source"))
+  }
+
+  /** S16: the HTTP receiver fan-out POSTing each allowed tx's raw bytes to
+    * two loopback receivers; the result is exactly what the receivers got
+    * — one (receiver, payload) row per delivery, so a dropped, duplicated
+    * or corrupted POST (or a mis-applied allowlist) breaks the hash. */
+  private[graft] def httpFanoutResult(s: SparkSession, dir: String): DataFrame = {
+    val path = httpLayout(s, dir) { p =>
+      val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      def handler(tag: String) = new com.sun.net.httpserver.HttpHandler {
+        def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+          val body = x.getRequestBody.readAllBytes()
+          received.add((tag, "0x" + hexLower(body)))
+          x.sendResponseHeaders(204, -1)
+          x.close()
+        }
+      }
+      server.createContext("/r1", handler("r1"))
+      server.createContext("/r2", handler("r2"))
+      // non-daemon pool threads would outlive the query and pin the JVM
+      // at shutdown (mains that return without System.exit never die) —
+      // shut the pool down with the server
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      server.setExecutor(pool)
+      server.start()
+      try {
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+        val batch = Tables.events(s, dir)
+          .filter(col("event_id") % 97 === 0)
+          .select(
+            concat(lit("0x"), md5(col("event_id").cast("string"))).as("raw_tx_hex"),
+            col("event_type").as("source"))
+        graft.ops.Sinks.httpFanoutSink(
+          Seq(s"$base/r1", s"$base/r2"),
+          allowedSources = Seq("click", "purchase"))(batch, 0L)
+      } finally { server.stop(0); pool.shutdown() }
+      import s.implicits._
+      received.asScala.toSeq.toDF("receiver", "payload")
+        .write.mode("overwrite").parquet(s"$p/out")
+    }
+    s.read.parquet(s"$path/out")
+  }
+
+  /** S17: the SSE endpoint with a live text/event-stream subscriber; the
+    * result is the exact `data:` payload sequence the client received.
+    * The feed stays under the reference's 100-slot subscriber buffer at
+    * every SF, so best-effort drop-if-full can never fire and the
+    * delivered set is deterministic. */
+  private[graft] def sseFanoutResult(s: SparkSession, dir: String): DataFrame = {
+    val path = sseLayout(s, dir) { p =>
+      val broadcast = new graft.ops.SseBroadcast(0)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val reader = new Thread(() => {
+        try {
+          val conn = java.net.URI.create(broadcast.address).toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setReadTimeout(30000)
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              if (line.startsWith("data: ")) got.add(line.substring(6))
+              line = in.readLine()
+            }
+          } finally in.close()
+        } catch { case _: Exception => () } // server close ends the stream
+      })
+      reader.setDaemon(true)
+      reader.start()
+      try {
+        val deadline = System.nanoTime + 10000000000L
+        while (broadcast.subscriberCount == 0 && System.nanoTime < deadline)
+          Thread.sleep(10)
+        require(broadcast.subscriberCount == 1, "SSE subscriber never connected")
+        val batch = Tables.events(s, dir)
+          .filter(col("event_id") % 1499 === 0)
+          .select(
+            concat(lit("0x"), md5(col("event_id").cast("string"))).as("raw_tx_hex"),
+            col("event_type").as("source"))
+        broadcast.sink(allowedSources =
+          Seq("click", "view", "purchase", "signup"))(batch, 0L)
+      } finally broadcast.shutdown(5000) // drain buffers, then close
+      reader.join(30000)
+      import s.implicits._
+      got.asScala.toSeq.toDF("payload").write.mode("overwrite").parquet(s"$p/out")
+    }
+    s.read.parquet(s"$path/out")
+  }
+
+  /** O2: the ts-sorted sourcelog CSV layout read back in ON-DISK order
+    * (part-file name, then line position — the order a downstream consumer
+    * sees) with a global ordinal attached; the oracle is a ROW_NUMBER over
+    * the expected sort key, so the hash is ORDER-SENSITIVE — the only
+    * oracle family whose usual sorted-rows compare can't see a sort bug.
+    * Timestamps are base + event_id (unique), so the expected order is
+    * total and tie-handling can't blur the check. */
+  private[graft] def orderedCsvOrdinals(s: SparkSession, dir: String): DataFrame = {
+    val path = orderLayout(s, dir) { p =>
+      graft.ops.Sinks.writeSourcelogCsv(
+        Tables.events(s, dir).select(
+          (lit(1700000000000L) + col("event_id")).as("timestamp_ms"),
+          syntheticHash(col("event_id")).as("hash"),
+          col("event_type").as("source")),
+        s"$p/csv")
+    }
+    // verification-harness read: enumerate the sink's part files in layout
+    // order and attach the global line ordinal the layout implies
+    val dirPath = java.nio.file.Paths.get(s"$path/csv")
+    val parts = {
+      val ls = java.nio.file.Files.list(dirPath)
+      try ls.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+      finally ls.close()
+    }
+    val rows = Seq.newBuilder[(Long, String)]
+    var ord = 0L
+    parts.foreach { f =>
+      val lines = java.nio.file.Files.readAllLines(f)
+      lines.asScala.drop(1).foreach { ln => // drop per-file header
+        rows += ((ord, ln.split(',')(1)))
+        ord += 1
+      }
+    }
+    import s.implicits._
+    rows.result().toDF("ordinal", "hash")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // S4: parquet archive scan with the analyzer's MAX row cap
+    // (cmd/analyze/main.go:81-107): the cap must return exactly
+    // min(cap, total) genuine archive rows — n_alien proves the capped
+    // subset is drawn from the archive, not fabricated.
+    "q_archive_cap" -> QueryDef.sql(
+      "S4: archive scan MAX cap — count + genuine-subset invariant",
+      """SELECT LEAST(2500, COUNT(*)) AS n_capped, COUNT(*) AS n_total,
+        |  0 AS n_alien FROM events""".stripMargin) { (s, dir) =>
+      val path = Core.dailyEventsArchive(s, dir)
+      val full = graft.ops.Sources.readArchive(s, path)
+      val capped = graft.ops.Sources.readArchive(s, path, Some(2500))
+      capped.agg(count(lit(1)).as("n_capped"))
+        .crossJoin(full.agg(count(lit(1)).as("n_total")))
+        .crossJoin(
+          capped.select("event_id")
+            .join(full.select("event_id"), Seq("event_id"), "left_anti")
+            .agg(count(lit(1)).as("n_alien")))
+    },
+
+    "q_sink_jdbc_roundtrip" -> QueryDef.sql(
+      "S14: batched-JDBC sink → embedded Derby → read-back (dedup, retry, 3 batches)",
+      """WITH s AS (
+        |  SELECT DISTINCT user_id, event_id % 3 AS b
+        |  FROM events WHERE event_id % 7 = 0)
+        |SELECT '0x' || md5(CAST(user_id AS VARCHAR))
+        |     || md5(CAST(user_id + 1 AS VARCHAR)) AS hash,
+        |  COUNT(*) AS n_batches,
+        |  MIN(1700000000000 + user_id * 1000) AS ts,
+        |  MIN(user_id * 1000003 % 97) AS fee_bucket,
+        |  MIN('src' || CAST(user_id % 5 AS VARCHAR)) AS source
+        |FROM s GROUP BY 1""".stripMargin) { (s, dir) =>
+      jdbcRoundtrip(s, dir)
+    },
+
+    "q_sink_http_fanout" -> QueryDef.sql(
+      "S16: HTTP fan-out → two loopback receivers — exact delivered set",
+      """SELECT r.receiver, p.payload FROM (
+        |  SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS payload
+        |  FROM events
+        |  WHERE event_id % 97 = 0 AND event_type IN ('click', 'purchase')) p
+        |CROSS JOIN (VALUES ('r1'), ('r2')) AS r(receiver)""".stripMargin) { (s, dir) =>
+      httpFanoutResult(s, dir)
+    },
+
+    "q_sink_sse_fanout" -> QueryDef.sql(
+      "S17: SSE endpoint → live subscriber — exact data-line payload set",
+      """SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS payload
+        |FROM events
+        |WHERE event_id % 1499 = 0
+        |  AND event_type IN ('click', 'view', 'purchase', 'signup')""".stripMargin) { (s, dir) =>
+      sseFanoutResult(s, dir)
+    },
+
+    "q_sink_order" -> QueryDef.sql(
+      "O2: ts-sorted CSV layout — order-sensitive ordinal parity",
+      """SELECT row_number() OVER (ORDER BY event_id) - 1 AS ordinal,
+        |  '0x' || md5(CAST(event_id AS VARCHAR))
+        |       || md5(CAST(event_id + 1 AS VARCHAR)) AS hash
+        |FROM events""".stripMargin) { (s, dir) =>
+      orderedCsvOrdinals(s, dir)
+    },
+
+    // O4: the analyzer renders its per-key tables over SORTED key lists
+    // (common/analyzer.go sorted map keys); the joined sorted-distinct
+    // string makes the order itself part of the hashed value.
+    "q_analyze_keylists" -> QueryDef.sql(
+      "O4: per-source sorted distinct key list as a joined string",
+      """SELECT event_type AS source, COUNT(DISTINCT user_id) AS n_keys,
+        |  string_agg(DISTINCT CAST(user_id AS VARCHAR), ' '
+        |    ORDER BY CAST(user_id AS VARCHAR)) AS keys
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type").as("source"))
+        .agg(countDistinct("user_id").as("n_keys"),
+          concat_ws(" ", array_sort(collect_set(col("user_id").cast("string"))))
+            .as("keys"))
+    }
+  )
+}

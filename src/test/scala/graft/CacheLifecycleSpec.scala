@@ -44,7 +44,7 @@ class CacheLifecycleSpec extends AnyFunSuite {
   test("session-end sweep deletes the published archive temp dir") {
     val path = queries.Core.dailyEventsArchive(spark, sf)
     assert(Files.exists(Paths.get(path)), "archive not published")
-    queries.SessionCaches.release(spark, s"core.archive:$sf")
+    queries.SessionCaches.release(spark, s"layout.archive:$sf")
     assert(!Files.exists(Paths.get(path)), "archive temp dir not deleted")
     // memo evicted with it: the next call re-publishes a fresh layout
     val fresh = queries.Core.dailyEventsArchive(spark, sf)
