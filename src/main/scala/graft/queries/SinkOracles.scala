@@ -280,6 +280,83 @@ object SinkOracles {
       orderedCsvOrdinals(s, dir)
     },
 
+    // S13: the text summary sink — the ENTIRE rendered report (analyzer
+    // aggregate pack → driver-side sprint, common/analyzer.go:156-213) as
+    // one string, rebuilt character-for-character in SQL: ISO timestamp
+    // trailing-millis formatting, comma-grouped width-padded counts,
+    // floor-percentages, markdown tables over sorted keys. The fixture
+    // keeps every epoch-ms odd so Instant.toString always prints exactly
+    // 3 fractional digits (the one data-dependent formatting branch).
+    "q_summary_report" -> QueryDef.sql(
+      "S13: full text summary report, rendered vs SQL-reconstructed string",
+      """WITH txs AS (
+        |  SELECT event_id % 3 AS tx_type,
+        |    50 + event_id % 200 AS bytes,
+        |    event_type AS src0,
+        |    (event_id % 4 = 0) AS has_extra,
+        |    CASE WHEN event_id % 5 = 0 THEN 0
+        |         ELSE event_id % 1000 + 1 END AS blk,
+        |    CASE WHEN event_id % 11 = 0 THEN -20000
+        |         ELSE event_id % 7000 END AS delay,
+        |    1700000000001 + event_id * 2 AS ts_ms
+        |  FROM events),
+        |f AS (SELECT * FROM txs WHERE NOT (blk > 0 AND delay <= -12000)),
+        |g AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN blk <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS inc,
+        |  MIN(ts_ms) AS first_ms, MAX(ts_ms) AS last_ms FROM f),
+        |pt AS (
+        |  SELECT string_agg('| ' || CAST(tx_type AS VARCHAR) || ' | '
+        |      || format('{:,}', n)
+        |      || ' (' || printf('%.1f%%', floor(CAST(n AS DOUBLE) / nu * 1000) / 10)
+        |      || ') | ' || format('{:,}', b) || ' |',
+        |      chr(10) ORDER BY tx_type) AS lines
+        |  FROM (SELECT tx_type, COUNT(*) AS n,
+        |          CAST(SUM(bytes) AS BIGINT) AS b, (SELECT n FROM g) AS nu
+        |        FROM f GROUP BY tx_type)),
+        |srcx AS (
+        |  SELECT src0 AS source, blk, has_extra FROM f
+        |  UNION ALL
+        |  SELECT 'extra', blk, has_extra FROM f WHERE has_extra),
+        |ps AS (
+        |  SELECT string_agg('| ' || source || ' | ' || format('{:,}', n)
+        |      || ' | ' || format('{:,}', onch) || ' | ' || format('{:,}', notonch)
+        |      || ' | ' || format('{:,}', excl) || ' |',
+        |      chr(10) ORDER BY source) AS lines
+        |  FROM (
+        |    SELECT source, COUNT(*) AS n,
+        |      CAST(SUM(CASE WHEN blk <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS onch,
+        |      CAST(SUM(CASE WHEN blk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS notonch,
+        |      CAST(SUM(CASE WHEN NOT has_extra THEN 1 ELSE 0 END) AS BIGINT) AS excl
+        |    FROM srcx GROUP BY source))
+        |SELECT 'Mempool Summary' || chr(10) || '===============' || chr(10) || chr(10)
+        |  || '- From: ' || strftime(make_timestamp(first_ms * 1000), '%Y-%m-%d %H:%M:%S.%g') || ' UTC' || chr(10)
+        |  || '- To:   ' || strftime(make_timestamp(last_ms * 1000), '%Y-%m-%d %H:%M:%S.%g') || ' UTC' || chr(10) || chr(10)
+        |  || 'Unique transactions: ' || lpad(format('{:,}', n), 10, ' ') || chr(10) || chr(10)
+        |  || '- Included on-chain: ' || lpad(format('{:,}', inc), 10, ' ')
+        |  || ' (' || lpad(printf('%.1f%%', floor(CAST(inc AS DOUBLE) / n * 1000) / 10), 5, ' ') || ')' || chr(10)
+        |  || '- Not included:      ' || lpad(format('{:,}', n - inc), 10, ' ')
+        |  || ' (' || lpad(printf('%.1f%%', floor(CAST(n - inc AS DOUBLE) / n * 1000) / 10), 5, ' ') || ')' || chr(10) || chr(10)
+        |  || '| Tx Type | Count | Bytes |' || chr(10) || '|---|---|---|' || chr(10)
+        |  || (SELECT lines FROM pt) || chr(10)
+        |  || chr(10) || '| Source | Count | OnChain | NotOnChain | Exclusive |' || chr(10)
+        |  || '|---|---|---|---|---|' || chr(10)
+        |  || (SELECT lines FROM ps) || chr(10) AS report
+        |FROM g""".stripMargin) { (s, dir) =>
+      val id = col("event_id")
+      val txs = Tables.events(s, dir).select(
+        syntheticHash(id).as("hash"),
+        (id % 3).as("txType"),
+        expr("unhex(repeat('ab', cast(50 + event_id % 200 as int)))").as("rawTx"),
+        when(id % 4 === 0, array(col("event_type"), lit("extra")))
+          .otherwise(array(col("event_type"))).as("sources"),
+        when(id % 5 === 0, 0L).otherwise(id % 1000 + 1).as("includedAtBlockHeight"),
+        when(id % 11 === 0, -20000L).otherwise(id % 7000).as("inclusionDelayMs"),
+        (lit(1700000000001L) + id * 2).as("timestamp"))
+      val report = graft.ops.Analyze.sprint(graft.ops.Analyze.summarize(txs))
+      import s.implicits._
+      Seq(report).toDF("report")
+    },
+
     // O4: the analyzer renders its per-key tables over SORTED key lists
     // (common/analyzer.go sorted map keys); the joined sorted-distinct
     // string makes the order itself part of the hashed value.
