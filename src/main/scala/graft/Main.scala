@@ -2,8 +2,9 @@ package graft
 
 /** Root CLI dispatcher (reference cmd/main.go:15-30): one entry point with
   * the reference's subcommand surface, delegating to the existing job
-  * mains. The website command is out of engine scope (SURVEY.md §2 note);
-  * `corpus` is the training-data-pipeline extension.
+  * mains. `corpus` is the training-data-pipeline extension; `website`
+  * covers the reference's static-site build (S3 upload stays out of
+  * scope offline).
   *
   * Usage:
   *   runMain graft.Main collect                      # streaming collector demo
@@ -28,6 +29,7 @@ object Main {
       |  analyze <archiveDir> <outFile> [maxRows]   summarize a merged archive
       |  corpus <docsPath> <outDir> [evalDocsPath]  build a training corpus
       |  compact <archiveDir> [targetMiB]           compact a day-partitioned archive
+      |  website <archiveDir> <outDir>              build the archive index site
       |""".stripMargin
 
   /** Routing table, separated from main so the dispatch is spec-testable
@@ -42,6 +44,7 @@ object Main {
       case "analyze" :: _                => Some(("AnalyzeJob", jobs.AnalyzeJob.main _))
       case "corpus" :: _                 => Some(("CorpusBuildJob", jobs.CorpusBuildJob.main _))
       case "compact" :: _                => Some(("CompactJob", jobs.CompactJob.main _))
+      case "website" :: _                => Some(("WebsiteJob", jobs.WebsiteJob.main _))
       case _                             => None
     }
 

@@ -20,7 +20,8 @@ class MainSpec extends AnyFunSuite {
     assert(target("analyze", "dir", "f") == Some("AnalyzeJob"))
     assert(target("corpus", "d", "o") == Some("CorpusBuildJob"))
     assert(target("compact", "dir") == Some("CompactJob"))
-    assert(target("website") == None)
+    assert(target("website", "dir", "out") == Some("WebsiteJob"))
+    assert(target("teleport") == None)
   }
 
   test("feed protocol names map to wire modes incl. per-source protobuf codecs") {
