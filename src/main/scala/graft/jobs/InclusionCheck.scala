@@ -201,7 +201,14 @@ object InclusionCheck {
         try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally os.close()
         val is = conn.getInputStream
-        try mapper.readTree(is).get("result") finally { is.close(); conn.disconnect() }
+        // read to EOF, then close WITHOUT disconnect(): only a fully-
+        // drained stream returns the socket to the JVM's keep-alive pool
+        // (readTree alone stops at the JSON value and strands the
+        // connection), so a partition's thousands of sequential calls
+        // reuse one connection like the reference's pooled ethclient —
+        // fresh-TCP per call measured ~10 ms/call here
+        val resp = try is.readAllBytes() finally is.close()
+        mapper.readTree(resp).get("result")
       }
 
       private def hexLong(n: com.fasterxml.jackson.databind.JsonNode): Long =

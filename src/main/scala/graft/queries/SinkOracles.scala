@@ -33,6 +33,7 @@ object SinkOracles {
   private val httpLayout = new PublishedLayout("http-fanout")
   private val sseLayout = new PublishedLayout("sse-fanout")
   private val orderLayout = new PublishedLayout("order-csv")
+  private val rpcLayout = new PublishedLayout("rpc-enrich")
 
   private def hexLower(bytes: Array[Byte]): String = {
     val sb = new StringBuilder(bytes.length * 2)
@@ -177,6 +178,95 @@ object SinkOracles {
     s.read.parquet(s"$path/out")
   }
 
+  /** J3, the way the reference actually runs it: [[graft.jobs
+    * .InclusionCheck.enrich]] against a LIVE JSON-RPC endpoint — a
+    * loopback eth_getTransactionReceipt/eth_getBlockByHash server whose
+    * world is a pure function of event_id (every 3rd tx pending; blocks
+    * of 50 consecutive ids, 12 s apart) — through the production path:
+    * range-repartition on timestamp for block co-locality, one resolver
+    * connection + one bounded block cache per partition, receipt→block
+    * fold. The oracle re-derives the enrichment arithmetic per row, so a
+    * wrong cache fold, a stale entry, a dropped pending tx, or broken
+    * JSON-RPC framing all break the hash. */
+  private[graft] def rpcEnrichResult(s: SparkSession, dir: String): DataFrame = {
+    val path = rpcLayout(s, dir) { p =>
+      import s.implicits._
+      val ids = Tables.events(s, dir)
+        .select(col("event_id")).as[Long].collect()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(x: String): String = {
+        md.reset()
+        hexLower(md.digest(x.getBytes("UTF-8")))
+      }
+      def hashOf(id: Long): String = s"0x${md5hex(id.toString)}${md5hex((id + 1).toString)}"
+      def blockNum(id: Long): Long = 18000000L + id / 50
+      def blockHash(b: Long): String = s"0x${md5hex(s"blk$b")}${md5hex(s"blk${b}x")}"
+      // ALL digesting happens here, single-threaded: the shared
+      // MessageDigest must never be touched from the server's concurrent
+      // handler threads (a corrupted digest silently un-includes txs)
+      val idOfHash = ids.map(id => hashOf(id) -> id).toMap
+      val hashOfBlock: Map[Long, String] =
+        ids.map(blockNum).distinct.map(b => b -> blockHash(b)).toMap
+      val blockTxs: Map[String, (Long, Array[String])] =
+        ids.filter(_ % 3 != 0).groupBy(blockNum)
+          .map { case (b, members) =>
+            hashOfBlock(b) -> (b, members.sorted.map(hashOf))
+          }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+        def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+          val req = mapper.readTree(x.getRequestBody)
+          val param = req.get("params").get(0).asText()
+          val result = req.get("method").asText() match {
+            case "eth_getTransactionReceipt" =>
+              idOfHash.get(param) match {
+                case Some(id) if id % 3 != 0 =>
+                  s"""{"blockHash":"${hashOfBlock(blockNum(id))}"}"""
+                case _ => "null" // unknown or pending
+              }
+            case "eth_getBlockByHash" =>
+              blockTxs.get(param) match {
+                case Some((b, txs)) =>
+                  val secs = 1700000100L + (b - 18000000L) * 12
+                  val list = txs.map(h => "\"" + h + "\"").mkString(",")
+                  s"""{"number":"0x${b.toHexString}","timestamp":"0x${secs.toHexString}","transactions":[$list]}"""
+                case None => "null"
+              }
+            case _ => "null"
+          }
+          val body = s"""{"jsonrpc":"2.0","id":1,"result":$result}"""
+            .getBytes("UTF-8")
+          x.getResponseHeaders.set("Content-Type", "application/json")
+          x.sendResponseHeaders(200, body.length.toLong)
+          x.getResponseBody.write(body)
+          x.close()
+        }
+      })
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      server.setExecutor(pool)
+      server.start()
+      try {
+        val txs = Tables.events(s, dir).select(
+          col("event_id"),
+          syntheticHash(col("event_id")).as("hash"),
+          (lit(1700000000000L) + col("event_id") * 7).as("timestamp"))
+        graft.jobs.InclusionCheck.enrich(
+          txs,
+          graft.jobs.InclusionCheck.JsonRpcFactory(
+            s"http://127.0.0.1:${server.getAddress.getPort}/"),
+          timeRangePartitions = Some(16))
+          .select(col("event_id"),
+            col("includedAtBlockHeight").as("included_height"),
+            col("includedBlockTimestamp").as("included_ts"),
+            col("inclusionDelayMs").as("delay_ms"))
+          .write.mode("overwrite").parquet(s"$p/out")
+      } finally { server.stop(0); pool.shutdown() }
+    }
+    s.read.parquet(s"$path/out")
+  }
+
   /** O2: the ts-sorted sourcelog CSV layout read back in ON-DISK order
     * (part-file name, then line position — the order a downstream consumer
     * sees) with a global ordinal attached; the oracle is a ROW_NUMBER over
@@ -269,6 +359,20 @@ object SinkOracles {
         |WHERE event_id % 1499 = 0
         |  AND event_type IN ('click', 'view', 'purchase', 'signup')""".stripMargin) { (s, dir) =>
       sseFanoutResult(s, dir)
+    },
+
+    "q_rpc_enrich" -> QueryDef.sql(
+      "J3: live JSON-RPC inclusion enrichment (per-partition block cache) vs arithmetic oracle",
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN 0
+        |       ELSE 18000000 + event_id // 50 END AS included_height,
+        |  CASE WHEN event_id % 3 = 0 THEN 0
+        |       ELSE (1700000100 + (event_id // 50) * 12) * 1000 END AS included_ts,
+        |  CASE WHEN event_id % 3 = 0 THEN 0
+        |       ELSE (1700000100 + (event_id // 50) * 12) * 1000
+        |            - (1700000000000 + event_id * 7) END AS delay_ms
+        |FROM events""".stripMargin) { (s, dir) =>
+      rpcEnrichResult(s, dir)
     },
 
     "q_sink_order" -> QueryDef.sql(
