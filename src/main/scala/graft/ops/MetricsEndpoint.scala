@@ -14,10 +14,11 @@ import graft.streaming.CollectorMetrics
   * so serving them is a driver-local map read — no executor traffic, no
   * extra queries, scrape cost independent of data volume.
   */
-final class MetricsEndpoint(metrics: CollectorMetrics, port: Int = 0) {
+final class MetricsEndpoint(metrics: CollectorMetrics, port: Int = 0,
+    host: String = "127.0.0.1") {
 
   private val server = com.sun.net.httpserver.HttpServer.create(
-    new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    new java.net.InetSocketAddress(host, port), 0)
 
   server.createContext("/metrics", new com.sun.net.httpserver.HttpHandler {
     def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
@@ -43,7 +44,7 @@ final class MetricsEndpoint(metrics: CollectorMetrics, port: Int = 0) {
   server.start()
 
   def address: String =
-    s"http://127.0.0.1:${server.getAddress.getPort}/metrics"
+    s"http://$host:${server.getAddress.getPort}/metrics"
 
   def close(): Unit = {
     server.stop(0)

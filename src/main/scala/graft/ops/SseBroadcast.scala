@@ -96,7 +96,11 @@ final class SseBroadcast(port: Int = 0) {
 
   def close(): Unit = {
     closed = true // handler loops exit on their next poll tick
-    server.stop(0)
+    // stop with a 1 s grace, not 0: a handler that polled an event just
+    // before `closed` flipped is between poll() and write/flush — an
+    // immediate stop tears the socket down under that in-flight write and
+    // the subscriber silently loses the final event
+    server.stop(1)
     handlerPool.shutdown() // non-daemon workers must not outlive the endpoint
     subscribers.clear()
   }

@@ -43,31 +43,37 @@ private[queries] object Layouts {
     // losing publish's temp dir with no finalizer pointing at it
     private val memo =
       new java.util.concurrent.ConcurrentHashMap[(Int, String), String]
-    def apply(s: SparkSession, dir: String)(write: String => Unit): String =
+
+    private def memoize(s: SparkSession, dir: String)(produce: => String): String =
       memo.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
         SessionCaches.onRelease(s, s"layout.$tag:$dir") { () =>
           Option(memo.remove((System.identityHashCode(s), dir))).foreach(cleanup)
         }
-        val path = java.nio.file.Files
-          .createTempDirectory(s"graft-$tag").toString
-        // a failed publish must not leak its partial dir: the memo entry
-        // is only added on success, so the session-end finalizer would
-        // never see this path
-        try write(path)
-        catch { case e: Throwable => rmTree(path); throw e }
-        path
+        produce
       })
 
+    def apply(s: SparkSession, dir: String)(write: String => Unit): String =
+      memoize(s, dir) {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"graft-$tag").toString
+        // a failed publish must not leak its partial state: the memo entry
+        // is only added on success, so the session-end finalizer would
+        // never see this handle — both paths clean up before rethrowing
+        try { write(path); path }
+        catch { case e: Throwable => rmTree(path); throw e }
+      }
+
     /** Variant for layouts whose handle is a NAME rather than a temp dir
-      * (the Derby in-memory database): `make` receives a unique token and
-      * must return the published handle; `cleanup` receives that handle. */
+      * (the Derby in-memory database): `make` receives a unique token,
+      * publishes under it, and returns the handle (normally the token
+      * itself); `cleanup` receives that token — on publish failure too,
+      * so partial state behind the token is torn down. */
     def named(s: SparkSession, dir: String)(make: String => String): String =
-      memo.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
-        SessionCaches.onRelease(s, s"layout.$tag:$dir") { () =>
-          Option(memo.remove((System.identityHashCode(s), dir))).foreach(cleanup)
-        }
-        make(s"$tag${Integer.toHexString(System.identityHashCode(s))}" +
-          Integer.toHexString(dir.hashCode).replace('-', 'n'))
-      })
+      memoize(s, dir) {
+        val token = s"$tag${Integer.toHexString(System.identityHashCode(s))}" +
+          Integer.toHexString(dir.hashCode) // toHexString is unsigned: no '-'
+        try make(token)
+        catch { case e: Throwable => cleanup(token); throw e }
+      }
   }
 }

@@ -35,11 +35,9 @@ object SinkOracles {
   private val orderLayout = new PublishedLayout("order-csv")
   private val rpcLayout = new PublishedLayout("rpc-enrich")
 
-  private def hexLower(bytes: Array[Byte]): String = {
-    val sb = new StringBuilder(bytes.length * 2)
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
+  // lowercase hex via the shared nibble-table encoder (no per-byte Formatter)
+  private def hexLower(bytes: Array[Byte]): String =
+    graft.functions.Keccak256.hex(bytes)
 
   /** S14: the batched-JDBC sink run against a REAL JDBC endpoint (embedded
     * in-memory Derby — same JVM, the local-mode stand-in for ClickHouse).
@@ -71,13 +69,14 @@ object SinkOracles {
           df.write.mode("append").jdbc(url, "TXS", props)
         },
         keyCol = "hash", maxRetries = 2, backoffMs = 1L)
-      try (0 until 3).foreach { b =>
+      // failure cleanup (dropDerby on the token) is PublishedLayout.named's
+      (0 until 3).foreach { b =>
         sink(sample.filter(col("b") === b).select(
           syntheticHash(col("user_id")).as("hash"),
           (lit(1700000000000L) + col("user_id") * 1000L).as("timestamp_ms"),
           (col("user_id") * 1000003L % 97L).as("fee_bucket"),
           concat(lit("src"), (col("user_id") % 5).cast("string")).as("source")), b.toLong)
-      } catch { case e: Throwable => dropDerby(name); throw e }
+      }
       name
     }
     s.read.jdbc(s"jdbc:derby:memory:$db", "TXS", props)
@@ -163,8 +162,11 @@ object SinkOracles {
         while (broadcast.subscriberCount == 0 && System.nanoTime < deadline)
           Thread.sleep(10)
         require(broadcast.subscriberCount == 1, "SSE subscriber never connected")
+        // absolute cap, independent of SF: <= 67 feed rows at ANY fixture
+        // size, so the 100-slot subscriber buffer can never overflow and
+        // drop-if-full can never make the delivered set nondeterministic
         val batch = Tables.events(s, dir)
-          .filter(col("event_id") % 1499 === 0)
+          .filter(col("event_id") % 1499 === 0 && col("event_id") < 100000)
           .select(
             concat(lit("0x"), md5(col("event_id").cast("string"))).as("raw_tx_hex"),
             col("event_type").as("source"))
@@ -356,7 +358,7 @@ object SinkOracles {
       "S17: SSE endpoint → live subscriber — exact data-line payload set",
       """SELECT '0x' || md5(CAST(event_id AS VARCHAR)) AS payload
         |FROM events
-        |WHERE event_id % 1499 = 0
+        |WHERE event_id % 1499 = 0 AND event_id < 100000
         |  AND event_type IN ('click', 'view', 'purchase', 'signup')""".stripMargin) { (s, dir) =>
       sseFanoutResult(s, dir)
     },
