@@ -261,6 +261,35 @@ object TextOps {
         .toDF("step", "pair", "merged", "n")
     },
 
+    // Context-window chunking: fixed-size token windows with stride
+    // overlap — the pretraining/RAG prep step that turns documents into
+    // model-sized pieces while keeping provenance (doc_id, chunk_id).
+    // Scan-local: sequence+explode+slice are narrow ops, no shuffle; at
+    // 100 TB the chunker runs at read bandwidth and the output partitions
+    // inherit the input's. Window 50 tokens, stride 40 (10-token overlap),
+    // on the same whitespace tokenization as q_text_tokens.
+    "q_text_chunk" -> QueryDef.sql(
+      "document chunking: 50-token windows, stride 40, provenance kept",
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, words, UNNEST(range(0, len(words), 40)) AS start
+        |  FROM w)
+        |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+        |  CAST(LEAST(50, len(words) - start) AS BIGINT) AS n_tok,
+        |  array_to_string(words[start + 1 : start + 50], ' ') AS chunk
+        |FROM s""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+        .select(col("doc_id"), col("words"),
+          explode(sequence(lit(0), size(col("words")) - 1, lit(40))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 40).cast("long").as("chunk_id"),
+          least(lit(50), size(col("words")) - col("start")).cast("long").as("n_tok"),
+          array_join(slice(col("words"), col("start") + 1, lit(50)), " ").as("chunk"))
+    },
+
     // Whitespace + BPE-ish regex token counting per language.
     "q_text_tokens" -> QueryDef.sql(
       "token counting: whitespace words + regex tokens per lang",
