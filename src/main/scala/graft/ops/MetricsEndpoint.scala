@@ -13,6 +13,11 @@ import graft.streaming.CollectorMetrics
   * .GraftMetricsListener]] from per-micro-batch `observe()` aggregates,
   * so serving them is a driver-local map read — no executor traffic, no
   * extra queries, scrape cost independent of data volume.
+  *
+  * `host` is the bind address (loopback default for this offline
+  * container; pass the scrape interface in a deployment). Note `address`
+  * echoes the bind host — for a wildcard bind (`0.0.0.0`) it names the
+  * listen socket, not a connectable URL.
   */
 final class MetricsEndpoint(metrics: CollectorMetrics, port: Int = 0,
     host: String = "127.0.0.1") {

@@ -64,15 +64,15 @@ private[queries] object Layouts {
       }
 
     /** Variant for layouts whose handle is a NAME rather than a temp dir
-      * (the Derby in-memory database): `make` receives a unique token,
-      * publishes under it, and returns the handle (normally the token
-      * itself); `cleanup` receives that token — on publish failure too,
-      * so partial state behind the token is torn down. */
-    def named(s: SparkSession, dir: String)(make: String => String): String =
+      * (the Derby in-memory database): `publish` receives a unique token
+      * and creates the resource under it; the token IS the memoized
+      * handle, so `cleanup` receives the same token on the session-end
+      * sweep AND on publish failure — no success/failure asymmetry. */
+    def named(s: SparkSession, dir: String)(publish: String => Unit): String =
       memoize(s, dir) {
         val token = s"$tag${Integer.toHexString(System.identityHashCode(s))}" +
           Integer.toHexString(dir.hashCode) // toHexString is unsigned: no '-'
-        try make(token)
+        try { publish(token); token }
         catch { case e: Throwable => cleanup(token); throw e }
       }
   }

@@ -77,7 +77,6 @@ object SinkOracles {
           (col("user_id") * 1000003L % 97L).as("fee_bucket"),
           concat(lit("src"), (col("user_id") % 5).cast("string")).as("source")), b.toLong)
       }
-      name
     }
     s.read.jdbc(s"jdbc:derby:memory:$db", "TXS", props)
       .groupBy("hash")

@@ -279,11 +279,16 @@ object TextOps {
         |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
         |  CAST(LEAST(50, len(words) - start) AS BIGINT) AS n_tok,
         |  array_to_string(words[start + 1 : start + 50], ' ') AS chunk
-        |FROM s""".stripMargin) { (s, dir) =>
+        |FROM s
+        |WHERE start = 0 OR len(words) - start > 10""".stripMargin) { (s, dir) =>
+      // a tail window that adds no tokens beyond the overlap (start >=
+      // n - overlap) is fully contained in the previous chunk — drop it,
+      // like any standard stride chunker
       Tables.documents(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
         .select(col("doc_id"), col("words"),
           explode(sequence(lit(0), size(col("words")) - 1, lit(40))).as("start"))
+        .filter(col("start") === 0 || size(col("words")) - col("start") > 10)
         .select(col("doc_id"),
           (col("start") / 40).cast("long").as("chunk_id"),
           least(lit(50), size(col("words")) - col("start")).cast("long").as("n_tok"),
