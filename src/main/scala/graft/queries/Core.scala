@@ -24,6 +24,7 @@ object Core {
   import Layouts.{PublishedLayout, syntheticHash}
 
   private val archiveLayout = new PublishedLayout("archive")
+  private val compactLayout = new PublishedLayout("archive-compact")
   private val sourcelogCsvLayout = new PublishedLayout("sourcelog-csv")
   private val hourlyLayout = new PublishedLayout("hourly")
   private val malformedCsvLayout = new PublishedLayout("sourcelog-malformed")
@@ -40,6 +41,32 @@ object Core {
     archiveLayout(s, dir) { path =>
       graft.ops.Sinks.writeDailyArchive(
         Tables.events(s, dir), path, date_format(col("ts"), "yyyy-MM-dd"))
+    }
+
+  /** The events daily archive deliberately published as SMALL FILES
+    * (maxRecordsPerFile=500 → several files per day partition), then run
+    * through the S11 small-files compactor ([[graft.ops.Sinks
+    * .compactDailyArchive]], staged + two-rename swapped per partition).
+    * The publish REQUIRES that compaction actually merged files, so the
+    * q_archive_compact oracle gates the compactor's losslessness, not a
+    * no-op pass-through. */
+  private[graft] def compactedEventsArchive(s: SparkSession, dir: String): String =
+    compactLayout(s, dir) { path =>
+      // direct partitioned write with a 4-way salt — the production
+      // writeDailyArchive rebalances small files away, so the fixture
+      // must fragment each day on purpose (4 writer tasks touch every
+      // day) to give the compactor real work at ANY scale factor
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd").cast("date"))
+        // explicit partition COUNT: a columns-only repartition is fair
+        // game for AQE coalescing, which folds a small fixture into one
+        // writer task and defeats the fragmentation on purpose here
+        .repartition(4, col("event_id") % 4)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      val stats = graft.ops.Sinks.compactDailyArchive(
+        s, path, targetBytes = 8L * 1024 * 1024)
+      require(stats.exists { case (_, (before, after)) => after < before },
+        "compaction merged nothing — small-file fixture did not materialize")
     }
 
   /** events recast into the sourcelog role (FIXTURES.md §B): epoch-ms
@@ -441,6 +468,23 @@ object Core {
       s.read.parquet(dailyEventsArchive(s, dir))
         .filter(col("day") === lit("2024-01-15").cast("date"))
         .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(28, 12))).cast("double"), 6)
+            .as("sum_value_r"))
+    },
+
+    // S11 compaction losslessness, driver-verified: the whole archive —
+    // every day partition AFTER the small-files compactor rewrote it —
+    // aggregated and hash-compared against a direct re-derivation from
+    // the source table. A dropped row, a duplicated row (staging swap
+    // replayed), or a value mangled in the rewrite breaks the hash.
+    "q_archive_compact" -> QueryDef.sql(
+      "S11: compacted day-partitioned archive vs direct re-derivation",
+      """SELECT strftime(ts, '%Y-%m-%d') AS day_s, event_type, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE), 6) AS sum_value_r
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      s.read.parquet(compactedEventsArchive(s, dir))
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day_s"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value").cast(DecimalType(28, 12))).cast("double"), 6)
             .as("sum_value_r"))
