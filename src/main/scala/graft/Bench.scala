@@ -193,6 +193,13 @@ object Bench {
       s""""fixture_sec":$fixtureSec,"merge_sec":$mergeSec,"pairs_sec":$pairsSec,""" +
       s""""pq_sec":$pqSec,"coarse_sec":$coarseSec,""" +
       s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
+    // The full line above is ~4 kB; the driver keeps only a fixed-size
+    // tail of stdout, which truncated the LEADING "value" field in r10
+    // (BENCH_r10.json parsed:null). Repeat the headline numbers in a
+    // second ≤200-char line AFTER it so any tail window contains a
+    // complete, parseable summary.
+    val fails = results.count(_._2 < 0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$fails,"calibration_sec":$calibrationSec%.3f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,11 +18,30 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // The golden family's frozen oracles are only valid at GoldenGen's SF
+    // (row counts scale with the data dir): at any other SF those queries
+    // would produce 5 OPAQUE hash-mismatch rows. Skip them with a
+    // self-explaining marker instead — GoldenGen.main refuses to
+    // regenerate off-SF for the same reason.
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val goldenSkip: Set[String] =
+      if (sfName == GoldenGen.frozenSf) Set.empty
+      else SparkEntry.oracleSql.collect {
+        // any oracle that reads a frozen parquet (the golden family and
+        // the mergeCtes re-derivations over frozen input tables)
+        case (k, sql) if sql.contains(QueryDef.goldenDir) => k
+      }.toSet
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try {
+        if (goldenSkip(name)) {
+          val msg = s"skipped: golden oracle is frozen at ${GoldenGen.frozenSf}, " +
+            s"verify dir is $sfName (a run here would be an SF mismatch, not a defect)"
+          System.err.println(s"[verify] $name $msg")
+          errors(name) = msg
+          Files.writeString(Paths.get(s"$outDir/$name._error"), msg + "\n")
+        } else try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           // a marker from a previous failed run into the same outDir must

@@ -89,10 +89,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
+  /** Sessions already registered: callers invoke [[register]] defensively
+    * from every query entry point, and re-registering the same dozen
+    * functions spams a `SimpleFunctionRegistry: function … replaced` WARN
+    * per function per call. Weak keys so a stopped session can GC. */
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Make `keccak256(binary)`, `vec_dot(arr, arr)` and
     * `parse_raw_tx(hex string)` available to `spark.sql` / `expr` in an
-    * existing session (idempotent). */
-  def register(spark: SparkSession): Unit = {
+    * existing session (idempotent; once per session). */
+  def register(spark: SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      registerAll(spark)
+
+  private def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "keccak256", exprs => Keccak256Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

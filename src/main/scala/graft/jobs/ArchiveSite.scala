@@ -68,7 +68,9 @@ object ArchiveSite {
   }
 
   /** S3-style human size (common/utils.go:140-147: IEC scaling relabeled
-    * KB/MB/GB): one decimal under 10 units, none above. */
+    * KB/MB/GB): one decimal under 10 units, none above. Like go-humanize,
+    * the value is rounded to ONE decimal before the <10 branch, so the
+    * boundary case 9.96 MB prints "10 MB", not "10.0 MB". */
   def humanBytes(n: Long): String = {
     val units = Seq("KB", "MB", "GB", "TB", "PB")
     if (n < 1024) s"$n B"
@@ -76,12 +78,14 @@ object ArchiveSite {
       var v = n.toDouble
       var u = -1
       while (v >= 1024 && u < units.length - 1) { v /= 1024; u += 1 }
-      if (v < 10) f"$v%.1f ${units(u)}" else f"$v%.0f ${units(u)}"
+      val r = math.floor(v * 10 + 0.5) / 10
+      if (r < 10) f"$r%.1f ${units(u)}" else f"$r%.0f ${units(u)}"
     }
   }
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
 
   private def page(title: String, body: String): String =
     s"""<!doctype html>
@@ -123,11 +127,11 @@ object ArchiveSite {
         cls = if (cls == "even") "odd" else "even"
       }
       val anchors =
-        (if (change) s"""<a name="$dayTmp"></a>""" else "") +
+        (if (change) s"""<a name="${esc(dayTmp)}"></a>""" else "") +
           s"""<a name="${esc(f.filename)}"></a>"""
       rows.append(
         s"""<tr class="f-$cls ${if (change) "c1" else "c"}">""" +
-          s"""<td class=fn>$anchors<a href=${esc(f.filename)}>${esc(f.filename)}</a></td>""" +
+          s"""<td class=fn>$anchors<a href="${esc(f.filename)}">${esc(f.filename)}</a></td>""" +
           s"""<td class=fs>${humanBytes(f.size)}</td></tr>\n""")
     }
     page(month,

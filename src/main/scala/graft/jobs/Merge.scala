@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *    through a non-deterministic-looking UDF, so the DAG orders it);
   *  - the two aggregations (tx dedup, sourcelog dedup) and the attach join
   *    all hash-partition on `hash`, so AQE coalesces into one co-located
-  *    exchange chain; blacklist and blocks are broadcast dims;
+  *    exchange chain; blacklist and blocks broadcast only when Catalyst's
+  *    size estimate fits the session threshold (blocks is ~25 % of input
+  *    rows, not a bounded dim — see [[Merge.broadcastIfSmall]]), else the
+  *    join degrades to a shuffle on the already-partitioned `hash` key;
   *  - the final sort is a range-partitioned total order (SortExec spills).
   */
 object Merge {
@@ -45,6 +48,24 @@ object Merge {
   def validHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     length(c) === 66 && c.rlike("^0x[0-9a-f]{64}$")
 
+  /** Broadcast hint gated on Catalyst's own size estimate: the blacklist
+    * and blocks sides are dims only when the input is small — blocks in
+    * particular is the included-tx subset (~25 % of all rows), so a forced
+    * hint is multi-GB at 100× scale and bypasses
+    * `autoBroadcastJoinThreshold` (it would OOM the driver instead of
+    * degrading). When the estimate fits under the session threshold we
+    * hint; otherwise the plan is left unhinted so AQE picks broadcast vs
+    * shuffle-hash from OBSERVED sizes at runtime — and since `hash` is
+    * already the partition key of the adjacent exchanges, the shuffle
+    * fallback adds no new exchange for the big side. Estimates that
+    * Catalyst can't derive (defaultSizeInBytes ≈ Long.Max) fail the gate,
+    * which is the safe direction. */
+  private[jobs] def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val thr = BigInt(df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thr > 0 && est <= thr) broadcast(df) else df
+  }
+
   def run(spark: SparkSession, in: Inputs): Output = {
     // ── validate + dedup raw rows (F3, A1) ────────────────────────────
     val raw = in.rawTxs
@@ -60,7 +81,7 @@ object Merge {
     val fresh = in.blacklist match {
       case Some(bl) =>
         val blNorm = bl.select(lower(col("hash")).as("hash")).distinct()
-        deduped.join(broadcast(blNorm), Seq("hash"), "left_anti")
+        deduped.join(broadcastIfSmall(blNorm), Seq("hash"), "left_anti")
       case None => deduped
     }
 
@@ -90,7 +111,7 @@ object Merge {
       case (Some(blocks), _) =>
         val dim = blocks.select(lower(col("hash")).as("hash"),
           col("block_number"), col("block_ts_ms"))
-        withSources.join(broadcast(dim), Seq("hash"), "left")
+        withSources.join(broadcastIfSmall(dim), Seq("hash"), "left")
           .withColumn("includedAtBlockHeight", coalesce(col("block_number"), lit(0L)))
           .withColumn("includedBlockTimestamp", coalesce(col("block_ts_ms"), lit(0L)))
           .withColumn("inclusionDelayMs",

@@ -44,6 +44,21 @@ final class MetricsEndpoint(metrics: CollectorMetrics, port: Int = 0,
     }
   })
 
+  // /livez + /readyz probes (reference api/server.go:51-58: both answer
+  // 200 "ok"). The scrape endpoint has no drain state, so liveness and
+  // readiness coincide — but they stay separate routes because a
+  // deployment's probes address them separately.
+  for (route <- Seq("/livez", "/readyz"))
+    server.createContext(route, new com.sun.net.httpserver.HttpHandler {
+      def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+        try {
+          val body = "ok".getBytes("UTF-8")
+          x.sendResponseHeaders(200, body.length.toLong)
+          x.getResponseBody.write(body)
+        } finally x.close()
+      }
+    })
+
   private val pool = java.util.concurrent.Executors.newCachedThreadPool()
   server.setExecutor(pool)
   server.start()

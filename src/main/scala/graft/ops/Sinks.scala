@@ -131,7 +131,7 @@ object Sinks {
           st.isFile && st.getPath.getName.endsWith(".parquet"))
         (if (hasFiles && p != root) Seq(p) else Nil) ++ subParts.flatMap(s => leaves(s.getPath))
       }
-      leaves(root).flatMap { dir =>
+      def compactLeaf(dir: org.apache.hadoop.fs.Path): Option[(String, (Int, Int))] = {
         val files = fs.listStatus(dir)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         val bytes = files.map(_.getLen).sum
@@ -167,7 +167,27 @@ object Sinks {
             .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           Some(rel -> (files.length, after))
         }
-      }.toMap
+      }
+      // Each rewrite is a one-or-two-task Spark job whose wall cost is
+      // mostly scheduling latency, and a year-scale archive has hundreds
+      // of leaf partitions — submit them from a bounded pool instead of
+      // serially (Spark's scheduler handles concurrent jobs; every leaf's
+      // stage/swap renames touch only its own partition dir, so the swap
+      // protocol is unchanged). Bound 8: enough to hide latency without
+      // starving a shared cluster's other jobs.
+      val leafDirs = leaves(root)
+      if (leafDirs.isEmpty) Map.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, leafDirs.size))
+        try {
+          leafDirs.map { dir =>
+            pool.submit(new java.util.concurrent.Callable[Option[(String, (Int, Int))]] {
+              def call(): Option[(String, (Int, Int))] = compactLeaf(dir)
+            })
+          }.flatMap(_.get()).toMap
+        } finally pool.shutdown()
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)

@@ -87,6 +87,32 @@ final class SseBroadcast(port: Int = 0) {
       }
     }
   })
+  // /livez + /readyz probes (reference api/server.go:51-58). Liveness is
+  // unconditional 200 "ok"; readiness mirrors the subscriber-admission
+  // gate — once a graceful shutdown begins, /readyz flips to 503 so a
+  // load balancer stops routing new subscribers while in-flight events
+  // keep draining (the same `ready` flag that 503s /api/txs/sse).
+  server.createContext("/livez", new com.sun.net.httpserver.HttpHandler {
+    def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+      try {
+        val body = "ok".getBytes("UTF-8")
+        x.sendResponseHeaders(200, body.length.toLong)
+        x.getResponseBody.write(body)
+      } finally x.close()
+    }
+  })
+  server.createContext("/readyz", new com.sun.net.httpserver.HttpHandler {
+    def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+      try {
+        if (ready) {
+          val body = "ok".getBytes("UTF-8")
+          x.sendResponseHeaders(200, body.length.toLong)
+          x.getResponseBody.write(body)
+        } else x.sendResponseHeaders(503, -1)
+      } finally x.close()
+    }
+  })
+
   private val handlerPool = Executors.newCachedThreadPool()
   server.setExecutor(handlerPool)
   server.start()

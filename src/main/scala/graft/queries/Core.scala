@@ -44,7 +44,8 @@ object Core {
     }
 
   /** The events daily archive deliberately published as SMALL FILES
-    * (maxRecordsPerFile=500 → several files per day partition), then run
+    * (a 4-way salted repartition so 4 writer tasks touch every day
+    * partition → several files per day), then run
     * through the S11 small-files compactor ([[graft.ops.Sinks
     * .compactDailyArchive]], staged + two-rename swapped per partition).
     * The publish REQUIRES that compaction actually merged files, so the
@@ -166,9 +167,13 @@ object Core {
         .coalesce(1)
         .write.mode("overwrite").text(s"$p/in")
       val qn = "stream_dedup_" + math.abs(p.hashCode).toString
+      // AvailableNow: process the one fixture batch and stop — identical
+      // emission set to the default trigger (the file is one micro-batch
+      // either way), minus the idle trigger-latency tail (VERDICT r10 #6)
       val q = graft.streaming.Collect.dedupStateful(
         graft.streaming.Collect.feed(s, s"$p/in"))
         .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select("timestamp_ms", "hash", "raw_tx_hex", "source")
@@ -199,6 +204,7 @@ object Core {
       val q = graft.streaming.Collect.sourceMetrics(
         graft.streaming.Collect.feed(s, s"$p/in"))
         .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select("minute", "source", "n_all")
@@ -249,6 +255,7 @@ object Core {
           .withColumn("reason", lit(null).cast("string")),
         blocks)
         .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select("timestamp_ms", "hash", "source", "reason")

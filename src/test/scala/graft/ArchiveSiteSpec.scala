@@ -22,6 +22,10 @@ class ArchiveSiteSpec extends AnyFunSuite {
     assert(ArchiveSite.humanBytes(90896124L) == "87 MB")
     assert(ArchiveSite.humanBytes(787064375L) == "751 MB")
     assert(ArchiveSite.humanBytes(5L * 1024 * 1024 * 1024) == "5.0 GB")
+    // go-humanize rounds to one decimal BEFORE the <10 branch: 9.96 MB
+    // crosses to "10 MB" (no trailing .0), while 9.94 MB stays "9.9 MB"
+    assert(ArchiveSite.humanBytes(10443326L) == "10 MB")
+    assert(ArchiveSite.humanBytes(10422190L) == "9.9 MB")
   }
 
   test("listing groups flat per-day publishes by month and skips .csv.gz") {
@@ -81,7 +85,7 @@ class ArchiveSiteSpec extends AnyFunSuite {
     val aug = Files.readString(Paths.get(s"$out/ethereum/mainnet/2023-08/index.html"))
     // both 08-29 artifacts share a day class; 08-30 flips it; day anchors
     // land on each day's first row only
-    assert(aug.contains("""<a href=2023-08-29.parquet>2023-08-29.parquet</a>"""))
+    assert(aug.contains("""<a href="2023-08-29.parquet">2023-08-29.parquet</a>"""))
     assert(aug.contains("2.0 KB"))
     val clsOf = "<tr class=\"f-(\\w+) (c1?)\">".r
       .findAllMatchIn(aug).map(m => (m.group(1), m.group(2))).toSeq
@@ -117,6 +121,20 @@ class ArchiveSiteSpec extends AnyFunSuite {
       conn3.setDoOutput(true)
       conn3.getOutputStream.write(Array[Byte](1))
       assert(conn3.getResponseCode == 405)
+      // health probes (reference api/server.go:51-58): 200 "ok"; routes
+      // outside the mounted contexts stay 404
+      val base = ep.address.stripSuffix("/metrics")
+      def get(route: String): (Int, String) = {
+        val c = java.net.URI.create(base + route).toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = c.getResponseCode
+        val body = if (code == 200)
+          new String(c.getInputStream.readAllBytes(), "UTF-8") else ""
+        (code, body)
+      }
+      assert(get("/livez") == (200, "ok"))
+      assert(get("/readyz") == (200, "ok"))
+      assert(get("/nope")._1 == 404)
     } finally ep.close()
     // closed endpoint refuses connections
     intercept[java.io.IOException] {

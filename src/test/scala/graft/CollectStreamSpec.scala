@@ -1099,6 +1099,17 @@ class CollectStreamSpec extends AnyFunSuite {
       while (sse.subscriberCount == 0 && System.nanoTime() < regDeadline) Thread.sleep(10)
       assert(sse.subscriberCount == 1)
 
+      // health probes (reference api/server.go:51-58): both 200 "ok" while up
+      val base = sse.address.stripSuffix("/api/txs/sse")
+      def probe(route: String): (Int, String) = {
+        val r = client.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(base + route)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      assert(probe("/livez") == (200, "ok"))
+      assert(probe("/readyz") == (200, "ok"))
+
       // an undrained holdback queue keeps the drain window open deterministically
       sse.register("holdback")
       (0 until 5).foreach(i => sse.publish(s"0xf1ll$i"))
@@ -1108,6 +1119,11 @@ class CollectStreamSpec extends AnyFunSuite {
       val drainDeadline = System.nanoTime() + 5000000000L
       while (sse.ready && System.nanoTime() < drainDeadline) Thread.sleep(10)
       assert(!sse.ready)
+
+      // during drain: still live, no longer ready — a load balancer stops
+      // routing new subscribers while in-flight events keep flowing
+      assert(probe("/livez") == (200, "ok"))
+      assert(probe("/readyz")._1 == 503)
 
       // in-flight events published during the drain still reach the live
       // subscriber (the filler events arrive on this queue too — poll

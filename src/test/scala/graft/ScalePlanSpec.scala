@@ -64,6 +64,48 @@ class ScalePlanSpec extends AnyFunSuite {
       s"dim join fell back to sort-merge (full shuffle of the fact side):\n$plan")
   }
 
+  test("merge broadcast hints are size-gated: a large blocks dim degrades to shuffle") {
+    // VERDICT r10 #1: blocks is the included-tx subset (~25 % of input
+    // rows), so a FORCED broadcast hint OOMs the driver at 100× scale.
+    // broadcastIfSmall must hint only when Catalyst's estimate fits the
+    // session threshold — otherwise the initial plan must already be a
+    // shuffle join (AQE can still promote it at runtime from observed
+    // sizes, which is the desired degradation, not a forced plan).
+    val s = spark
+    import s.implicits._
+    def inputs = {
+      val raws = (0 until 64).map(i => (1000L + i, f"0x$i%064x", "0x02dead"))
+        .toDF("timestamp_ms", "hash", "raw_tx_hex")
+      val slog = (0 until 64).map(i => (1000L + i, f"0x$i%064x", "src"))
+        .toDF("timestamp_ms", "hash", "source")
+      val blocks = (0 until 64).map(i => (f"0x$i%064x", 100L + i, 2000L + i))
+        .toDF("hash", "block_number", "block_ts_ms")
+      val bl = Seq(Tuple1(f"0x${9999}%064x")).toDF("hash")
+      jobs.Merge.Inputs(raws, slog, Some(bl), Some(blocks))
+    }
+    // "large dim" regime: any non-empty estimate exceeds a 1-byte
+    // threshold, so no hint may be emitted and join selection (same conf)
+    // must pick a shuffle join in the pre-AQE plan
+    val bigOut = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val out = jobs.Merge.run(spark, inputs)
+      val plan = out.transactions.queryExecution.sparkPlan.toString
+      out.parsed.unpersist(false)
+      plan
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(!bigOut.contains("BroadcastHashJoin"),
+      s"large dims must not be force-broadcast:\n$bigOut")
+    assert("(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(bigOut).isDefined,
+      s"large-dim join did not degrade to a shuffle join:\n$bigOut")
+    // small-dim regime: default 10 MB threshold, tiny local dims → the
+    // hint applies and the dims broadcast as before
+    val smallRun = jobs.Merge.run(spark, inputs)
+    val smallPlan = smallRun.transactions.queryExecution.sparkPlan.toString
+    smallRun.parsed.unpersist(false)
+    assert(smallPlan.contains("BroadcastHashJoin"),
+      s"small dims should still broadcast:\n$smallPlan")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
