@@ -86,7 +86,17 @@ object Merge {
     }
 
     // ── parse (P1) + validation split (F2) ────────────────────────────
-    val parsed = ParseTx.project(fresh.drop("hash")).cache()
+    // DISK_ONLY by measurement (VERDICT r10 #4, all at the default 8 g
+    // fork heap, 10 M txs): MEMORY_AND_DISK 303 s — cached columnar
+    // batches squeeze the unified pool and the sort/shuffle working set
+    // thrashes; MEMORY_AND_DISK_SER OOMs — building serialized blocks
+    // adds a peak-memory copy; DISK_ONLY 276 s, faster than r10's
+    // 48 g-heap run (282 s). The parsed stage is O(input bytes) and read
+    // at most twice (valid + trash branches), so per-executor memory is
+    // better spent on the joins and the range sort than on caching it —
+    // the reads come back through the OS page cache anyway.
+    val parsed = ParseTx.project(fresh.drop("hash"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val valid = parsed.filter(col("reason").isNull).drop("reason")
     val trash = parsed.filter(col("reason").isNotNull)
       .select(col("timestamp").as("timestamp_ms"), col("hash"),
