@@ -5,6 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. Optional extra
   * args restrict the run to the named queries (dev loop). */
 object Verify {
+  /** Queries whose oracle reads a frozen golden parquet (the golden
+    * family and the mergeCtes re-derivations over frozen input tables):
+    * valid only at [[GoldenGen.frozenSf]] — at any other SF they are
+    * skipped with a self-explaining marker instead of producing opaque
+    * hash-mismatch rows. */
+  private[graft] def goldenSkipSet(sfName: String): Set[String] =
+    if (sfName == GoldenGen.frozenSf) Set.empty
+    else SparkEntry.oracleSql.collect {
+      case (k, sql) if sql.contains(QueryDef.goldenDir) => k
+    }.toSet
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
@@ -18,19 +29,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // The golden family's frozen oracles are only valid at GoldenGen's SF
-    // (row counts scale with the data dir): at any other SF those queries
-    // would produce 5 OPAQUE hash-mismatch rows. Skip them with a
-    // self-explaining marker instead — GoldenGen.main refuses to
-    // regenerate off-SF for the same reason.
+    // GoldenGen.main refuses to regenerate off-SF for the same reason
+    // this skips: frozen hashes are only meaningful at the frozen SF.
     val sfName = Paths.get(sfDir).getFileName.toString
-    val goldenSkip: Set[String] =
-      if (sfName == GoldenGen.frozenSf) Set.empty
-      else SparkEntry.oracleSql.collect {
-        // any oracle that reads a frozen parquet (the golden family and
-        // the mergeCtes re-derivations over frozen input tables)
-        case (k, sql) if sql.contains(QueryDef.goldenDir) => k
-      }.toSet
+    val goldenSkip = goldenSkipSet(sfName)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>

@@ -185,7 +185,12 @@ object Sinks {
             pool.submit(new java.util.concurrent.Callable[Option[(String, (Int, Int))]] {
               def call(): Option[(String, (Int, Int))] = compactLeaf(dir)
             })
-          }.flatMap(_.get()).toMap
+          }.flatMap { f =>
+            // surface the leaf's own failure, not the Future wrapper —
+            // a crashed pass re-runs idempotently via recoverArchiveStaging
+            try f.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          }.toMap
         } finally pool.shutdown()
       }
     } finally {

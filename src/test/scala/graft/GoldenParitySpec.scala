@@ -19,6 +19,17 @@ class GoldenParitySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.01"
 
+  test("Verify's off-SF skip set is exactly the frozen-oracle family") {
+    // At the frozen SF nothing is skipped; anywhere else, exactly the
+    // queries whose oracle reads a frozen parquet (the two
+    // QueryDef.golden queries plus the three mergeCtes re-derivations
+    // over frozen input tables) self-skip with an _error marker.
+    assert(Verify.goldenSkipSet(GoldenGen.frozenSf).isEmpty)
+    assert(Verify.goldenSkipSet("sf0.1") == Set("q_parse_raw_tx",
+      "q_envelope_decode", "q_mempool_merge", "q_mempool_trash",
+      "q_mempool_analyze"))
+  }
+
   test("golden registry is non-empty and every golden file exists") {
     val names = GoldenGen.goldenNames ++ GoldenGen.inputGoldens.keys
     assert(GoldenGen.goldenNames.nonEmpty)

@@ -106,6 +106,39 @@ class ScalePlanSpec extends AnyFunSuite {
       s"small dims should still broadcast:\n$smallPlan")
   }
 
+  test("ungated merge joins: AQE promotes to broadcast from observed sizes") {
+    // The other half of the gate's contract: when the STATIC estimate is
+    // too coarse to hint (a range+filter plan estimates at the unfiltered
+    // size, far over the threshold) but the dims are actually tiny at
+    // runtime, AQE converts the shuffle join to a broadcast join from
+    // observed shuffle sizes — the fallback costs nothing when the data
+    // turns out small, it only removes the driver-OOM cliff when it isn't.
+    val s = spark
+    import s.implicits._
+    val raws = s.range(0L, 20000000L).as[Long]
+      .filter((i: Long) => i % 300000 == 0)
+      .mapPartitions(_.map(functions.TxFixtures.rawRow))
+      .toDF("timestamp_ms", "hash", "raw_tx_hex")
+    val slog = raws.select(col("timestamp_ms"), col("hash"),
+      lit("src").as("source"))
+    val blocks = s.range(0L, 10000000L).as[Long]
+      .filter((i: Long) => i % 2000000 == 0)
+      .mapPartitions(_.map { i: Long =>
+        val (ts, h, _) = functions.TxFixtures.rawRow(i)
+        (h, 100L + i, ts + 4000L)
+      }).toDF("hash", "block_number", "block_ts_ms")
+    val out = jobs.Merge.run(s, jobs.Merge.Inputs(raws, slog, None, Some(blocks)))
+    try {
+      val init = out.transactions.queryExecution.sparkPlan.toString
+      assert(!init.contains("BroadcastHashJoin"),
+        s"inflated estimates must not statically broadcast:\n$init")
+      out.transactions.collect()
+      val fin = out.transactions.queryExecution.executedPlan.toString
+      assert(fin.contains("BroadcastHashJoin"),
+        s"AQE did not promote the tiny dim join to broadcast:\n$fin")
+    } finally out.parsed.unpersist(false)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
