@@ -48,7 +48,9 @@ object CorpusBuild {
     val keepers = gated.groupBy("h").agg(min("doc_id").as("doc_id"))
     val deduped = gated.join(keepers, Seq("h", "doc_id"), "left_semi")
 
-    // decontamination: eval fingerprints broadcast, training side streams
+    // decontamination: eval fingerprints broadcast (bounded BY CONTRACT —
+    // an eval benchmark is a fixed set, not a scaling input), training
+    // side streams
     val clean = in.evalDocs match {
       case Some(ev) =>
         val fps = ev.select(md5(TextOps.redactPii(col("text"))).as("h")).distinct()

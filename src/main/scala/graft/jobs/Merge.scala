@@ -48,23 +48,13 @@ object Merge {
   def validHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     length(c) === 66 && c.rlike("^0x[0-9a-f]{64}$")
 
-  /** Broadcast hint gated on Catalyst's own size estimate: the blacklist
-    * and blocks sides are dims only when the input is small — blocks in
-    * particular is the included-tx subset (~25 % of all rows), so a forced
-    * hint is multi-GB at 100× scale and bypasses
-    * `autoBroadcastJoinThreshold` (it would OOM the driver instead of
-    * degrading). When the estimate fits under the session threshold we
-    * hint; otherwise the plan is left unhinted so AQE picks broadcast vs
-    * shuffle-hash from OBSERVED sizes at runtime — and since `hash` is
-    * already the partition key of the adjacent exchanges, the shuffle
-    * fallback adds no new exchange for the big side. Estimates that
-    * Catalyst can't derive (defaultSizeInBytes ≈ Long.Max) fail the gate,
-    * which is the safe direction. */
-  private[jobs] def broadcastIfSmall(df: DataFrame): DataFrame = {
-    val thr = BigInt(df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (thr > 0 && est <= thr) broadcast(df) else df
-  }
+  /** [[graft.ops.Hints.broadcastIfSmall]] for the blacklist and blocks
+    * sides: both derive from the scaling input (blocks is the included-tx
+    * subset, ~25 % of all rows), so the hint is size-gated — and since
+    * `hash` is already the partition key of the adjacent exchanges, the
+    * shuffle fallback adds no new exchange for the big side. */
+  private[jobs] def broadcastIfSmall(df: DataFrame): DataFrame =
+    graft.ops.Hints.broadcastIfSmall(df)
 
   def run(spark: SparkSession, in: Inputs): Output = {
     // ── validate + dedup raw rows (F3, A1) ────────────────────────────

@@ -87,9 +87,12 @@ object Joins {
     },
 
     // J2 blacklist anti-join (common/txsfile.go:115-119): drop keys present
-    // in the blacklist side; the distinct key set is broadcast.
+    // in the blacklist side. The distinct key set derives from a SCALING
+    // table (urgent orders ≈ 1/5 of all orders), so the broadcast hint is
+    // size-gated — SURVEY §2.5's own contract: broadcast if small, else
+    // shuffle hash join.
     "q_join_anti" -> QueryDef.sql(
-      "J2: left_anti (NOT EXISTS) blacklist join, broadcast build side",
+      "J2: left_anti (NOT EXISTS) blacklist join, size-gated broadcast build",
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin) { (s, dir) =>
@@ -97,7 +100,8 @@ object Joins {
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_custkey")).distinct()
       Tables.customer(s, dir)
-        .join(broadcast(blacklist), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(graft.ops.Hints.broadcastIfSmall(blacklist),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     },
 

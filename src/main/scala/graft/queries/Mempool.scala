@@ -57,12 +57,13 @@ object Mempool {
             transform(array_sort(collect_list(struct(col("first_ts"), col("event_type")))),
               x => x.getField("event_type"))).as("sources"),
           count(lit(1)).as("n_sources"))
-      // J2: blacklist of keys with heavy 'error' traffic, broadcast.
+      // J2: blacklist of keys with heavy 'error' traffic — data-dependent
+      // and potentially O(users), so the broadcast hint is size-gated.
       val blacklist = ev.filter(col("event_type") === "error")
         .groupBy("user_id").agg(count(lit(1)).as("n_err"))
         .filter(col("n_err") > 17).select("user_id")
       firsts
-        .join(broadcast(blacklist), Seq("user_id"), "left_anti")
+        .join(graft.ops.Hints.broadcastIfSmall(blacklist), Seq("user_id"), "left_anti")
         .join(src, Seq("user_id"))
         .select("user_id", "first_ts", "first_event", "sources", "n_sources")
         .orderBy("first_ts", "user_id")

@@ -199,6 +199,11 @@ object Collect {
     * as a stream-static broadcast join — txs already on-chain get reason
     * `tx-already-onchain` and flow to trash with the other F2 rejects. */
   def inclusionCheck(stream: DataFrame, blocks: DataFrame): DataFrame = {
+    // forced broadcast is correct HERE (unlike the batch merge's blocks
+    // side): the collector's dim is the recent-blocks hash set the
+    // reference holds in its bounded in-memory known-tx cache, and a
+    // non-broadcast stream-static join would re-shuffle the stream every
+    // micro-batch
     val dim = broadcast(blocks.select(lower(col("hash")).as("hash"))
       .withColumn("onchain", lit(true)))
     stream.join(dim, Seq("hash"), "left")
