@@ -56,6 +56,9 @@ object CollectJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // long-running daemon: TTL dedup state lives in RocksDB (disk-bounded)
+    // rather than on the executor heap
+    Collect.useRocksDbState(spark)
     val spool = s"$outDir/_spool"
     val (conn, queries) = start(spark, host, portS.toInt, parseMode(modeS),
       spool, outDir, Trigger.ProcessingTime("1 second"))

@@ -81,6 +81,18 @@ object Collect {
         col("e.source").as("source"), col("e.msg").as("msg"))
       .filter(col("timestamp_ms").isNotNull) // skip-on-error: junk lines drop
 
+  /** Put this session's streaming state into the RocksDB provider
+    * (bundled with Spark 4): the default HDFS-backed provider keeps every
+    * key's state on the executor HEAP, which is fine for the collector's
+    * mempool-scale TTL map but caps out long before a corpus-scale dedup
+    * window — RocksDB spills state to local disk with a bounded block
+    * cache, so state size is bounded by disk, not heap. Takes effect for
+    * queries STARTED after the call (the provider is captured per query
+    * from the session conf at start). */
+  def useRocksDbState(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Full collector wiring over a live socket feed (S6-S10 minus dial). */
   def runSocketEnvelopes(spark: SparkSession, host: String, port: Int,
       outDir: String,

@@ -62,6 +62,50 @@ class CollectStreamSpec extends AnyFunSuite {
     } finally { qa.stop(); qb.stop() }
   }
 
+  test("TTL dedup state is provider-agnostic: RocksDB emits the identical set") {
+    // The 100 TB state path: Collect.useRocksDbState switches the session
+    // to the disk-backed RocksDB provider (state bounded by disk, not
+    // executor heap). Both custom flatMapGroupsWithState state and the
+    // built-in dropDuplicatesWithinWatermark must emit exactly the rows
+    // the default HDFS-backed provider does.
+    val in = Files.createTempDirectory("graft-feed-rdb").toString
+    writeFeed(in, 200)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    Collect.useRocksDbState(spark)
+    try {
+      val qs = Seq(
+        Collect.dedupStateful(Collect.feed(spark, in))
+          .writeStream.format("memory").queryName("dedup_rdb_state")
+          .trigger(Trigger.AvailableNow()).start(),
+        Collect.dedup(Collect.feed(spark, in))
+          .writeStream.format("memory").queryName("dedup_rdb_builtin")
+          .trigger(Trigger.AvailableNow()).start())
+      try {
+        qs.foreach(_.processAllAvailable())
+        // every started query really ran on RocksDB, not a silent
+        // fallback: the provider publishes its own rocksdb* custom
+        // metrics on the state operator
+        qs.foreach { q =>
+          import scala.jdk.CollectionConverters._
+          val keys = q.recentProgress.flatMap(_.stateOperators)
+            .flatMap(_.customMetrics.keySet().asScala)
+          assert(keys.exists(_.toLowerCase.contains("rocksdb")),
+            s"${q.name}: no rocksdb state metrics — provider fell back? keys=${keys.distinct.toSeq}")
+        }
+        def rows(t: String) = spark.table(t)
+          .select("timestamp_ms", "hash", "raw_tx_hex", "source")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+        val (a, b) = (rows("dedup_rdb_state"), rows("dedup_rdb_builtin"))
+        assert(a.toSet == b.toSet && a.length == 180,
+          s"RocksDB emission diverged: state=${a.length} builtin=${b.length}")
+      } finally qs.foreach(_.stop())
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("TTL boundary: re-arrival before 30 min suppressed, after expiry re-emitted") {
     // The reference sweeps knownTxs once a minute and drops entries older
     // than 30 min (collector/tx_processor.go:501-508) — a hash seen again
