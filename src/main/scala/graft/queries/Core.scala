@@ -169,12 +169,26 @@ object Core {
       val qn = "stream_dedup_" + math.abs(p.hashCode).toString
       // AvailableNow: process the one fixture batch and stop — identical
       // emission set to the default trigger (the file is one micro-batch
-      // either way), minus the idle trigger-latency tail (VERDICT r10 #6)
-      val q = graft.streaming.Collect.dedupStateful(
-        graft.streaming.Collect.feed(s, s"$p/in"))
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // either way), minus the idle trigger-latency tail (VERDICT r10 #6).
+      // This one streaming oracle runs on the RocksDB state provider (the
+      // disk-backed store a corpus-scale dedup window needs), so the
+      // 100 TB state path is gated by the driver's DuckDB compare, not
+      // just by CollectStreamSpec's provider-parity test; the provider is
+      // captured per query at start, and the session conf is restored so
+      // the other streaming oracles keep exercising the default store.
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(key)
+      graft.streaming.Collect.useRocksDbState(s)
+      val q =
+        try graft.streaming.Collect.dedupStateful(
+          graft.streaming.Collect.feed(s, s"$p/in"))
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally prevProvider match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select("timestamp_ms", "hash", "raw_tx_hex", "source")
         .write.mode("overwrite").parquet(s"$p/out")
