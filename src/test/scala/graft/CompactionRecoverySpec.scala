@@ -98,6 +98,35 @@ class CompactionRecoverySpec extends AnyFunSuite {
     assert(Sinks.compactDailyArchive(spark, archive).isEmpty)
   }
 
+  test("crash with multiple partitions mid-window: one re-run recovers all") {
+    // The pooled pass (r11) rewrites up to 8 leaves concurrently, so a
+    // crash can strand SEVERAL partitions in different swap phases at
+    // once. One re-run must restore every strand and finish the job.
+    val archive = freshArchive()
+    val before = spark.read.parquet(archive)
+      .orderBy("id").collect().map(_.toString).toSeq
+    // day1: killed between the two renames (data only under .old-)
+    val p1 = new File(s"$archive/day=2024-01-01")
+    assert(p1.renameTo(new File(s"$archive/.old-day=2024-01-01")))
+    // day2: killed mid-rewrite (live partition intact, partial .compact-)
+    val partial = new File(s"$archive/.compact-day=2024-01-02")
+    assert(partial.mkdir())
+    java.nio.file.Files.write(
+      new File(partial, "part-00000.gz.parquet").toPath, Array[Byte](7))
+
+    val done = Sinks.compactDailyArchive(spark, archive)
+    assert(done.keySet == Set("day=2024-01-01", "day=2024-01-02"),
+      s"both stranded partitions must compact in one pass: $done")
+    assert(files(p1.toString).get.size == 1)
+    assert(files(s"$archive/day=2024-01-02").get.size == 1)
+    assert(new File(archive).listFiles().forall(f =>
+      !f.getName.startsWith(".old-") && !f.getName.startsWith(".compact-")),
+      "staging debris left behind")
+    val after = spark.read.parquet(archive)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(after == before, "multi-strand recovery lost or changed data")
+  }
+
   test("crash after swap-in: superseded .old stage is cleared, live data kept") {
     val archive = freshArchive()
     Sinks.compactDailyArchive(spark, archive)
