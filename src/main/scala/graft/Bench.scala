@@ -158,7 +158,9 @@ object Bench {
       (Set("q_bpe_train", "q_bpe_encode"),
         () => queries.TextOps.releaseBpe(spark, sfDir, 3)),
       (Set("q_bpe_train6"),
-        () => queries.TextOps.releaseBpe(spark, sfDir, 6)))
+        () => queries.TextOps.releaseBpe(spark, sfDir, 6)),
+      (Set("q_corpus_build"),
+        () => queries.TextOps.releaseCorpusBuild(spark, sfDir)))
     val releaseAt: Map[Int, Seq[() => Unit]] = families
       .flatMap { case (members, rel) =>
         val idxs = sweep.zipWithIndex.collect {

@@ -24,8 +24,12 @@ object CorpusBuild {
   final case class Inputs(docs: DataFrame, evalDocs: Option[DataFrame])
 
   /** `kept` is the final sharded corpus; `funnel` the attrition report;
-    * `shards` the per-shard balance table. All unmaterialized plans. */
-  final case class Result(kept: DataFrame, funnel: DataFrame, shards: DataFrame)
+    * `shards` the per-shard balance table. All unmaterialized plans.
+    * `release` unpersists the run's internal post-redaction cache — call
+    * it after the last consumer (the same ownership contract as
+    * [[Merge.Output.parsed]]). */
+  final case class Result(kept: DataFrame, funnel: DataFrame, shards: DataFrame,
+      release: () => Unit = () => ())
 
   def run(spark: SparkSession, in: Inputs): Result = {
     val docs = in.docs
@@ -83,7 +87,7 @@ object CorpusBuild {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens"))
 
-    Result(kept, funnel, shards)
+    Result(kept, funnel, shards, () => { gated.unpersist(false); () })
   }
 
   /** Write the corpus sharded (`shard=N/` dirs) plus the two report CSVs. */

@@ -159,6 +159,29 @@ object TextOps {
     bpeMemo.remove((System.identityHashCode(s), dir, rounds))
       .foreach(_._2.unpersist(false))
 
+  /** The corpus CLI's composed [[graft.jobs.CorpusBuild.Result]], memoized
+    * per (session, dir) so the driver-visible q_corpus_build oracle and
+    * any other consumer share one post-redaction cache; released by Bench
+    * after the query and by the session-end sweep. The eval set is the
+    * doc_id % 97 == 0 subset — the same convention q_filter_funnel's
+    * oracle freezes. */
+  private val corpusBuildMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), graft.jobs.CorpusBuild.Result]
+
+  private[graft] def corpusBuildResult(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.jobs.CorpusBuild.Result =
+    corpusBuildMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      SessionCaches.onRelease(s, s"text.corpusbuild:$dir")(() =>
+        releaseCorpusBuild(s, dir))
+      val docs = Tables.documents(s, dir)
+      graft.jobs.CorpusBuild.run(s, graft.jobs.CorpusBuild.Inputs(
+        docs, Some(docs.filter(col("doc_id") % 97 === 0))))
+    })
+
+  /** Unpersist + evict the composed corpus-build run; idempotent. */
+  def releaseCorpusBuild(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    corpusBuildMemo.remove((System.identityHashCode(s), dir)).foreach(_.release())
+
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String,
       rounds: Int, checkpointEvery: Int = 4)
       : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
@@ -950,6 +973,56 @@ object TextOps {
         struct(lit(4).as("stage"), lit("decontaminate").as("gate"), col("n4").as("n_docs"))))
         .as("r")).select("r.*")
       head.unionAll(tail)
+    },
+
+    // The corpus CLI composed END-TO-END (jobs/CorpusBuild.run): gate →
+    // PII redaction → digest dedup → eval decontamination → shard
+    // assignment, emitting the attrition funnel UNION the per-shard
+    // balance table the CLI prints — against one full SQL re-derivation.
+    // Differs from q_filter_funnel above in exactly the ways the CLI
+    // does: digests are over the REDACTED text, the eval side redacts
+    // before fingerprinting, and the kept set carries shard ids from the
+    // doc_id md5 nibble. Funnel rows use stages 0-4 / n_tokens 0; shard
+    // rows use stages 100+shard with real token mass.
+    "q_corpus_build" -> QueryDef.sql(
+      "corpus CLI end-to-end: attrition funnel + shard balance vs SQL re-derivation",
+      s"""WITH red AS (
+         |  SELECT doc_id, regexp_replace(text, '$PiiRe', '<PII>', 'g') AS rtext,
+         |         text AS orig
+         |  FROM documents),
+         |ev AS (
+         |  SELECT DISTINCT md5(rtext) AS h FROM red WHERE doc_id % 97 = 0),
+         |g AS (
+         |  SELECT doc_id, rtext, md5(rtext) AS h FROM red
+         |  WHERE length(orig) >= 50
+         |    AND len(regexp_extract_all(orig, '$StopRe')) >= 1),
+         |k AS (SELECT h, MIN(doc_id) AS doc_id FROM g GROUP BY h),
+         |kept AS (
+         |  SELECT g.doc_id, g.rtext,
+         |    instr('0123456789abcdef', substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1)) - 1
+         |      AS shard
+         |  FROM g JOIN k ON g.h = k.h AND g.doc_id = k.doc_id
+         |  WHERE g.h NOT IN (SELECT h FROM ev)),
+         |funnel AS (
+         |      SELECT 0 AS stage, 'all' AS gate,
+         |             CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+         |             CAST(0 AS BIGINT) AS n_tokens
+         |  UNION ALL SELECT 1, 'min_length',
+         |             CAST((SELECT COUNT(*) FROM documents WHERE length(text) >= 50) AS BIGINT), 0
+         |  UNION ALL SELECT 2, 'stopword_evidence', CAST((SELECT COUNT(*) FROM g) AS BIGINT), 0
+         |  UNION ALL SELECT 3, 'exact_dedup', CAST((SELECT COUNT(*) FROM k) AS BIGINT), 0
+         |  UNION ALL SELECT 4, 'decontaminate', CAST((SELECT COUNT(*) FROM kept) AS BIGINT), 0),
+         |sh AS (
+         |  SELECT 100 + shard AS stage, 'shard_' || CAST(shard AS VARCHAR) AS gate,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(string_split_regex(trim(rtext), '\\s+'))) AS BIGINT) AS n_tokens
+         |  FROM kept GROUP BY shard)
+         |SELECT * FROM funnel UNION ALL SELECT * FROM sh""".stripMargin) { (s, dir) =>
+      val r = corpusBuildResult(s, dir)
+      r.funnel.withColumn("n_tokens", lit(0L)).unionAll(
+        r.shards.select((col("shard") + 100).as("stage"),
+          concat(lit("shard_"), col("shard").cast("string")).as("gate"),
+          col("n_docs"), col("n_tokens")))
     },
 
     // Data-mixing weights (differential-tested): per-language sampling
