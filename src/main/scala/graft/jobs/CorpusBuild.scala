@@ -47,10 +47,15 @@ object CorpusBuild {
       .withColumn("h", md5(col("text")))
       .cache()
 
-    // earliest-keeper exact dedup: only (digest, doc_id) shuffles; the
-    // kept rows come back via a digest-keyed semi-join
-    val keepers = gated.groupBy("h").agg(min("doc_id").as("doc_id"))
-    val deduped = gated.join(keepers, Seq("h", "doc_id"), "left_semi")
+    // earliest-keeper exact dedup: ONE digest-keyed exchange of the gated
+    // rows — the unavoidable exact-dedup shuffle at any scale (every row
+    // must meet its digest-mates once). A window rank replaces the
+    // previous digest aggregate + (h, doc_id) semi-join, which moved the
+    // text through a second exchange for the same emission set.
+    val keepWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id")
+    val deduped = gated.withColumn("rn", row_number().over(keepWin))
+      .filter(col("rn") === 1).drop("rn")
 
     // decontamination: eval fingerprints broadcast (bounded BY CONTRACT —
     // an eval benchmark is a fixed set, not a scaling input), training
