@@ -906,10 +906,18 @@ object DedupOps {
       val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
         .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
       val labels = minLabelComponents(edges, Tables.embeddings(s, dir).select("vec_id")).labels
-      val keepers = labels.filter(col("vec_id") === col("cluster_id"))
+      // Drop the LOSERS (non-canonical cluster members) rather than
+      // keeping the keepers: labels covers every doc, so the two are
+      // complementary — but keepers ≈ the whole corpus (every singleton
+      // is its own canonical), while losers scale with the DUPLICATE
+      // RATE. The anti-join's build side is therefore the small set by
+      // construction; the hint stays size-gated (dup rate is data, not a
+      // contract) so a pathological corpus degrades to a shuffle instead
+      // of a corpus-sized driver broadcast.
+      val losers = labels.filter(col("vec_id") =!= col("cluster_id"))
         .select(col("vec_id").as("doc_id"))
       Tables.documents(s, dir)
-        .join(broadcast(keepers), Seq("doc_id"), "left_semi")
+        .join(graft.ops.Hints.broadcastIfSmall(losers), Seq("doc_id"), "left_anti")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"),
           sum("n_chars").cast("long").as("kept_chars"))
