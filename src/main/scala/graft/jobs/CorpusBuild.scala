@@ -47,10 +47,12 @@ object CorpusBuild {
       .withColumn("h", md5(col("text")))
       .cache()
 
-    // earliest-keeper exact dedup: ONE digest-keyed exchange of the gated
-    // rows — the unavoidable exact-dedup shuffle at any scale (every row
-    // must meet its digest-mates once). A window rank replaces the
-    // previous digest aggregate + (h, doc_id) semi-join, which moved the
+    // earliest-keeper exact dedup: at most ONE digest-keyed exchange —
+    // and Catalyst compiles the rn=1 filter to a partial+final
+    // WindowGroupLimit (ScalePlanSpec-asserted), so each input task
+    // forwards only its best candidate per digest and the exchange
+    // carries keeper candidates, not the corpus. Replaces the previous
+    // digest aggregate + (h, doc_id) semi-join, which moved the full
     // text through a second exchange for the same emission set.
     val keepWin = org.apache.spark.sql.expressions.Window
       .partitionBy("h").orderBy("doc_id")

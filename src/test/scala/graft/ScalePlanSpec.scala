@@ -139,6 +139,28 @@ class ScalePlanSpec extends AnyFunSuite {
     } finally out.parsed.unpersist(false)
   }
 
+  test("corpus build: exact dedup is ONE digest exchange, decon broadcasts") {
+    // the r11 window-rank restructure: gate/redact are narrow, dedup
+    // ranks within a single hashpartitioning(h) exchange, and the
+    // eval-fingerprint anti-join broadcasts — no second full-row shuffle,
+    // no sort-merge join anywhere in the kept plan
+    val r = queries.TextOps.corpusBuildResult(spark, sf)
+    try {
+      val plan = r.kept.queryExecution.sparkPlan.toString
+      assert(plan.contains("Window"), s"dedup is not a window rank:\n$plan")
+      // rn=1 compiles to a partial+final WindowGroupLimit: each input
+      // task forwards at most one candidate per digest, so the (single)
+      // exchange carries keeper candidates, not the corpus
+      assert(plan.contains("WindowGroupLimit"),
+        s"no map-side group-limit below the window:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1, // 0 at single-partition fixture scale
+        s"expected at most one digest exchange in kept, got $exchanges:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"kept plan fell back to a full-shuffle join:\n$plan")
+    } finally queries.TextOps.releaseCorpusBuild(spark, sf)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
