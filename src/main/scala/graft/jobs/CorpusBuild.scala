@@ -39,13 +39,17 @@ object CorpusBuild {
     val f2 = TextOps.gateStopword
 
     // gate, then redact — the digest (and the corpus) must never carry
-    // PII. Cached: the regex+digest pass is the expensive narrow work and
-    // feeds dedup, decon, the funnel tail, AND the final write — without
-    // the cache the chain re-executes once per downstream action.
+    // PII. Persisted: the regex+digest pass is the expensive narrow work
+    // and feeds dedup, decon, the funnel tail, AND the final write —
+    // without it the chain re-executes once per downstream action.
+    // DISK_ONLY for the same measured reason as Merge's parsed stage
+    // (jobs/Merge.scala): an O(corpus) intermediate read a handful of
+    // times shouldn't compete with the dedup window and the sharded
+    // write for the unified memory pool.
     val gated = docs.filter(f2)
       .withColumn("text", TextOps.redactPii(col("text")))
       .withColumn("h", md5(col("text")))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     // earliest-keeper exact dedup: at most ONE digest-keyed exchange —
     // and Catalyst compiles the rn=1 filter to a partial+final
