@@ -42,7 +42,12 @@ object MergeJob {
       sourcelog = Sources.readSourcelogCsv(spark, slGlob),
       blacklist = blacklist.map(Sources.readMetadataHashes(spark, _))))
 
-    val txs = result.transactions.cache()
+    // DISK_ONLY, same measured rule as Merge's parsed stage: the sorted
+    // O(input) output feeds five sinks plus the analyzer sequentially —
+    // re-reads come off local disk / page cache instead of churning the
+    // unified memory pool that the sort and sinks still need
+    val txs = result.transactions
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     Sinks.writeParquetArchive(txs, s"$outDir/transactions.parquet")
     // the multi-day publish layout (reference README.md:82): one
     // day=yyyy-MM-dd partition per UTC receive day, pruned by day filters
