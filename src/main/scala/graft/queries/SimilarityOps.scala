@@ -826,7 +826,7 @@ object SimilarityOps {
         import graft.functions.VecOps.vec_dot
         val qs = emb.filter(col("vec_id") < 5)
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
-        val scores = array(qs.map { case (qid, qv) =>
+        val scores = array(qs.toIndexedSeq.map { case (qid, qv) =>
           val qlit = array(qv.map(lit(_)): _*)
           val qnorm = math.sqrt(qv.map(x => x * x).sum)
           struct(lit(qid).as("qid"),

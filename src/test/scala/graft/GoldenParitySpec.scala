@@ -75,7 +75,7 @@ class GoldenParitySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val parse = spark.read.parquet(
       Paths.get(QueryDef.goldenDir, "q_parse_raw_tx.parquet").toString)
-    val payload = struct(parse.columns.filterNot(_ == "timestamp").map(col): _*)
+    val payload = struct(parse.columns.filterNot(_ == "timestamp").toIndexedSeq.map(col): _*)
     val bad = parse.groupBy("hash")
       .agg(count(lit(1)).as("n"),
         countDistinct(payload).as("dv"),

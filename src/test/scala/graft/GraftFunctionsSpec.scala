@@ -58,14 +58,14 @@ class GraftFunctionsSpec extends AnyFunSuite {
     new graft.functions.GraftExtensions().apply(e)
     // and the same function through the session registry returns the KAT
     GraftFunctions.register(spark)
-    assert(spark.sql("SELECT hex(keccak256(cast('abc' as binary))) h").head.getString(0)
+    assert(spark.sql("SELECT hex(keccak256(cast('abc' as binary))) h").head().getString(0)
       .equalsIgnoreCase("4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"))
   }
 
   test("parse_raw_tx is SQL-callable") {
     GraftFunctions.register(spark)
     val hex = graft.functions.TxFixtures.rawTxHex(7L)
-    val row = spark.sql(s"SELECT parse_raw_tx('$hex').hash AS h").head
+    val row = spark.sql(s"SELECT parse_raw_tx('$hex').hash AS h").head()
     assert(row.getString(0).startsWith("0x") && row.getString(0).length == 66)
   }
 }

@@ -27,7 +27,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(planted >= (nDocs * 0.8).toLong)
     // 128-bit fingerprint: same 0.1875 fractional distance bound as the
     // r1 64-bit/12 threshold
-    assert(pairs.agg(max("hamming")).head.getLong(0) <= 24L)
+    assert(pairs.agg(max("hamming")).head().getLong(0) <= 24L)
   }
 
   test("IVF ANN achieves high recall vs exact top-k") {
@@ -97,7 +97,7 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("exact dedup keeper is stable") {
     val d = SparkEntry.queries("q_dedup_exact")(spark, sf)
-    val total = d.agg(sum("n_copies")).head.getLong(0)
+    val total = d.agg(sum("n_copies")).head().getLong(0)
     assert(total == Tables.documents(spark, sf).count())
   }
 
@@ -126,7 +126,7 @@ class LlmOpsSpec extends AnyFunSuite {
   test("dedup apply keeps exactly one doc per cluster") {
     val labels = SparkEntry.queries("q_dedup_clusters")(spark, sf).cache()
     val kept = SparkEntry.queries("q_dedup_apply")(spark, sf)
-      .agg(sum("n_kept")).head.getLong(0)
+      .agg(sum("n_kept")).head().getLong(0)
     val nClusters = labels.select("cluster_id").distinct().count()
     assert(kept == nClusters, s"kept $kept docs but there are $nClusters clusters")
   }
@@ -173,7 +173,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val rel = SparkEntry.queries("q_sim_ann_pq")(spark, sf)
       .join(exact, Seq("vec_id"))
       .select((abs(col("adc_r") - col("d2x")) / col("d2x")).as("rel"))
-    val meanErr = rel.agg(avg("rel")).head.getDouble(0)
+    val meanErr = rel.agg(avg("rel")).head().getDouble(0)
     assert(meanErr <= 0.45, f"ADC mean relative distance error $meanErr%.3f > 0.45")
     assert(rel.filter(col("rel") > 1.0).count() == 0, "an ADC distance is off by >2x")
   }
@@ -201,9 +201,9 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("n-gram decontamination is at least as strict as exact-fingerprint") {
     val exact = SparkEntry.queries("q_decontaminate")(spark, sf)
-      .agg(sum("n_kept")).head.getLong(0)
+      .agg(sum("n_kept")).head().getLong(0)
     val ngram = SparkEntry.queries("q_decontaminate_ngram")(spark, sf)
-      .agg(sum("n_kept")).head.getLong(0)
+      .agg(sum("n_kept")).head().getLong(0)
     // any verbatim copy shares all its 13-grams, so n-gram overlap drops a
     // superset of the exact-dup contamination
     assert(ngram <= exact, s"ngram kept $ngram > exact kept $exact")
@@ -247,8 +247,8 @@ class LlmOpsSpec extends AnyFunSuite {
     val bins = SparkEntry.queries("q_pack_sequences")(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
     val totalTok = docs.select(
-      sum(size(split(trim(col("text")), "\\s+")).cast("long"))).head.getLong(0)
-    assert(bins.agg(sum("bin_tokens")).head.getLong(0) == totalTok)
+      sum(size(split(trim(col("text")), "\\s+")).cast("long"))).head().getLong(0)
+    assert(bins.agg(sum("bin_tokens")).head().getLong(0) == totalTok)
     // every non-final bin of a language stream holds >= capacity worth of
     // doc starts: its last doc begins before the 2048 boundary, so bins are
     // contiguous (no gaps in bin ids per lang)
@@ -264,7 +264,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     assert(r.count() == docs.count(), "every doc must survive (possibly empty)")
     // the corpus plants near-dup pairs, so shared segments must exist…
-    assert(r.agg(sum("n_dropped")).head.getLong(0) > 0, "nothing was dropped")
+    assert(r.agg(sum("n_dropped")).head().getLong(0) > 0, "nothing was dropped")
     // …and dropping is bounded by what exists
     assert(r.filter(col("n_dropped") > col("n_chunks")).count() == 0)
     // a doc with nothing dropped reassembles to its exact original text
@@ -284,7 +284,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // md5 is uniform in doc_id: no shard may be pathologically skewed
     assert(mx <= mn * 3, s"shard skew: min=$mn max=$mx")
     val total = SparkEntry.queries("q_corpus_shard")(spark, sf)
-      .agg(sum("n_docs")).head.getLong(0)
+      .agg(sum("n_docs")).head().getLong(0)
     assert(total == Tables.documents(spark, sf).count())
   }
 
@@ -343,7 +343,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val joined = fast.join(exact, Seq("vec_id", "dim"), "full").cache()
     assert(joined.filter(col("r_fast").isNull || col("r_exact").isNull).count() == 0,
       "production and exact JL paths disagree on the output key set")
-    val worst = joined.agg(max(abs(col("r_fast") - col("r_exact")))).head.getDouble(0)
+    val worst = joined.agg(max(abs(col("r_fast") - col("r_exact")))).head().getDouble(0)
     assert(worst <= 1.0000001e-6, s"JL fast path diverges from exact twin: $worst")
   }
 
@@ -357,7 +357,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val n = Tables.documents(spark, sf)
       .select(explode(split(lower(trim(col("text"))), "\\s+"))).count()
     val bound = math.ceil(math.E / 256.0 * n).toLong
-    val worst = r.agg(max(col("c_est") - col("c_exact"))).head.getLong(0)
+    val worst = r.agg(max(col("c_est") - col("c_exact"))).head().getLong(0)
     assert(worst <= bound, s"CMS overestimate $worst exceeds eps*N=$bound")
   }
 
@@ -502,7 +502,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val sketch = SparkEntry.queries("q_dedup_winnow")(spark, sf).cache()
     // selection density ≈ 2/(w+1) = 0.4 of window positions
     val density = sketch
-      .agg(avg(col("n_selected") / (col("n_positions") - 3))).head.getDouble(0)
+      .agg(avg(col("n_selected") / (col("n_positions") - 3))).head().getDouble(0)
     assert(density > 0.25 && density < 0.55, s"winnow density off: $density")
     // matching on the selected sets: a planted copy (last 2 words cut)
     // must overlap its original far more than unrelated template-sharing
@@ -517,7 +517,7 @@ class LlmOpsSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("inter"))
       val sz = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
       inter.join(sz, Seq("doc_id"))
-        .agg(avg(col("inter") / col("n"))).head.getDouble(0)
+        .agg(avg(col("inter") / col("n"))).head().getDouble(0)
     }
     val planted = overlap(1000000L, baseOnly = false)
     val random = overlap(57L, baseOnly = true)
@@ -530,7 +530,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val r = SparkEntry.queries("q_vocab_topk")(spark, sf).cache()
     val langs = Tables.documents(spark, sf).select("lang").distinct().count()
     assert(r.count() == langs * 10)
-    val top = r.filter(col("lang") === "en").orderBy(col("c").desc).head
+    val top = r.filter(col("lang") === "en").orderBy(col("c").desc).head()
     val exact = Tables.documents(spark, sf).filter(col("lang") === "en")
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(col("w") === top.getString(1)).count()
