@@ -16,6 +16,18 @@ object Verify {
       case (k, sql) if sql.contains(QueryDef.goldenDir) => k
     }.toSet
 
+  /** Delete a stale `$outDir/$name` result directory. Symmetric with the
+    * success branch deleting stale `_error` markers: a skip/failure must
+    * not leave BOTH a (previous run's) result parquet and an error marker
+    * for one query, or the driver could score the stale result
+    * (ADVICE r11). */
+  private def deleteResultDir(path: java.nio.file.Path): Unit =
+    if (Files.exists(path)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
@@ -42,6 +54,7 @@ object Verify {
             s"verify dir is $sfName (a run here would be an SF mismatch, not a defect)"
           System.err.println(s"[verify] $name $msg")
           errors(name) = msg
+          deleteResultDir(Paths.get(s"$outDir/$name"))
           Files.writeString(Paths.get(s"$outDir/$name._error"), msg + "\n")
         } else try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -56,6 +69,7 @@ object Verify {
           // regression reads as "not run" (this hid r9's 18-query break).
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
+          deleteResultDir(Paths.get(s"$outDir/$name"))
           Files.writeString(Paths.get(s"$outDir/$name._error"), errors(name) + "\n")
         }
       }

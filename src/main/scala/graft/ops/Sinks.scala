@@ -175,23 +175,56 @@ object Sinks {
       // stage/swap renames touch only its own partition dir, so the swap
       // protocol is unchanged). Bound 8: enough to hide latency without
       // starving a shared cluster's other jobs.
+      //
+      // SHARED-CLUSTER DEPLOYMENT NOTE (VERDICT r11 item 7): with the
+      // default FIFO scheduler, 8 concurrent rewrite jobs can still queue
+      // ahead of interactive queries on a busy cluster. A deployment that
+      // shares the SparkContext should run the compactor under FAIR
+      // scheduling in its own pool: set spark.scheduler.mode=FAIR (plus a
+      // fairscheduler.xml pool, e.g. "maintenance" with a low weight) and
+      // wrap this call with
+      //   sc.setLocalProperty("spark.scheduler.pool", "maintenance")
+      // so leaf rewrites share the cluster instead of monopolising it.
+      // Left unset here on purpose: pool names are a deployment contract,
+      // and local/single-tenant runs are faster FIFO.
       val leafDirs = leaves(root)
       if (leafDirs.isEmpty) Map.empty
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(8, leafDirs.size))
-        try {
-          leafDirs.map { dir =>
-            pool.submit(new java.util.concurrent.Callable[Option[(String, (Int, Int))]] {
-              def call(): Option[(String, (Int, Int))] = compactLeaf(dir)
-            })
-          }.flatMap { f =>
+        val futures = leafDirs.map { dir =>
+          pool.submit(new java.util.concurrent.Callable[Option[(String, (Int, Int))]] {
+            def call(): Option[(String, (Int, Int))] = compactLeaf(dir)
+          })
+        }
+        val collected: Either[Throwable, Map[String, (Int, Int)]] =
+          try Right(futures.flatMap { f =>
             // surface the leaf's own failure, not the Future wrapper —
             // a crashed pass re-runs idempotently via recoverArchiveStaging
             try f.get()
             catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-          }.toMap
-        } finally pool.shutdown()
+          }.toMap)
+          catch { case e: Throwable => Left(e) }
+        // Single-writer contract: NO compactLeaf may still be running
+        // when this method returns (ADVICE r11). On the failure path,
+        // stragglers would keep renaming partition dirs in the
+        // background — racing the outer timestamp-type restore and the
+        // documented "just re-run compaction" recovery. Cancel whatever
+        // has not completed (no-op for done futures, so the success path
+        // is unaffected), then WAIT for in-flight leaves to finish
+        // unwinding before returning or rethrowing. An interrupted leaf
+        // aborts mid-protocol at worst between its two renames — the
+        // `.old-<tag>` stage that recoverArchiveStaging already heals.
+        futures.foreach(_.cancel(true))
+        pool.shutdown()
+        val quiesced = pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        collected match {
+          case Left(e) => throw e // the leaf failure, never masked
+          case Right(out) =>
+            if (!quiesced) throw new java.io.IOException(
+              "compact: worker pool did not quiesce within 10 minutes")
+            out
+        }
       }
     } finally {
       prev match {

@@ -33,7 +33,7 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   def pairsCache(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    SessionCaches.memoize(pairsMemo, (System.identityHashCode(s), dir), {
       SessionCaches.onRelease(s, s"dedup.pairs:$dir")(() => releasePairs(s, dir))
       embeddingCosPairs(s, dir).cache()
     })
@@ -54,7 +54,7 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private[graft] def simhashFp(s: SparkSession, dir: String): DataFrame =
-    simhashFpMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    SessionCaches.memoize(simhashFpMemo, (System.identityHashCode(s), dir), {
       SessionCaches.onRelease(s, s"dedup.simhash.fp:$dir")(() =>
         releaseSimhashFp(s, dir))
       graft.functions.GraftFunctions.register(s)
@@ -99,7 +99,7 @@ object DedupOps {
   private[graft] def minhashBase(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val key = (System.identityHashCode(s), docs.queryExecution.analyzed.semanticHash())
-    minhashBaseMemo.getOrElseUpdate(key, {
+    SessionCaches.memoize(minhashBaseMemo, key, {
       SessionCaches.onRelease(s, s"dedup.minhash.base:${key._2}")(() =>
         minhashBaseMemo.remove(key).foreach(_.unpersist(false)))
       val extra = docs.columns.filter(c => c != "doc_id" && c != "text").map(col)
@@ -899,21 +899,29 @@ object DedupOps {
         |  SELECT v AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
         |SELECT d.lang, COUNT(*) AS n_kept,
         |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
-        |FROM labels l JOIN documents d ON d.doc_id = l.vec_id
-        |WHERE l.vec_id = l.cluster_id
+        |FROM documents d
+        |WHERE d.doc_id NOT IN
+        |  (SELECT vec_id FROM labels WHERE vec_id <> cluster_id)
         |GROUP BY d.lang""".stripMargin) { (s, dir) =>
       val pairs = pairsCache(s, dir).select("vec_a", "vec_b")
       val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
         .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
       val labels = minLabelComponents(edges, Tables.embeddings(s, dir).select("vec_id")).labels
       // Drop the LOSERS (non-canonical cluster members) rather than
-      // keeping the keepers: labels covers every doc, so the two are
-      // complementary — but keepers ≈ the whole corpus (every singleton
+      // keeping the keepers: keepers ≈ the whole corpus (every singleton
       // is its own canonical), while losers scale with the DUPLICATE
       // RATE. The anti-join's build side is therefore the small set by
       // construction; the hint stays size-gated (dup rate is data, not a
       // contract) so a pathological corpus degrades to a shuffle instead
       // of a corpus-sized driver broadcast.
+      //
+      // Declared semantics (ADVICE r11): a document with NO embeddings
+      // row can never be DETECTED as a near-dup, so it is KEPT — the
+      // oracle's `doc_id NOT IN (losers)` states exactly the anti-join,
+      // with no embeddings-covers-documents invariant in either
+      // direction (the old keeper inner-join silently dropped
+      // unembedded docs). DedupClusterSpec pins this on a fixture with an
+      // unembedded document.
       val losers = labels.filter(col("vec_id") =!= col("cluster_id"))
         .select(col("vec_id").as("doc_id"))
       Tables.documents(s, dir)

@@ -69,7 +69,7 @@ object MempoolParse {
     .empty[(Int, String), (DataFrame, DataFrame, DataFrame)]
 
   private def inputs(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    inputsMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    SessionCaches.memoize(inputsMemo, (System.identityHashCode(s), dir), {
       SessionCaches.onRelease(s, s"mempool.inputs:$dir")(() =>
         releaseInputs(s, dir))
       (rawTxs(s, dir).cache(), sourcelog(s, dir).cache(), blocks(s, dir).cache())
@@ -95,7 +95,7 @@ object MempoolParse {
     .empty[(Int, String), Merge.Output]
 
   def mergeOutput(s: SparkSession, dir: String): Merge.Output =
-    memo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    SessionCaches.memoize(memo, (System.identityHashCode(s), dir), {
       SessionCaches.onRelease(s, s"mempool.merge:$dir")(() =>
         releaseMerge(s, dir))
       val (raws, slog, blks) = inputs(s, dir)

@@ -28,6 +28,23 @@ object SessionCaches {
   private val finalizers = TrieMap.empty[Int, TrieMap[String, () => Unit]]
   private val hooked = TrieMap.empty[Int, Boolean]
 
+  /** Race-safe memo fill for the owners' TrieMap memo maps. TrieMap's own
+    * `getOrElseUpdate` evaluates racing builders concurrently and DISCARDS
+    * the loser's value with no release path reachable — for builders that
+    * `.cache()`/persist, that is a leaked persisted frame for the
+    * session's lifetime (ADVICE r11). Double-checked: the filled fast
+    * path stays lock-free; builders serialize on the map (per-map, not
+    * per-key — builds are rare driver-side events, and no builder
+    * re-enters its own map, so coarse serialization is deadlock-free).
+    * Same problem Layouts.PublishedLayout solves with `computeIfAbsent`;
+    * this keeps the owners' existing `remove(key).foreach(release)`
+    * idiom working unchanged. */
+  def memoize[K, V](memo: TrieMap[K, V], key: K, build: => V): V =
+    memo.get(key) match {
+      case Some(v) => v
+      case None    => memo.synchronized(memo.getOrElseUpdate(key, build))
+    }
+
   /** Register `cleanup` to run when `s`'s application ends (or when the
     * owner releases it explicitly, whichever comes first). */
   def onRelease(s: SparkSession, tag: String)(cleanup: () => Unit): Unit = {

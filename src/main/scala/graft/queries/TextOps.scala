@@ -145,7 +145,7 @@ object TextOps {
   private[graft] def bpeTrained(s: org.apache.spark.sql.SparkSession, dir: String,
       rounds: Int, checkpointEvery: Int = 4)
       : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) =
-    bpeMemo.getOrElseUpdate((System.identityHashCode(s), dir, rounds), {
+    SessionCaches.memoize(bpeMemo, (System.identityHashCode(s), dir, rounds), {
       SessionCaches.onRelease(s, s"text.bpe:$rounds:$dir")(() =>
         releaseBpe(s, dir, rounds))
       val (learned, words) = bpeTrain(s, dir, rounds, checkpointEvery)
@@ -170,7 +170,7 @@ object TextOps {
 
   private[graft] def corpusBuildResult(s: org.apache.spark.sql.SparkSession,
       dir: String): graft.jobs.CorpusBuild.Result =
-    corpusBuildMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    SessionCaches.memoize(corpusBuildMemo, (System.identityHashCode(s), dir), {
       SessionCaches.onRelease(s, s"text.corpusbuild:$dir")(() =>
         releaseCorpusBuild(s, dir))
       val docs = Tables.documents(s, dir)

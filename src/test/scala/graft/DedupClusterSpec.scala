@@ -70,4 +70,44 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(st(7L) == 3L && st(3L) == 3L)
     assert((0 until 10).filter(i => i != 7).forall(i => st(i.toLong) == i.toLong))
   }
+
+  test("dedup apply KEEPS a document with no embeddings row (declared semantics)") {
+    // ADVICE r11: the losers anti-join and the old keeper inner-join
+    // diverge exactly when a document has no embeddings row. The declared
+    // semantics (and the oracle's `doc_id NOT IN losers`) is KEEP — an
+    // unembedded doc can never be detected as a near-dup. Pin it on a
+    // fixture where coverage does NOT hold.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedup-apply-sem").toString
+    try {
+      Seq(
+        (0L, "alpha text", "en", "web", 10L),
+        (1L, "alpha text near copy", "en", "web", 15L),
+        (2L, "beta", "en", "web", 4L),
+        (3L, "gamma", "de", "web", 5L),
+        (4L, "delta", "de", "web", 5L),
+        (5L, "unembedded straggler", "fr", "web", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      def oneHot(i: Int): Array[Float] =
+        Array.tabulate(64)(j => if (j == i) 1f else 0f)
+      // vec 0 and 1 identical (cos = 1): one near-dup pair, loser = 1.
+      // Distinct one-hot axes elsewhere: cos = 0, below any threshold.
+      Seq((0L, oneHot(0), 1), (1L, oneHot(0), 1), (2L, oneHot(1), 1),
+        (3L, oneHot(2), 1), (4L, oneHot(3), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      val out = SparkEntry.queries("q_dedup_apply")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out("en") == (2L, 14L), s"en: $out") // loser doc 1 dropped
+      assert(out("de") == (2L, 10L), s"de: $out")
+      assert(out("fr") == (1L, 20L), s"fr: the unembedded doc must be kept")
+    } finally {
+      DedupOps.releasePairs(spark, dir)
+      val p = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
