@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run stdout must pass through UNDECORATED: sbt's default logger
+// prepends "[info] " to every forked-process line, which breaks any
+// consumer that parses our single-line JSON output (Bench's summary line
+// reached the driver as `[info] {...}` — unparseable). StdoutOutput
+// inherits the parent's stdout/stderr directly, no log-prefix rewrite.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -39,6 +39,12 @@ object SinkOracles {
   private def hexLower(bytes: Array[Byte]): String =
     graft.functions.Keccak256.hex(bytes)
 
+  private def jdbcProps: java.util.Properties = {
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    props
+  }
+
   /** S14: the batched-JDBC sink run against a REAL JDBC endpoint (embedded
     * in-memory Derby — same JVM, the local-mode stand-in for ClickHouse).
     * Three micro-batches (collector/clickhouse.go:92-242 shape), an
@@ -50,11 +56,14 @@ object SinkOracles {
     *
     * Batches sample every 7th event; batch b carries event_id % 3 == b, so
     * a hash (keyed on user_id) recurs in up to 3 batches → final per-hash
-    * row count proves per-batch dedup AND cross-batch accumulation. */
-  private[graft] def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val props = new java.util.Properties
-    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    val db = jdbcLayout.named(s, dir) { name =>
+    * row count proves per-batch dedup AND cross-batch accumulation.
+    *
+    * Published once per (session, dir) — shared by the sink roundtrip
+    * (S14) and the pushed-predicate read (S5's read half); returns the
+    * in-memory database name. */
+  private def publishedTxsDb(s: SparkSession, dir: String): String = {
+    val props = jdbcProps
+    jdbcLayout.named(s, dir) { name =>
       val url = s"jdbc:derby:memory:$name;create=true"
       val sample = Tables.events(s, dir)
         .filter(col("event_id") % 7 === 0)
@@ -78,12 +87,66 @@ object SinkOracles {
           concat(lit("src"), (col("user_id") % 5).cast("string")).as("source")), b.toLong)
       }
     }
-    s.read.jdbc(s"jdbc:derby:memory:$db", "TXS", props)
+  }
+
+  private[graft] def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val db = publishedTxsDb(s, dir)
+    s.read.jdbc(s"jdbc:derby:memory:$db", "TXS", jdbcProps)
       .groupBy("hash")
       .agg(count(lit(1)).as("n_batches"),
         min("timestamp_ms").as("ts"),
         min("fee_bucket").as("fee_bucket"),
         min("source").as("source"))
+  }
+
+  /** S5's read half (VERDICT r11 item 3): a ranged JDBC scan with the
+    * time-range predicate PUSHED to the database, mirroring the
+    * reference's ClickHouse merge read, which binds
+    * `received_at >= ? AND received_at < ?` into the remote query
+    * (cmd/merge/clickhouse.go:73-96) so the database — not the engine —
+    * prunes the scan. Two scale properties, both asserted:
+    *  - the range filter lands in `PushedFilters` of the JDBC scan node
+    *    (a full-table pull that filters engine-side would move the whole
+    *    history over the wire at 100 TB);
+    *  - the read is PARTITIONED on the pushed column (4 ranged
+    *    connections) — the JDBC analogue of parallel parquet splits, so
+    *    one executor is never the single straw through which the whole
+    *    table drains. */
+  private[graft] def jdbcPushdownRead(s: SparkSession, dir: String): DataFrame = {
+    val db = publishedTxsDb(s, dir)
+    val props = jdbcProps
+    // mid-range bounds non-trivial at every SF: uid >= 3 excludes rows at
+    // the low end everywhere; the upper bound is genuine (uid < 10^5)
+    val lo = 1700000003000L
+    val hi = 1700100000000L
+    val scan = s.read
+      .option("partitionColumn", "timestamp_ms")
+      .option("lowerBound", "1700000000000")
+      .option("upperBound", "1700001500000")
+      .option("numPartitions", "4")
+      .jdbc(s"jdbc:derby:memory:$db", "TXS", props)
+      .filter(col("timestamp_ms") >= lo && col("timestamp_ms") < hi)
+    // Plan assertion IN the query (driver-visible): if Spark ever stops
+    // pushing the range into the JDBC source, the CORRECTNESS entry
+    // fails loudly instead of silently degrading to a full-table pull.
+    // Read the scan node's metadata, not its toString — node rendering
+    // truncates long filter lists.
+    val pushed = scan.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case r: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+          r.metadata.getOrElse("PushedFilters", "")
+      }.mkString("; ").toLowerCase
+    require(pushed.contains("greaterthanorequal(timestamp_ms") &&
+      pushed.contains("lessthan(timestamp_ms"),
+      s"JDBC range predicate not pushed to the source: [$pushed]")
+    require(scan.rdd.getNumPartitions == 4,
+      s"JDBC scan is not partitioned (expected 4 ranged connections, " +
+        s"got ${scan.rdd.getNumPartitions})")
+    scan.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        min("timestamp_ms").as("min_ts"),
+        max("timestamp_ms").as("max_ts"),
+        sum("fee_bucket").cast("long").as("fees"))
   }
 
   /** S16: the HTTP receiver fan-out POSTing each allowed tx's raw bytes to
@@ -341,6 +404,30 @@ object SinkOracles {
         |  MIN('src' || CAST(user_id % 5 AS VARCHAR)) AS source
         |FROM s GROUP BY 1""".stripMargin) { (s, dir) =>
       jdbcRoundtrip(s, dir)
+    },
+
+    // S5 read half: ranged JDBC scan with the time-range predicate pushed
+    // to the database (reference: cmd/merge/clickhouse.go:73-96 binds
+    // received_at >= ? AND < ? into the ClickHouse query) over a
+    // 4-way-partitioned read. The query body itself REQUIRES the filter
+    // to appear in the scan's PushedFilters, so this entry going green is
+    // also the plan assertion.
+    "q_source_jdbc_pushdown" -> QueryDef.sql(
+      "S5 read: partitioned JDBC scan, range predicate pushed to the database",
+      """WITH s AS (
+        |  SELECT DISTINCT user_id, event_id % 3 AS b
+        |  FROM events WHERE event_id % 7 = 0),
+        |t AS (
+        |  SELECT 1700000000000 + user_id * 1000 AS timestamp_ms,
+        |    user_id * 1000003 % 97 AS fee_bucket,
+        |    'src' || CAST(user_id % 5 AS VARCHAR) AS source
+        |  FROM s)
+        |SELECT source, COUNT(*) AS n, MIN(timestamp_ms) AS min_ts,
+        |  MAX(timestamp_ms) AS max_ts, CAST(SUM(fee_bucket) AS BIGINT) AS fees
+        |FROM t
+        |WHERE timestamp_ms >= 1700000003000 AND timestamp_ms < 1700100000000
+        |GROUP BY source""".stripMargin) { (s, dir) =>
+      jdbcPushdownRead(s, dir)
     },
 
     "q_sink_http_fanout" -> QueryDef.sql(

@@ -161,6 +161,30 @@ class ScalePlanSpec extends AnyFunSuite {
     } finally queries.TextOps.releaseCorpusBuild(spark, sf)
   }
 
+  test("JDBC read: range predicate pushed to the database, 4-way partitioned scan") {
+    // The query body REQUIREs PushedFilters + numPartitions=4 on its scan
+    // leaf (SinkOracles.jdbcPushdownRead) — running it at all asserts the
+    // plan; here additionally pin the result against a local recompute so
+    // the pushed read returns the same rows a full pull would.
+    val out = queries.SinkOracles.jdbcPushdownRead(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_id") % 7 === 0)
+      .select(col("user_id"), (col("event_id") % 3).as("b")).distinct()
+      .select(col("user_id"), (lit(1700000000000L) + col("user_id") * 1000L).as("ts"),
+        (col("user_id") * 1000003L % 97L).as("fee"),
+        concat(lit("src"), (col("user_id") % 5).cast("string")).as("source"))
+      .filter(col("ts") >= 1700000003000L && col("ts") < 1700100000000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min("ts").as("min_ts"),
+        max("ts").as("max_ts"), sum("fee").cast("long").as("fees"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == expected, s"pushed JDBC read diverges: $out vs $expected")
+    assert(out.nonEmpty)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
