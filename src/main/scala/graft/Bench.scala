@@ -42,6 +42,11 @@ object Bench {
         i += 1
       }
       queries.MempoolParse.warmMergeShape(spark, sfDir)
+      // streaming-engine + state-store-provider warm-up (VERDICT r11
+      // item 4): micro-batch engine classload, stateful-operator codegen
+      // and the RocksDB JNI/provider init are one-time JVM costs — eat
+      // them here, not inside whichever streaming oracle runs first
+      graft.streaming.Collect.warmStreamEngine(spark)
     } catch { case _: Throwable => }
 
     // Calibration (VERDICT r4/r5): a FIXED CPU-bound reference job whose

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   * recall is checkable at any N.
   *
   * Usage: runMain graft.CorpusScaleBench [nDocs]  (default 1,000,000)
+  *   --stages    sub-stage attribution of the minhash pair bill
+  *   --semantic  instead run the SemDeDup hierarchical-blocking path at
+  *               nDocs synthetic 64-dim embeddings with planted near-dups
+  *               and report planted + exact-subsample recall
+  *               (VERDICT r11 item 5)
   */
 object CorpusScaleBench {
 
@@ -45,8 +50,129 @@ object CorpusScaleBench {
     sb.toString
   }
 
+  /** Deterministic synthetic embedding for vec_id (64-dim, unit norm).
+    * Every id ≡ 9 (mod 10) is a PLANTED semantic near-dup of id−9: the
+    * base vector plus an ε=0.1 deterministic perturbation → cos ≈ 0.995.
+    * Unplanted pairs are iid random directions in R⁶⁴ (cos ~ N(0, 1/64)),
+    * so at τ = 0.9 the exact above-threshold pair set is the planted set
+    * to ~1e-13 per-pair odds — the analytic ground truth the recall
+    * figures lean on, CONFIRMED empirically by the brute-force subsample
+    * pass in [[semanticRun]]. */
+  def synVec(id: Long): Array[Float] = {
+    val base = if (id % 10 == 9) id - 9 else id
+    var x = mix(base ^ 0x5ca1ab1eL)
+    def next(): Double = {
+      x = mix(x)
+      (x >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val v = new Array[Double](64)
+    var i = 0
+    while (i < 64) { v(i) = next(); i += 1 }
+    if (id % 10 == 9) {
+      var y = mix(id ^ 0x0ddba11L)
+      def nz(): Double = {
+        y = mix(y)
+        (y >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+      var j = 0
+      while (j < 64) { v(j) += 0.1 * nz(); j += 1 }
+    }
+    var s2 = 0.0
+    var k = 0
+    while (k < 64) { s2 += v(k) * v(k); k += 1 }
+    val inv = 1.0 / math.sqrt(s2)
+    val out = new Array[Float](64)
+    var m = 0
+    while (m < 64) { out(m) = (v(m) * inv).toFloat; m += 1 }
+    out
+  }
+
+  /** VERDICT r11 item 5: the SemDeDup hierarchical-blocking path
+    * (semK(N) ≫ FlatKCap → coarse cells + per-cell local Lloyd)
+    * wall-measured at N synthetic embeddings, with TWO recall figures:
+    * planted recall over the full corpus, and recall against the
+    * brute-force exact pair set on a 100 k subsample. */
+  private def semanticRun(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val tau = 0.9
+    def stage[T](tag: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[sem] $tag%-26s $sec%8.2f s")
+      (r, sec)
+    }
+    val t0 = System.nanoTime()
+    val emb = spark.range(n).as[Long]
+      .mapPartitions(_.map(i => (i, synVec(i)))).toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val (_, genSec) = stage("embedding gen")(emb.count())
+
+    val clusters = queries.SimilarityOps.semClustersFromEmb(spark, emb, n).cache()
+    val (nClusters, blockSec) = stage("hierarchical blocking")(
+      clusters.select("cluster").distinct().count())
+
+    val pairs = queries.SimilarityOps.semDupPairs(spark, emb, clusters, tau).cache()
+    val (nPairs, pairSec) = stage("in-cluster pair verify")(pairs.count())
+
+    // planted recall over the FULL corpus: pair (id−9, id) found?
+    val planted = n / 10
+    val (found, _) = stage("planted recall") {
+      pairs.filter(col("vec_b") % 10 === 9 && col("vec_a") === col("vec_b") - 9)
+        .count()
+    }
+    val plantedRecall = found.toDouble / planted.toDouble
+
+    // exact ground truth on a 100 k subsample: brute-force all pairs at
+    // τ (harness-side loop over a broadcast float matrix — ground truth
+    // generation, not an engine operator; ~5·10⁹ dot products)
+    val sub = math.min(100000L, n).toInt
+    val ((nExact, nHit), exactSec) = stage(s"exact subsample ($sub)") {
+      val mat = new Array[Float](sub * 64)
+      var i = 0
+      while (i < sub) {
+        val v = synVec(i.toLong)
+        System.arraycopy(v, 0, mat, i * 64, 64)
+        i += 1
+      }
+      val bc = spark.sparkContext.broadcast(mat)
+      val chunks = 256
+      val exact = spark.range(chunks).as[Long].flatMap { c =>
+        val m = bc.value
+        val lo = (c * sub / chunks).toInt
+        val hi = ((c + 1) * sub / chunks).toInt
+        val out = Array.newBuilder[(Long, Long)]
+        var a = lo
+        while (a < hi) {
+          var b = a + 1
+          while (b < sub) {
+            var dot = 0.0f
+            var d = 0
+            while (d < 64) { dot += m(a * 64 + d) * m(b * 64 + d); d += 1 }
+            if (dot >= tau) out += ((a.toLong, b.toLong)) // unit vectors
+            b += 1
+          }
+          a += 1
+        }
+        out.result().iterator
+      }.toDF("vec_a", "vec_b").cache()
+      val ne = exact.count()
+      val hit = exact.join(pairs.select("vec_a", "vec_b"),
+        Seq("vec_a", "vec_b"), "left_semi").count()
+      exact.unpersist()
+      bc.destroy()
+      (ne, hit)
+    }
+    val exactRecall = if (nExact == 0) 1.0 else nHit.toDouble / nExact.toDouble
+
+    val total = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"sem_scale","n_vecs":$n,"clusters":$nClusters,"pairs":$nPairs,"planted_recall":$plantedRecall%.4f,"exact_sub_pairs":$nExact,"exact_sub_recall":$exactRecall%.4f,"gen_sec":$genSec%.1f,"block_sec":$blockSec%.1f,"pair_sec":$pairSec%.1f,"exact_sec":$exactSec%.1f,"total_sec":$total%.1f,"vecs_per_sec":${n / (blockSec + pairSec)}%.0f}""")
+    pairs.unpersist(); clusters.unpersist(); emb.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val n = args.headOption.filter(!_.startsWith("--")).map(_.toLong)
+      .getOrElse(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,6 +184,12 @@ object CorpusScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
+
+    if (args.contains("--semantic")) {
+      semanticRun(spark, n)
+      spark.stop()
+      return
+    }
 
     def stage[T](tag: String)(f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -77,7 +209,7 @@ object CorpusScaleBench {
     val (nPairs, pairSec) = stage("minhash pairs")(pairs.count())
     // sub-stage attribution on the SECOND pass (shingle cache warm): how
     // the pair bill splits between banding and the exact verify
-    if (args.length > 1 && args(1) == "--stages") {
+    if (args.contains("--stages")) {
       val cand = queries.DedupOps.minhashCandidatesFromDocs(spark, docs)
       stage("  candidates (warm)")(cand.count())
       stage("  pairs (warm)")(

@@ -84,7 +84,7 @@ object SimilarityOps {
       scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, DataFrame)]
 
     def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-      memo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      SessionCaches.memoize(memo, (System.identityHashCode(s), dir), {
         SessionCaches.onRelease(s, s"sim.pq:$dir")(() => release(s, dir))
         if (Tables.embeddings(s, dir).count() <= VerifyExactGate) {
           // verify SFs: the exact-decimal twin the q_embed_pq /
@@ -234,7 +234,7 @@ object SimilarityOps {
       scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
     def d2(s: SparkSession, dir: String): DataFrame =
-      memo.getOrElseUpdate((System.identityHashCode(s), dir), {
+      SessionCaches.memoize(memo, (System.identityHashCode(s), dir), {
         SessionCaches.onRelease(s, s"sim.coarse:$dir")(() => release(s, dir))
         val chain =
           if (Tables.embeddings(s, dir).count() <= VerifyExactGate) exact(s, dir)
@@ -423,7 +423,7 @@ object SimilarityOps {
     // [[Coarse.d2]]: a bench sweep that calls q_dedup_semantic repeatedly
     // reuses ONE cached assignment instead of stacking a new cached frame
     // per call (ADVICE r6 — executor storage accumulated across sweeps).
-    semMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    SessionCaches.memoize(semMemo, (System.identityHashCode(s), dir), {
       SessionCaches.onRelease(s, s"sim.sem:$dir")(() =>
         semMemo.remove((System.identityHashCode(s), dir))
           .foreach(_.unpersist(false)))
@@ -433,9 +433,20 @@ object SimilarityOps {
   private def semClustersUncached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val n = emb.count() // parquet metadata, not a scan
+    if (semK(n) <= 8) kmeansClusters(s, dir)
+    else semClustersFromEmb(s, emb, n)
+  }
+
+  /** The production SemDeDup blocking over ANY (vec_id, embedding) frame
+    * — the dir-independent core of [[semClusters]], exposed so
+    * CorpusScaleBench can wall-measure the hierarchical path at
+    * 1 M+ synthetic embeddings (VERDICT r11 item 5). Requires
+    * semK(n) > 8 (the ≤ 8 regime is the dir-bound exact oracle twin). */
+  private[graft] def semClustersFromEmb(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame, n: Long): org.apache.spark.sql.DataFrame = {
     val k = semK(n)
-    if (k <= 8) kmeansClusters(s, dir)
-    else if (k <= FlatKCap) {
+    require(k > 8, s"semClustersFromEmb is the production path; semK($n)=$k <= 8")
+    if (k <= FlatKCap) {
       graft.functions.GraftFunctions.register(s)
       assignVec(emb, trainVecCentroids(emb, k))
         .select(col("vec_id"), col("c").as("cluster"))
@@ -473,6 +484,48 @@ object SimilarityOps {
         }
         .toDF("vec_id", "cluster")
     }
+  }
+
+  /** SemDeDup's pair step: in-cluster pairwise cosine over the blocking
+    * from [[semClustersFromEmb]], emitting (vec_a < vec_b, cos) for pairs
+    * at cos ≥ tau. One shuffle (the cluster-id co-location the blocking
+    * already defines); each group holds ≈ [[SemTargetCluster]] rows by
+    * construction, so per-group work is bounded at ANY corpus size —
+    * never an all-pairs join. */
+  private[graft] def semDupPairs(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame,
+      clusters: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    emb.join(clusters, Seq("vec_id"))
+      .select(col("cluster"), col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Array[Double])]) =>
+        val vs = it.map { case (_, id, e) => (id, e) }.toArray.sortBy(_._1)
+        val inv = vs.map { case (_, e) =>
+          var s2 = 0.0; var i = 0
+          while (i < e.length) { s2 += e(i) * e(i); i += 1 }
+          if (s2 == 0.0) 0.0 else 1.0 / math.sqrt(s2)
+        }
+        val out = Array.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < vs.length) {
+          var j = i + 1
+          while (j < vs.length) {
+            val a = vs(i)._2; val b = vs(j)._2
+            var dot = 0.0; var d = 0
+            while (d < a.length) { dot += a(d) * b(d); d += 1 }
+            val cos = dot * inv(i) * inv(j)
+            if (cos >= tau) out += ((vs(i)._1, vs(j)._1, cos))
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("vec_a", "vec_b", "cos")
   }
 
   /** Bench attribution hooks: materialize the shared trained artifacts so
@@ -1173,8 +1226,8 @@ object SimilarityOps {
       // BOTH the probe selection and the full-corpus assignment — memoized
       // + cached per dataset so the Lloyd chain is neither recomputed
       // within a call nor re-cached per sweep call (ADVICE r6)
-      val centroids = ivfCentroidsMemo.getOrElseUpdate(
-        (System.identityHashCode(s), dir), {
+      val centroids = SessionCaches.memoize(
+        ivfCentroidsMemo, (System.identityHashCode(s), dir), {
           SessionCaches.onRelease(s, s"sim.ivf:$dir")(() =>
             ivfCentroidsMemo.remove((System.identityHashCode(s), dir))
               .foreach(_.unpersist(false)))

@@ -93,6 +93,53 @@ object Collect {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  /** One-time streaming-engine warm-up (Bench calls this in its UNTIMED
+    * warm-up window; VERDICT r11 item 4): a 3-row feed driven through the
+    * three stateful shapes the streaming oracles use —
+    * flatMapGroupsWithState dedup on BOTH state-store providers (the
+    * RocksDB pass loads the JNI library and spins up its first store —
+    * fixed provider setup cost, not data cost), the watermarked windowed
+    * aggregate, and the stream-static broadcast join. Classloading of the
+    * micro-batch engine, Janino compilation of the stateful operators,
+    * and provider init stop being billed to whichever streaming oracle
+    * happens to run first in a sweep. Idempotent; all sinks are throwaway
+    * memory tables dropped before returning. */
+  def warmStreamEngine(spark: SparkSession): Unit = {
+    val p = java.nio.file.Files.createTempDirectory("graft-stream-warm")
+    try {
+      java.nio.file.Files.writeString(p.resolve("in.csv"),
+        "1700000000000,0xaa,0x01,src0\n" +
+        "1700000000001,0xaa,0x01,src0\n" +
+        "1700000000002,0xbb,0x02,src1\n")
+      val in = p.toString
+      def drain(df: DataFrame, name: String, mode: String): Unit = {
+        val q = df.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        try q.processAllAvailable() finally q.stop()
+        spark.catalog.dropTempView(name)
+      }
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      try {
+        useRocksDbState(spark)
+        drain(dedupStateful(feed(spark, in)), "graft_warm_rocks", "append")
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      drain(dedupStateful(feed(spark, in)), "graft_warm_dedup", "append")
+      drain(sourceMetrics(feed(spark, in)), "graft_warm_win", "complete")
+      import spark.implicits._
+      drain(inclusionCheck(
+        feed(spark, in).withColumn("reason", lit(null).cast("string")),
+        Seq("0xaa").toDF("hash")), "graft_warm_incl", "append")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Full collector wiring over a live socket feed (S6-S10 minus dial). */
   def runSocketEnvelopes(spark: SparkSession, host: String, port: Int,
       outDir: String,
