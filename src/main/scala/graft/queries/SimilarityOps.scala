@@ -319,6 +319,31 @@ object SimilarityOps {
       .select(col("vec_id"), col("best.c").as("c"))
   }
 
+  /** [[assignVec]] keeping the `probes` NEAREST centroids per vector
+    * (multiprobe): the blocking-recall knob for the hierarchical
+    * SemDeDup path — CorpusScaleBench measured 80 % of its missed
+    * planted pairs split across COARSE cells, so probing the 2 nearest
+    * cells recovers most of them for ~2× level-2 work. The window rank
+    * compiles to a map-side WindowGroupLimit over the broadcast-scored
+    * rows (centroids are broadcast, so every vector's k scores sit in
+    * one task) — only `probes` rows per vector ever shuffle. */
+  private def assignVecProbes(rows: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, probes: Int): org.apache.spark.sql.DataFrame =
+    if (probes <= 1) assignVec(rows, cents)
+    else {
+      import graft.functions.VecOps.vec_dot
+      import org.apache.spark.sql.expressions.Window
+      rows.crossJoin(broadcast(cents))
+        .withColumn("d2",
+          vec_dot(col("embedding"), col("embedding"))
+            - lit(2.0) * vec_dot(col("embedding"), col("m"))
+            + vec_dot(col("m"), col("m")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
+        .filter(col("rk") <= probes)
+        .select(col("vec_id"), col("c"))
+    }
+
   /** Sample-trained vec_dot-scored k-means centroids (c, m: array<double>)
     * — the scale-path quantizer shared by q_sim_ann_ivf (k = ⌈√N⌉ lists)
     * and corpus-scaled SemDeDup blocking (k = ⌈N/64⌉). Deterministic:
@@ -441,9 +466,16 @@ object SimilarityOps {
     * — the dir-independent core of [[semClusters]], exposed so
     * CorpusScaleBench can wall-measure the hierarchical path at
     * 1 M+ synthetic embeddings (VERDICT r11 item 5). Requires
-    * semK(n) > 8 (the ≤ 8 regime is the dir-bound exact oracle twin). */
+    * semK(n) > 8 (the ≤ 8 regime is the dir-bound exact oracle twin).
+    *
+    * `probes` > 1 assigns each vector to its `probes` nearest coarse
+    * cells (hierarchical regime only) — the output then carries up to
+    * `probes` rows per vec_id and downstream pair detection must dedup,
+    * which [[semDupPairs]] does. Default 1 preserves the one-label-per-
+    * vector contract the oracle-twin queries rely on. */
   private[graft] def semClustersFromEmb(s: SparkSession,
-      emb: org.apache.spark.sql.DataFrame, n: Long): org.apache.spark.sql.DataFrame = {
+      emb: org.apache.spark.sql.DataFrame, n: Long,
+      probes: Int = 1): org.apache.spark.sql.DataFrame = {
     val k = semK(n)
     require(k > 8, s"semClustersFromEmb is the production path; semK($n)=$k <= 8")
     if (k <= FlatKCap) {
@@ -464,7 +496,7 @@ object SimilarityOps {
       val SubBits = 40
       require(k1.toLong < (1L << (63 - SubBits)),
         s"coarse cell count $k1 overflows the composite cluster id layout")
-      val cells = assignVec(emb, trainVecCentroids(emb, k1))
+      val cells = assignVecProbes(emb, trainVecCentroids(emb, k1), probes)
         .select(col("vec_id"), col("c").as("cell"))
       // level 2: per-cell local Lloyd, sub-cluster target = SemTargetCluster
       emb.join(cells, Seq("vec_id"))
@@ -526,6 +558,10 @@ object SimilarityOps {
         out.result().iterator
       }
       .toDF("vec_a", "vec_b", "cos")
+      // a multiprobe blocking ([[semClustersFromEmb]] probes > 1) can
+      // co-locate one pair in several clusters — report each pair once.
+      // The dedup key shuffles only found pairs (≈ dup rate × N rows).
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** Bench attribution hooks: materialize the shared trained artifacts so

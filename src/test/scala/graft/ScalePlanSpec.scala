@@ -339,6 +339,34 @@ class ScalePlanSpec extends AnyFunSuite {
       s"quantizer join did not broadcast:\n$plan")
   }
 
+  test("SemDeDup multiprobe: ≤probes memberships, dedup'd pairs, recall ≥ single-probe") {
+    import spark.implicits._
+    // n must push semK past FlatKCap so the hierarchical branch (the only
+    // regime with a level-1 probe step) runs: semK(1100)=18 > 16
+    val n = 1100L
+    val emb = spark.range(n).map(i => (i, CorpusScaleBench.synVec(i)))
+      .toDF("vec_id", "embedding")
+    def run(probes: Int): (Map[Long, Long], Long) = {
+      val clusters = queries.SimilarityOps.semClustersFromEmb(spark, emb, n, probes)
+      val perVec = clusters.groupBy("vec_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val pairs = queries.SimilarityOps.semDupPairs(spark, emb, clusters, 0.9)
+      val found = pairs
+        .filter(col("vec_b") % 10 === 9 && col("vec_a") === col("vec_b") - 9)
+        .count()
+      // pair list carries no duplicates even when blocking is multiprobe
+      assert(pairs.groupBy("vec_a", "vec_b").count()
+        .filter(col("count") > 1).count() == 0)
+      (perVec, found)
+    }
+    val (m1, f1) = run(1)
+    assert(m1.size == n && m1.values.forall(_ == 1L),
+      "single-probe must keep the one-label-per-vector contract")
+    val (m2, f2) = run(2)
+    assert(m2.size == n && m2.values.forall(c => c >= 1L && c <= 2L))
+    assert(f2 >= f1, s"2-probe recall $f2 must not drop below single-probe $f1")
+  }
+
   test("ngram-Jaccard: dict broadcasts, candidates broadcast, no cartesian") {
     val plan = finalPlan(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf))
     // the charset³-bounded dictionary and the near-dup-bounded candidate
