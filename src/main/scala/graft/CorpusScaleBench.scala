@@ -92,14 +92,14 @@ object CorpusScaleBench {
     * wall-measured at N synthetic embeddings, with TWO recall figures:
     * planted recall over the full corpus, and recall against the
     * brute-force exact pair set on a 100 k subsample. */
-  private def semanticRun(spark: SparkSession, n: Long): Unit = {
+  private def semanticRun(spark: SparkSession, n: Long, probes: Int): Unit = {
     import spark.implicits._
     val tau = 0.9
     def stage[T](tag: String)(f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[sem] $tag%-26s $sec%8.2f s")
+      println(f"[sem] p$probes $tag%-26s $sec%8.2f s")
       (r, sec)
     }
     val t0 = System.nanoTime()
@@ -108,20 +108,43 @@ object CorpusScaleBench {
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val (_, genSec) = stage("embedding gen")(emb.count())
 
-    val clusters = queries.SimilarityOps.semClustersFromEmb(spark, emb, n).cache()
+    val clusters = queries.SimilarityOps
+      .semClustersFromEmb(spark, emb, n, probes).cache()
     val (nClusters, blockSec) = stage("hierarchical blocking")(
       clusters.select("cluster").distinct().count())
 
     val pairs = queries.SimilarityOps.semDupPairs(spark, emb, clusters, tau).cache()
     val (nPairs, pairSec) = stage("in-cluster pair verify")(pairs.count())
 
-    // planted recall over the FULL corpus: pair (id−9, id) found?
+    // planted recall over the FULL corpus: pair (id−9, id) found? A miss
+    // is attributed to the blocking level that separated it: different
+    // coarse cells (cluster >> 40), or same cell but different local
+    // sub-cluster — the knob each number argues for is different
+    // (level-1 multiprobe vs bigger SemTargetCluster).
     val planted = n / 10
-    val (found, _) = stage("planted recall") {
-      pairs.filter(col("vec_b") % 10 === 9 && col("vec_a") === col("vec_b") - 9)
+    val ((found, missL1, missL2), _) = stage("planted recall") {
+      val hit = pairs
+        .filter(col("vec_b") % 10 === 9 && col("vec_a") === col("vec_b") - 9)
         .count()
+      // multi-membership-correct attribution: a pair is level-1-separated
+      // iff its two cell SETS are disjoint; level-2 iff they share a cell
+      // but no sub-cluster
+      val pl = clusters.filter(col("vec_id") % 10 === 9)
+        .select((col("vec_id") - 9).as("a_id"), col("cluster").as("cb"))
+        .join(clusters.select(col("vec_id").as("a_id"), col("cluster").as("ca")),
+          Seq("a_id"))
+        .groupBy("a_id")
+        .agg(
+          max((shiftrightunsigned(col("ca"), 40) ===
+            shiftrightunsigned(col("cb"), 40)).cast("int")).as("cell_sh"),
+          max((col("ca") === col("cb")).cast("int")).as("clus_sh"))
+      val l1 = pl.filter(col("cell_sh") === 0).count()
+      val l2 = pl.filter(col("cell_sh") === 1 && col("clus_sh") === 0).count()
+      (hit, l1, l2)
     }
     val plantedRecall = found.toDouble / planted.toDouble
+    println(f"[sem] miss split: $missL1 pairs split across coarse cells, " +
+      f"$missL2 split across sub-clusters within a cell")
 
     // exact ground truth on a 100 k subsample: brute-force all pairs at
     // τ (harness-side loop over a broadcast float matrix — ground truth
@@ -166,7 +189,7 @@ object CorpusScaleBench {
     val exactRecall = if (nExact == 0) 1.0 else nHit.toDouble / nExact.toDouble
 
     val total = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"sem_scale","n_vecs":$n,"clusters":$nClusters,"pairs":$nPairs,"planted_recall":$plantedRecall%.4f,"exact_sub_pairs":$nExact,"exact_sub_recall":$exactRecall%.4f,"gen_sec":$genSec%.1f,"block_sec":$blockSec%.1f,"pair_sec":$pairSec%.1f,"exact_sec":$exactSec%.1f,"total_sec":$total%.1f,"vecs_per_sec":${n / (blockSec + pairSec)}%.0f}""")
+    println(f"""{"metric":"sem_scale","n_vecs":$n,"probes":$probes,"clusters":$nClusters,"pairs":$nPairs,"planted_recall":$plantedRecall%.4f,"exact_sub_pairs":$nExact,"exact_sub_recall":$exactRecall%.4f,"gen_sec":$genSec%.1f,"block_sec":$blockSec%.1f,"pair_sec":$pairSec%.1f,"exact_sec":$exactSec%.1f,"total_sec":$total%.1f,"vecs_per_sec":${n / (blockSec + pairSec)}%.0f}""")
     pairs.unpersist(); clusters.unpersist(); emb.unpersist()
   }
 
@@ -174,9 +197,15 @@ object CorpusScaleBench {
     val n = args.headOption.filter(!_.startsWith("--")).map(_.toLong)
       .getOrElse(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Same input-scaled shuffle sizing as MergeScaleBench (r12): the
+    // shingle/banding intermediates are ~KB per doc, so fixed cpus-sized
+    // partitioning overloads per-task working sets as N grows past the
+    // heap's comfort. ~30 k docs per shuffle partition keeps them flat.
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .map(_.toInt).getOrElse(math.max(cpus.toInt, (n / 30000L).toInt))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -186,35 +215,46 @@ object CorpusScaleBench {
     graft.functions.GraftFunctions.register(spark)
 
     if (args.contains("--semantic")) {
-      semanticRun(spark, n)
+      // probes=1: the default one-label blocking; probes=2: level-1
+      // multiprobe — the recall knob the miss-split numbers argue for
+      semanticRun(spark, n, probes = 1)
+      semanticRun(spark, n, probes = 2)
       spark.stop()
       return
     }
 
+    // --stages also prints per-stage task-metric attribution rows
+    // (wall/task/GC/spill/shuffle) — the corpus twin of MergeScaleBench's
+    // droop-attribution mode
+    val agg = new BenchMetrics
+    val withMetrics = args.contains("--stages")
+    if (withMetrics) spark.sparkContext.addSparkListener(agg)
+    var lastSnap = agg.snapshot()
     def stage[T](tag: String)(f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $tag%-22s $sec%8.2f s")
+      if (withMetrics) {
+        val now = agg.settled()
+        println(agg.row(tag, sec, agg.delta(lastSnap, now)))
+        lastSnap = now
+      }
       (r, sec)
     }
 
     val t0 = System.nanoTime()
-    val docs = spark.range(n).as[Long]
+    // input splits scale with N too (a production run reads ~128 MB
+    // file splits, so scan-stage task size is constant at any corpus
+    // size; spark.range's default 32-way slicing is what made the
+    // winnow/index scan stages superlinear past ~300 k docs)
+    val docs = spark.range(0, n, 1, shuffleParts).as[Long]
       .mapPartitions(_.map(i => (i, docText(i)))).toDF("doc_id", "text")
     val (_, genSec) = stage("corpus gen")(docs.count())
 
     // near-dup pairs: shingle → minhash_sig → band → bucket join → verify
     val pairs = queries.DedupOps.minhashPairsFromDocs(spark, docs).cache()
     val (nPairs, pairSec) = stage("minhash pairs")(pairs.count())
-    // sub-stage attribution on the SECOND pass (shingle cache warm): how
-    // the pair bill splits between banding and the exact verify
-    if (args.contains("--stages")) {
-      val cand = queries.DedupOps.minhashCandidatesFromDocs(spark, docs)
-      stage("  candidates (warm)")(cand.count())
-      stage("  pairs (warm)")(
-        queries.DedupOps.minhashPairsFromDocs(spark, docs).count())
-    }
 
     // connected components over the pair graph (large-star/small-star)
     val nodes = docs.select(col("doc_id").as("vec_id"))
@@ -235,6 +275,26 @@ object CorpusScaleBench {
       (k, 1.0 - missed.toDouble / (n / 10).toDouble)
     }
 
+    // the pair set has no further consumer — release it BEFORE the warm
+    // sub-stage attribution below (r12: at 1 M docs, the warm candidates
+    // pass OOM'd the 8 g heap when the pair cache and the shingle cache
+    // were co-resident; at 300 k both fit and the ordering didn't matter)
+    pairs.unpersist(false)
+    // sub-stage attribution on a SECOND pass (shingle cache warm): how
+    // the pair bill splits between banding and the exact verify
+    if (args.contains("--stages")) {
+      val cand = queries.DedupOps.minhashCandidatesFromDocs(spark, docs)
+      stage("  candidates (warm)")(cand.count())
+      stage("  pairs (warm)")(
+        queries.DedupOps.minhashPairsFromDocs(spark, docs).count())
+    }
+    // shingles are done too — several GB of resident cached arrays
+    // otherwise pin the storage pool (and the heap's old generation)
+    // through the unrelated winnow/index stages that follow (r12: the
+    // 1 M winnow pass ran 1.8× its linear cost with the caches resident
+    // — the droop the last-consumer release discipline exists to stop)
+    queries.DedupOps.releaseMinhashBase(spark, docs)
+
     // one scan-local winnow sketch pass over the full corpus
     val (nSel, winnowSec) = stage("winnow sketch") {
       queries.DedupOps.winnowSelectedFromDocs(spark, docs)
@@ -248,9 +308,11 @@ object CorpusScaleBench {
     // The claim behind q_dedup_incremental, measured at N: batch cost
     // tracks the batch, not the corpus.
     val batch = n / 20
-    val existingDocs = spark.range(batch, n).as[Long]
+    val existingDocs = spark.range(batch, n, 1, shuffleParts).as[Long]
       .mapPartitions(_.map(i => (i, docText(i)))).toDF("doc_id", "text")
-    val freshDocs = spark.range(batch).as[Long]
+    val freshDocs = spark.range(0, batch, 1,
+        math.max(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+          (batch / 30000L).toInt)).as[Long]
       .mapPartitions(_.map(i => (i, docText(i)))).toDF("doc_id", "text")
     val (index, indexSec) = stage("band index build") {
       val ix = queries.DedupOps.minhashIndex(spark, existingDocs).cache()

@@ -3,7 +3,6 @@ package graft
 import graft.functions.TxFixtures
 import graft.ops.Sinks
 import graft.jobs.Merge
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -22,39 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object MergeScaleBench {
 
-  /** Accumulates executor task metrics; [[delta]] snapshots between
-    * phases. All tasks run in this JVM (local mode), so jvmGCTime is the
-    * executor-thread GC bill. */
-  private final class MetricsAgg extends SparkListener {
-    case class Snap(taskMs: Long, gcMs: Long, spillMemB: Long, spillDiskB: Long,
-        shufReadB: Long, shufWriteB: Long, inputB: Long, outputB: Long)
-    private var cur = Snap(0, 0, 0, 0, 0, 0, 0, 0)
-    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
-      val m = e.taskMetrics
-      if (m != null) cur = Snap(
-        cur.taskMs + m.executorRunTime, cur.gcMs + m.jvmGCTime,
-        cur.spillMemB + m.memoryBytesSpilled, cur.spillDiskB + m.diskBytesSpilled,
-        cur.shufReadB + m.shuffleReadMetrics.totalBytesRead,
-        cur.shufWriteB + m.shuffleWriteMetrics.bytesWritten,
-        cur.inputB + m.inputMetrics.bytesRead,
-        cur.outputB + m.outputMetrics.bytesWritten)
-    }
-    def snapshot(): Snap = synchronized(cur)
-    def delta(a: Snap, b: Snap): Snap = Snap(b.taskMs - a.taskMs,
-      b.gcMs - a.gcMs, b.spillMemB - a.spillMemB, b.spillDiskB - a.spillDiskB,
-      b.shufReadB - a.shufReadB, b.shufWriteB - a.shufWriteB,
-      b.inputB - a.inputB, b.outputB - a.outputB)
-  }
-
   def main(args: Array[String]): Unit = {
     val n = args.headOption.filter(_.forall(_.isDigit)).map(_.toLong)
       .getOrElse(1000000L)
     val stages = args.contains("stages")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partition count scales with INPUT SIZE, not core count —
+    // the §4 design rule ("size spark.sql.shuffle.partitions so
+    // partitions fit in executor memory"), applied and measured here
+    // (r12): at 10 M txs the fixed cpus=32 partitioning put ~312 k rows
+    // in every dedup/parse task and ~300 MB in every sort partition; 32
+    // concurrent tasks of that size drove the default 8 g heap into GC
+    // collapse (task GC 2185 s of 5952 s task time — the whole 4 M→10 M
+    // throughput droop; non-GC task time scales 2.45× for 2.5× data,
+    // i.e. perfectly linearly) plus 7.15 GB of sort spill. At ~100 k
+    // rows/partition both vanish: GC 271 s, spill 1.4 GB, wall 247→178 s
+    // (40.5 k→56.3 k tx/s). On a real cluster the same rule is
+    // input_bytes / target_partition_bytes.
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .map(_.toInt).getOrElse(math.max(cpus.toInt, (n / 100000L).toInt))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -62,7 +50,7 @@ object MergeScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val agg = new MetricsAgg
+    val agg = new BenchMetrics
     if (stages) spark.sparkContext.addSparkListener(agg)
     var last = agg.snapshot()
     def phase[T](label: String)(f: => T): T = {
@@ -70,25 +58,9 @@ object MergeScaleBench {
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
       if (stages) {
-        // listener events post async; poll until the metric stream goes
-        // quiet (two identical 200 ms-apart snapshots) before reading
-        var prev = agg.snapshot()
-        var settled = false
-        var tries = 0
-        while (!settled && tries < 50) {
-          Thread.sleep(200)
-          val s = agg.snapshot()
-          settled = s == prev
-          prev = s
-          tries += 1
-        }
-        val now = agg.snapshot()
-        val d = agg.delta(last, now)
+        val now = agg.settled()
+        println(agg.row(label, sec, agg.delta(last, now)))
         last = now
-        println(f"[phase] $label%-22s wall=$sec%7.1fs task=${d.taskMs / 1e3}%8.1fs " +
-          f"gc=${d.gcMs / 1e3}%6.1fs spill=${d.spillDiskB / 1e9}%6.2fGB " +
-          f"shufR=${d.shufReadB / 1e9}%6.2fGB shufW=${d.shufWriteB / 1e9}%6.2fGB " +
-          f"in=${d.inputB / 1e9}%6.2fGB out=${d.outputB / 1e9}%6.2fGB")
       }
       r
     }
@@ -120,5 +92,11 @@ object MergeScaleBench {
       .map(_.length()).sum / 1e6
     println(f"""{"metric":"merge_1m","n_input":$n,"archived":$archived,"wall_sec":$secs%.1f,"archive_mb":$sizeMb%.1f,"tx_per_sec":${n / secs}%.0f}""")
     spark.stop()
+    // drop the throwaway archive — repeated curve runs used to strand
+    // gigabytes of gzip parquet in /tmp
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(out)
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 }

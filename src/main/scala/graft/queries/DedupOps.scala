@@ -103,9 +103,29 @@ object DedupOps {
       SessionCaches.onRelease(s, s"dedup.minhash.base:${key._2}")(() =>
         minhashBaseMemo.remove(key).foreach(_.unpersist(false)))
       val extra = docs.columns.filter(c => c != "doc_id" && c != "text").map(col)
+      // DISK_ONLY, same measured rule as the merge DAG's parsed stage:
+      // the shingle arrays are an O(corpus) fat intermediate read a
+      // bounded number of times (both sides of the band join, the warm
+      // probes), and in-heap caching made them COMPETE with the band
+      // join's execution memory — at 1 M docs the deserialized cache
+      // drove 30 % task GC and OOM'd the 8 g heap outright on the warm
+      // re-probe (r12, CorpusScaleBench --stages); DISK_ONLY reads come
+      // back through the OS page cache at near-memory speed without
+      // squeezing the unified pool.
       docs.select(col("doc_id") +: shingles(col("text")).as("sh") +: extra.toSeq: _*)
-        .cache()
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     })
+  }
+
+  /** Release the cached shingle base for `docs` (idempotent). Scale
+    * benches call this once the near-dup chain is done: several GB of
+    * cached shingle arrays otherwise pin the storage pool — and the
+    * heap's old generation — through the unrelated stages that follow
+    * (measured r12: the 1 M-doc winnow pass ran 1.8× its linear cost
+    * with the stale cache resident). */
+  private[graft] def releaseMinhashBase(s: SparkSession, docs: DataFrame): Unit = {
+    val key = (System.identityHashCode(s), docs.queryExecution.analyzed.semanticHash())
+    SessionCaches.release(s, s"dedup.minhash.base:${key._2}")
   }
 
   /** LSH banding rows (doc_id, band, bucket[, extra…]) via the scan-local
