@@ -103,7 +103,11 @@ object CorpusScaleBench {
       (r, sec)
     }
     val t0 = System.nanoTime()
-    val emb = spark.range(n).as[Long]
+    // input-scaled gen slices, same rule as the doc corpus: fixed 32-way
+    // slicing OOM'd the level-2 shuffle's map side at 10 M vectors
+    // (312 k deserialized 64-dim arrays per task)
+    val genSlices = math.max(32, (n / 30000L).toInt)
+    val emb = spark.range(0, n, 1, genSlices).as[Long]
       .mapPartitions(_.map(i => (i, synVec(i)))).toDF("vec_id", "embedding")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val (_, genSec) = stage("embedding gen")(emb.count())
@@ -315,7 +319,14 @@ object CorpusScaleBench {
           (batch / 30000L).toInt)).as[Long]
       .mapPartitions(_.map(i => (i, docText(i)))).toDF("doc_id", "text")
     val (index, indexSec) = stage("band index build") {
-      val ix = queries.DedupOps.minhashIndex(spark, existingDocs).cache()
+      // DISK_ONLY: the standing corpus's band index is persisted state
+      // (production keeps it as a parquet table between daily runs) —
+      // and an in-heap deserialized copy was the 3 M-doc taper: the
+      // ~16·N-row cache squeezed the 8 g heap exactly like the shingle
+      // cache did (index_sec 18.7 s at 1 M → 152.6 s at 3 M, 8.2× for
+      // 3× docs; DISK_ONLY restores ~linear)
+      val ix = queries.DedupOps.minhashIndex(spark, existingDocs)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       ix.count()
       ix
     }
