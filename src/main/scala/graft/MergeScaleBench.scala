@@ -67,11 +67,18 @@ object MergeScaleBench {
 
     val out = java.nio.file.Files.createTempDirectory("merge-scale").toString
     val t0 = System.nanoTime()
-    val raw = spark.range(n).as[Long].mapPartitions(_.map(TxFixtures.rawRow))
+    // input splits scale with N like the shuffles do: a production run
+    // reads ~128 MB file splits, so scan/gen task size is constant at
+    // any input size. The fixed 32-way spark.range slicing was the 50 M
+    // point's residual taper (625 k+ secp-signed rows per gen task).
+    val raw = spark.range(0, n, 1, shuffleParts).as[Long]
+      .mapPartitions(_.map(TxFixtures.rawRow))
       .toDF("timestamp_ms", "hash", "raw_tx_hex")
-    val sl = spark.range(n).as[Long].mapPartitions(_.flatMap(TxFixtures.sourcelogRows))
+    val sl = spark.range(0, n, 1, shuffleParts).as[Long]
+      .mapPartitions(_.flatMap(TxFixtures.sourcelogRows))
       .toDF("timestamp_ms", "hash", "source")
-    val blocks = spark.range(n).as[Long].filter((i: Long) => i % 4 == 0)
+    val blocks = spark.range(0, n, 1, shuffleParts).as[Long]
+      .filter((i: Long) => i % 4 == 0)
       .mapPartitions(_.map { i =>
         val (ts, hash, _) = TxFixtures.rawRow(i)
         (hash, 18000000L + i / 100, ts + 4000 + i % 2000)
