@@ -198,8 +198,14 @@ object CorpusScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.filter(!_.startsWith("--")).map(_.toLong)
+    // n = the first all-digit arg ANYWHERE in args (ADVICE r12: the old
+    // headOption-only check silently dropped `--semantic 3000000` back to
+    // the 1 M default). Flags accept both bare and `--` spellings, same
+    // as MergeScaleBench.
+    val n = args.find(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toLong)
       .getOrElse(1000000L)
+    def flag(name: String): Boolean =
+      args.contains(name) || args.contains(s"--$name")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Same input-scaled shuffle sizing as MergeScaleBench (r12): the
     // shingle/banding intermediates are ~KB per doc, so fixed cpus-sized
@@ -218,7 +224,7 @@ object CorpusScaleBench {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
 
-    if (args.contains("--semantic")) {
+    if (flag("semantic")) {
       // probes=1: the default one-label blocking; probes=2: level-1
       // multiprobe — the recall knob the miss-split numbers argue for
       semanticRun(spark, n, probes = 1)
@@ -231,7 +237,7 @@ object CorpusScaleBench {
     // (wall/task/GC/spill/shuffle) — the corpus twin of MergeScaleBench's
     // droop-attribution mode
     val agg = new BenchMetrics
-    val withMetrics = args.contains("--stages")
+    val withMetrics = flag("stages")
     if (withMetrics) spark.sparkContext.addSparkListener(agg)
     var lastSnap = agg.snapshot()
     def stage[T](tag: String)(f: => T): (T, Double) = {
@@ -286,7 +292,7 @@ object CorpusScaleBench {
     pairs.unpersist(false)
     // sub-stage attribution on a SECOND pass (shingle cache warm): how
     // the pair bill splits between banding and the exact verify
-    if (args.contains("--stages")) {
+    if (withMetrics) {
       val cand = queries.DedupOps.minhashCandidatesFromDocs(spark, docs)
       stage("  candidates (warm)")(cand.count())
       stage("  pairs (warm)")(

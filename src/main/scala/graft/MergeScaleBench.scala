@@ -16,15 +16,17 @@ import org.apache.spark.sql.functions._
   *   stages also print a per-phase attribution table (wall, task time,
   *          GC, spill, shuffle bytes) from real task metrics — the tool
   *          behind the r12 throughput-droop attribution (VERDICT r11
-  *          item 1). The headline JSON line is measured the same either
-  *          way; `stages` only adds observers.
+  *          item 1). The headline JSON line measures the same work
+  *          either way: observer settle waits sit outside every timed
+  *          window, and the phase-splitting barrier's one extra cache
+  *          re-read is timed warm and subtracted (ADVICE r12).
   */
 object MergeScaleBench {
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.filter(_.forall(_.isDigit)).map(_.toLong)
+    val n = args.find(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toLong)
       .getOrElse(1000000L)
-    val stages = args.contains("stages")
+    val stages = args.contains("stages") || args.contains("--stages")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partition count scales with INPUT SIZE, not core count —
     // the §4 design rule ("size spark.sql.shuffle.partitions so
@@ -53,7 +55,10 @@ object MergeScaleBench {
     val agg = new BenchMetrics
     if (stages) spark.sparkContext.addSparkListener(agg)
     var last = agg.snapshot()
-    def phase[T](label: String)(f: => T): T = {
+    // Returns (result, fsec) where fsec is the PRE-settle wall of f alone
+    // — the observer settle wait (>=200 ms, up to 10 s) happens after the
+    // timestamp, so it can never leak into a headline number (ADVICE r12).
+    def phase[T](label: String)(f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
@@ -62,7 +67,7 @@ object MergeScaleBench {
         println(agg.row(label, sec, agg.delta(last, now)))
         last = now
       }
-      r
+      (r, sec)
     }
 
     val out = java.nio.file.Files.createTempDirectory("merge-scale").toString
@@ -89,11 +94,27 @@ object MergeScaleBench {
     // DISK_ONLY parsed cache): everything up to the parse runs under
     // "gen+dedup+parse"; the archive write then re-reads parsed from
     // disk and runs sources-agg, joins, range sort and the gzip write.
-    if (stages) phase("gen+dedup+parse")(result.parsed.count())
-    phase("attach+sort+write")(
-      Sinks.writeParquetArchive(result.transactions, s"$out/archive"))
-    val secs = (System.nanoTime() - t0) / 1e9
-    val archived = phase("verify count")(
+    //
+    // Headline timing (ADVICE r12): stages mode keeps both observer
+    // settle waits AND its phase-splitting barrier out of the headline,
+    // so the JSON line measures the same work either way. Plain mode
+    // folds the parse-cache materialization into the write's single
+    // pass; the stages barrier (parsed.count()) adds one warm cache
+    // re-read to the write — so we time that re-read explicitly (a
+    // second count() over the now-materialized cache) and subtract it:
+    // headline = parse_fsec − reread_fsec + write_fsec ≈ plain wall.
+    val secs =
+      if (stages) {
+        val (_, parseSec) = phase("gen+dedup+parse")(result.parsed.count())
+        val (_, rereadSec) = phase("cache re-read (excl.)")(result.parsed.count())
+        val (_, writeSec) = phase("attach+sort+write")(
+          Sinks.writeParquetArchive(result.transactions, s"$out/archive"))
+        parseSec - rereadSec + writeSec
+      } else {
+        Sinks.writeParquetArchive(result.transactions, s"$out/archive")
+        (System.nanoTime() - t0) / 1e9
+      }
+    val (archived, _) = phase("verify count")(
       spark.read.parquet(s"$out/archive").count())
     val sizeMb = new java.io.File(s"$out/archive").listFiles()
       .map(_.length()).sum / 1e6

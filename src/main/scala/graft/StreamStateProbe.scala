@@ -28,8 +28,12 @@ object StreamStateProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // fixture: the exact q_stream_dedup_ttl feed (Core.streamDedupResult)
+    // fixture: the exact q_stream_dedup_ttl feed (Core.streamDedupResult).
+    // try/finally below walk-deletes it — the full sf0.1 event feed as
+    // text would otherwise strand in /tmp on every probe run (the same
+    // problem MergeScaleBench's archive cleanup fixes).
     val p = java.nio.file.Files.createTempDirectory("stream-state-probe")
+    try {
     // synthetic hash, same form as the oracle layouts' syntheticHash
     def synHash(k: org.apache.spark.sql.Column) =
       concat(lit("0x"), md5(k.cast("string")), md5((k + 1).cast("string")))
@@ -80,5 +84,10 @@ object StreamStateProbe {
       s""""hdfs_runs_sec":${fmt(hdfs)},"rocksdb_runs_sec":${fmt(rocks)},""" +
       s""""hdfs_min":${f"${hdfs.min}%.3f"},"rocksdb_min":${f"${rocks.min}%.3f"}}""")
     spark.stop()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(q => java.nio.file.Files.deleteIfExists(q))
+    }
   }
 }
