@@ -326,7 +326,8 @@ object SimilarityOps {
     * cells recovers most of them for ~2× level-2 work. The window rank
     * compiles to a map-side WindowGroupLimit over the broadcast-scored
     * rows (centroids are broadcast, so every vector's k scores sit in
-    * one task) — only `probes` rows per vector ever shuffle. */
+    * one task) — only `probes` rows per vector ever shuffle
+    * (plan-asserted: ScalePlanSpec "map-side WindowGroupLimit"). */
   private def assignVecProbes(rows: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame, probes: Int): org.apache.spark.sql.DataFrame =
     if (probes <= 1) assignVec(rows, cents)

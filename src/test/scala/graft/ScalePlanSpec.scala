@@ -367,6 +367,37 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(f2 >= f1, s"2-probe recall $f2 must not drop below single-probe $f1")
   }
 
+  test("SemDeDup multiprobe: map-side WindowGroupLimit — only `probes` rows per vector shuffle") {
+    import spark.implicits._
+    // assignVecProbes' scaladoc claims the probe-selection window rank
+    // compiles to a map-side WindowGroupLimit over the broadcast-scored
+    // rows, so the vec_id exchange carries ≤ probes rows per vector — not
+    // all k1 centroid scores. Pin that plan shape (VERDICT r12 item 2),
+    // same treatment the corpus-build dedup got.
+    val n = 1100L // semK(1100)=18 > FlatKCap → hierarchical (probed) regime
+    val emb = spark.range(n).map(i => (i, CorpusScaleBench.synVec(i)))
+      .toDF("vec_id", "embedding")
+    val clusters = queries.SimilarityOps.semClustersFromEmb(spark, emb, n, 2)
+    val plan = finalPlan(clusters)
+    val partialIdx = plan.indexOf("row_number(), 2, Partial")
+    val finalIdx = plan.indexOf("row_number(), 2, Final")
+    assert(partialIdx >= 0 && finalIdx >= 0,
+      s"probe-selection rank did not compile to a partial+final WindowGroupLimit:\n$plan")
+    // plan text prints root-first, so the map-side (Partial) limit must
+    // appear BELOW (= after, in text) the vec_id exchange it feeds, and
+    // the Final above it — i.e. the shuffle sits between the two limits
+    // and carries only the pre-limited rows
+    val exIdx = plan.indexOf("Exchange hashpartitioning(vec_id", finalIdx)
+    assert(exIdx >= 0 && exIdx < partialIdx,
+      s"no vec_id exchange between the Final and Partial group limits — " +
+        s"full score set would shuffle:\n$plan")
+    // and the score source below the limit is the broadcast centroid
+    // table (never a shuffled join)
+    assert(plan.indexOf("BroadcastNestedLoopJoin", partialIdx) >= 0 ||
+      plan.indexOf("BroadcastHashJoin", partialIdx) >= 0,
+      s"centroid scoring below the group limit is not broadcast:\n$plan")
+  }
+
   test("ngram-Jaccard: dict broadcasts, candidates broadcast, no cartesian") {
     val plan = finalPlan(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf))
     // the charset³-bounded dictionary and the near-dup-bounded candidate
