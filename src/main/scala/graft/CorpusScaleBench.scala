@@ -15,12 +15,20 @@ import org.apache.spark.sql.functions._
   * three words dropped, so the expected duplicate fraction is 10% and
   * recall is checkable at any N.
   *
-  * Usage: runMain graft.CorpusScaleBench [nDocs]  (default 1,000,000)
-  *   --stages    sub-stage attribution of the minhash pair bill
+  * Usage: runMain graft.CorpusScaleBench [nDocs]  (default 1,000,000;
+  * first all-digit arg anywhere; flags accept bare or -- spellings)
+  *   --stages    sub-stage attribution of the minhash pair bill (with
+  *               --semantic: per-stage task-metric rows)
   *   --semantic  instead run the SemDeDup hierarchical-blocking path at
   *               nDocs synthetic 64-dim embeddings with planted near-dups
   *               and report planted + exact-subsample recall
-  *               (VERDICT r11 item 5)
+  *               (VERDICT r11 item 5). --runs=p1,p2m1.4,p2m1.4s1.1,…
+  *               selects the (probes, level-1 margin, level-2 margin)
+  *               matrix.
+  *   --daily     instead run the standing-index maintenance loop: 5
+  *               successive 5 % batches against an appended-piece band
+  *               index, with an end-state equality assert vs the
+  *               full-batch pipeline (VERDICT r12 item 5)
   */
 object CorpusScaleBench {
 
@@ -92,14 +100,29 @@ object CorpusScaleBench {
     * wall-measured at N synthetic embeddings, with TWO recall figures:
     * planted recall over the full corpus, and recall against the
     * brute-force exact pair set on a 100 k subsample. */
-  private def semanticRun(spark: SparkSession, n: Long, probes: Int): Unit = {
+  private def semanticRun(spark: SparkSession, n: Long, probes: Int,
+      margin: Double = Double.PositiveInfinity, subMargin: Double = 0.0,
+      agg: BenchMetrics = new BenchMetrics, withStages: Boolean = false): Unit = {
     import spark.implicits._
     val tau = 0.9
+    val tag0 = f"p$probes" +
+      (if (!margin.isPosInfinity) f"m$margin%.2f" else "") +
+      (if (subMargin > 1.0) f"s$subMargin%.2f" else "")
+    var lastSnap = agg.snapshot()
     def stage[T](tag: String)(f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[sem] p$probes $tag%-26s $sec%8.2f s")
+      println(f"[sem] $tag0 $tag%-26s $sec%8.2f s")
+      // task-metric attribution rows (--semantic --stages, VERDICT r12
+      // item 1): where the multiprobe bill lands — task time, GC, spill,
+      // shuffle bytes per stage. Settle waits happen after the pre-settle
+      // timestamp above, so they never leak into a reported stage wall.
+      if (withStages) {
+        val now = agg.settled()
+        println(agg.row(s"$tag0 $tag", sec, agg.delta(lastSnap, now)))
+        lastSnap = now
+      }
       (r, sec)
     }
     val t0 = System.nanoTime()
@@ -113,9 +136,13 @@ object CorpusScaleBench {
     val (_, genSec) = stage("embedding gen")(emb.count())
 
     val clusters = queries.SimilarityOps
-      .semClustersFromEmb(spark, emb, n, probes).cache()
-    val (nClusters, blockSec) = stage("hierarchical blocking")(
-      clusters.select("cluster").distinct().count())
+      .semClustersFromEmb(spark, emb, n, probes, margin, subMargin).cache()
+    val ((nClusters, memberships), blockSec) = stage("hierarchical blocking")(
+      (clusters.select("cluster").distinct().count(), clusters.count()))
+    // memberships / n − 1 = the fraction of extra (probed) rows the
+    // level-2 stage and pair verify pay for — blanket probes=2 doubles
+    // it; boundary margins should keep it small
+    println(f"[sem] $tag0 memberships $memberships (${memberships.toDouble / n}%.3f per vector)")
 
     val pairs = queries.SimilarityOps.semDupPairs(spark, emb, clusters, tau).cache()
     val (nPairs, pairSec) = stage("in-cluster pair verify")(pairs.count())
@@ -193,8 +220,111 @@ object CorpusScaleBench {
     val exactRecall = if (nExact == 0) 1.0 else nHit.toDouble / nExact.toDouble
 
     val total = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"sem_scale","n_vecs":$n,"probes":$probes,"clusters":$nClusters,"pairs":$nPairs,"planted_recall":$plantedRecall%.4f,"exact_sub_pairs":$nExact,"exact_sub_recall":$exactRecall%.4f,"gen_sec":$genSec%.1f,"block_sec":$blockSec%.1f,"pair_sec":$pairSec%.1f,"exact_sec":$exactSec%.1f,"total_sec":$total%.1f,"vecs_per_sec":${n / (blockSec + pairSec)}%.0f}""")
+    val marginJson = if (margin.isPosInfinity) "null" else f"$margin%.3f"
+    println(f"""{"metric":"sem_scale","n_vecs":$n,"probes":$probes,"margin":$marginJson,"sub_margin":$subMargin%.3f,"memberships":$memberships,"clusters":$nClusters,"pairs":$nPairs,"planted_recall":$plantedRecall%.4f,"exact_sub_pairs":$nExact,"exact_sub_recall":$exactRecall%.4f,"gen_sec":$genSec%.1f,"block_sec":$blockSec%.1f,"pair_sec":$pairSec%.1f,"exact_sec":$exactSec%.1f,"total_sec":$total%.1f,"vecs_per_sec":${n / (blockSec + pairSec)}%.0f}""")
     pairs.unpersist(); clusters.unpersist(); emb.unpersist()
+  }
+
+  /** VERDICT r12 item 5: the standing-index MAINTENANCE path, measured.
+    * q_dedup_incremental proves ONE fresh batch against a persisted band
+    * index; production runs K successive days — so here: bootstrap a
+    * standing corpus (the last 75 % of ids) and its band index, then
+    * ingest `days` batches of 5 % each. Each day probes the fresh batch
+    * against the index-so-far, then APPENDS only the batch's own banding
+    * rows as a new persisted piece (the parquet-partition-add shape: the
+    * append bill is ∝ batch, never a rewrite of the standing index).
+    * The flatness claim is the per-day probe seconds printed at the end;
+    * the correctness claim is the end-state assert — bootstrap-internal
+    * pairs ∪ all per-day pairs must equal the full-batch pipeline's pair
+    * set on the identical corpus (the q_dedup_incremental oracle-twin
+    * idea, iterated K times). */
+  private def dailyRun(spark: SparkSession, n: Long, days: Int): Unit = {
+    import spark.implicits._
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    def stage[T](tag: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[daily] $tag%-24s $sec%8.2f s")
+      (r, sec)
+    }
+    def docsRange(lo: Long, hi: Long) =
+      spark.range(lo, hi, 1,
+          math.max(cpus, ((hi - lo) / 30000L).toInt)).as[Long]
+        .mapPartitions(_.map(i => (i, docText(i)))).toDF("doc_id", "text")
+    val batchN = n * 5 / 100
+    val initLo = batchN * days
+    val init = docsRange(initLo, n)
+
+    // bootstrap: the standing corpus's own internal pairs (the one-time
+    // full pipeline the daily loop exists to avoid re-running) and its
+    // band index — both billed here, not to any day
+    val (bootPairs, bootPairSec) = stage("bootstrap pairs") {
+      val p = queries.DedupOps.minhashPairsFromDocs(spark, init).cache()
+      p.count(); p
+    }
+    val (piece0, bootIxSec) = stage("bootstrap index") {
+      val ix = queries.DedupOps.minhashIndex(spark, init)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      ix.count(); ix
+    }
+    queries.DedupOps.releaseMinhashBase(spark, init)
+
+    var pieces = List(piece0)
+    var dayPairs = List.empty[org.apache.spark.sql.DataFrame]
+    val daySecs = Array.ofDim[Double](days)
+    val appendSecs = Array.ofDim[Double](days)
+    val dayPairCounts = Array.ofDim[Long](days)
+    for (d <- 0 until days) {
+      val fresh = docsRange(d.toLong * batchN, (d + 1).toLong * batchN)
+      val existing =
+        if (d == 0) init
+        else init.union(docsRange(0L, d.toLong * batchN))
+      val index = pieces.reduce(_ union _)
+      val (p, sec) = stage(s"day $d probe+verify") {
+        val dp = queries.DedupOps
+          .minhashPairsAgainstIndex(spark, index, existing, fresh).cache()
+        dayPairCounts(d) = dp.count()
+        dp
+      }
+      daySecs(d) = sec
+      dayPairs ::= p
+      // append = persist ONLY the batch's banding rows as a new piece
+      val (piece, asec) = stage(s"day $d band append") {
+        val ix = queries.DedupOps.minhashIndex(spark, fresh)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        ix.count(); ix
+      }
+      appendSecs(d) = asec
+      pieces = pieces :+ piece
+      queries.DedupOps.releaseMinhashBase(spark, fresh)
+    }
+
+    // end-state correctness: bootstrap-internal ∪ per-day pair sets must
+    // equal the full-batch pipeline on the same n docs (value-exact on
+    // (doc_a, doc_b, jaccard_r) — symmetric difference must be empty)
+    val all = docsRange(0L, n)
+    val ((nFull, symDiff), fullSec) = stage("full-batch oracle") {
+      val full = queries.DedupOps.minhashPairsFromDocs(spark, all).cache()
+      val nf = full.count()
+      val chained = bootPairs.unionByName(dayPairs.reduce(_ unionByName _))
+        .dropDuplicates("doc_a", "doc_b")
+      val miss = full.join(chained, Seq("doc_a", "doc_b", "jaccard_r"),
+        "left_anti").count()
+      val extra = chained.join(full, Seq("doc_a", "doc_b", "jaccard_r"),
+        "left_anti").count()
+      full.unpersist()
+      (nf, miss + extra)
+    }
+    queries.DedupOps.releaseMinhashBase(spark, all)
+    def fmt(xs: Array[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"daily_scale","n_docs":$n,"days":$days,"batch":$batchN,""" +
+      s""""boot_pair_sec":${f"$bootPairSec%.1f"},"boot_index_sec":${f"$bootIxSec%.1f"},""" +
+      s""""day_secs":${fmt(daySecs)},"append_secs":${fmt(appendSecs)},""" +
+      s""""day_pairs":${dayPairCounts.mkString("[", ",", "]")},""" +
+      s""""full_pairs":$nFull,"sym_diff":$symDiff,"full_sec":${f"$fullSec%.1f"}}""")
+    require(symDiff == 0,
+      s"daily-chained pair set diverged from the full-batch pipeline by $symDiff rows")
   }
 
   def main(args: Array[String]): Unit = {
@@ -224,11 +354,33 @@ object CorpusScaleBench {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
 
+    if (flag("daily")) {
+      graft.functions.GraftFunctions.register(spark)
+      dailyRun(spark, n, days = 5)
+      spark.stop()
+      return
+    }
+
     if (flag("semantic")) {
-      // probes=1: the default one-label blocking; probes=2: level-1
-      // multiprobe — the recall knob the miss-split numbers argue for
-      semanticRun(spark, n, probes = 1)
-      semanticRun(spark, n, probes = 2)
+      // Run matrix: p<probes>[m<level-1 margin>][s<level-2 margin>] per
+      // comma-separated token, e.g. --runs=p1,p2,p2m1.3,p2m1.3s1.05.
+      // Default: the r12 comparison points (one-label baseline, blanket
+      // 2-probe) plus the boundary-margin variants (VERDICT r12 items
+      // 1 & 4). With --stages each stage also prints a task-metric
+      // attribution row (wall/task/GC/spill/shuffle).
+      val semStages = flag("stages")
+      val semAgg = new BenchMetrics
+      if (semStages) spark.sparkContext.addSparkListener(semAgg)
+      val spec = args.find(_.startsWith("--runs="))
+        .map(_.stripPrefix("--runs=")).getOrElse("p1,p2,p2m1.4,p2m1.4s1.1")
+      val runRe = """p(\d+)(?:m([\d.]+))?(?:s([\d.]+))?""".r
+      spec.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+        case runRe(p, m, sm) =>
+          semanticRun(spark, n, p.toInt,
+            Option(m).map(_.toDouble).getOrElse(Double.PositiveInfinity),
+            Option(sm).map(_.toDouble).getOrElse(0.0), semAgg, semStages)
+        case other => sys.error(s"bad --runs token: $other")
+      }
       spark.stop()
       return
     }

@@ -329,20 +329,39 @@ object SimilarityOps {
     * one task) — only `probes` rows per vector ever shuffle
     * (plan-asserted: ScalePlanSpec "map-side WindowGroupLimit"). */
   private def assignVecProbes(rows: org.apache.spark.sql.DataFrame,
-      cents: org.apache.spark.sql.DataFrame, probes: Int): org.apache.spark.sql.DataFrame =
+      cents: org.apache.spark.sql.DataFrame, probes: Int,
+      margin: Double = Double.PositiveInfinity): org.apache.spark.sql.DataFrame =
     if (probes <= 1) assignVec(rows, cents)
     else {
       import graft.functions.VecOps.vec_dot
       import org.apache.spark.sql.expressions.Window
-      rows.crossJoin(broadcast(cents))
+      val w = Window.partitionBy("vec_id")
+      val ranked = rows.crossJoin(broadcast(cents))
         .withColumn("d2",
           vec_dot(col("embedding"), col("embedding"))
             - lit(2.0) * vec_dot(col("embedding"), col("m"))
             + vec_dot(col("m"), col("m")))
         .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
+          w.orderBy(col("d2"), col("c"))))
         .filter(col("rk") <= probes)
-        .select(col("vec_id"), col("c"))
+      // BOUNDARY-ONLY probing (VERDICT r12 item 1): a runner-up cell is
+      // kept only when its distance is within `margin`× of the best —
+      // the only vectors whose near-dup pairs can straddle a cell seam
+      // sit close to it, and for such a pair BOTH members score the two
+      // cells nearly equally (the pair is a tiny perturbation), so a
+      // margin just above 1 recovers the same split pairs as blanket
+      // 2-probing at a fraction of the extra memberships. The margin
+      // filter runs as a second window over the ALREADY group-limited
+      // rows (≤ probes per vector, same vec_id clustering — no extra
+      // shuffle), so the map-side WindowGroupLimit contract above is
+      // untouched.
+      val kept =
+        if (margin.isPosInfinity) ranked
+        else ranked
+          .withColumn("d2b", min(col("d2")).over(w))
+          .filter(col("rk") === 1 ||
+            col("d2") <= lit(margin) * greatest(col("d2b"), lit(0.0)))
+      kept.select(col("vec_id"), col("c"))
     }
 
   /** Sample-trained vec_dot-scored k-means centroids (c, m: array<double>)
@@ -398,7 +417,18 @@ object SimilarityOps {
     * the argmin break toward the lower centroid id; `vs` MUST be sorted
     * by vec_id (the caller sorts) so the result is independent of
     * shuffle arrival order. Returns the per-vector sub-cluster ids. */
-  private def localKmeans(vs: Array[(Long, Array[Double])], k: Int, lloyd: Int = 2): Array[Int] = {
+  private def localKmeans(vs: Array[(Long, Array[Double])], k: Int, lloyd: Int = 2): Array[Int] =
+    localKmeansProbed(vs, k, 0.0, lloyd).map(_._1)
+
+  /** [[localKmeans]] plus the BOUNDARY runner-up: per vector, (best sub-
+    * cluster, second sub-cluster or -1). The second is kept only when its
+    * d² is within `subMargin`× of the best — the level-2 twin of
+    * [[assignVecProbes]]' margin knob, aimed at the pairs the r12 10 M
+    * miss-split printout showed splitting across SUB-clusters within a
+    * shared cell (VERDICT r12 item 4). subMargin ≤ 1 keeps the single-
+    * assignment contract exactly (second is always -1). */
+  private def localKmeansProbed(vs: Array[(Long, Array[Double])], k: Int,
+      subMargin: Double, lloyd: Int = 2): Array[(Int, Int)] = {
     val dim = vs.head._2.length
     var cents = Array.tabulate(k)(j => vs((j.toLong * vs.length / k).toInt)._2.clone)
     def nearest(v: Array[Double]): Int = {
@@ -414,7 +444,7 @@ object SimilarityOps {
       best
     }
     var asg = vs.map(p => nearest(p._2))
-    for (_ <- 1 to lloyd) {
+    for (it <- 1 to lloyd) {
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val cnts = new Array[Int](cents.length)
       vs.indices.foreach { j =>
@@ -429,9 +459,31 @@ object SimilarityOps {
           while (i < dim) { m(i) /= cnts(c); i += 1 }
           m
       }
-      asg = vs.map(p => nearest(p._2))
+      if (it < lloyd) asg = vs.map(p => nearest(p._2)) // final pass below
     }
-    asg
+    // final assignment pass over the settled centroids, tracking best AND
+    // runner-up in one scan (best semantics identical to nearest():
+    // strict <, ties toward the lower centroid id)
+    val out = new Array[(Int, Int)](vs.length)
+    var j = 0
+    while (j < vs.length) {
+      val v = vs(j)._2
+      var b = -1; var bD = Double.MaxValue
+      var s = -1; var sD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        val m = cents(c)
+        while (i < dim) { val t = v(i) - m(i); d += t * t; i += 1 }
+        if (d < bD) { sD = bD; s = b; bD = d; b = c }
+        else if (d < sD) { sD = d; s = c }
+        c += 1
+      }
+      val second = if (s >= 0 && sD <= subMargin * bD) s else -1
+      out(j) = (b, second)
+      j += 1
+    }
+    out
   }
 
   /** SemDeDup blocking clusters (vec_id, cluster), corpus-scaled: k is
@@ -479,10 +531,23 @@ object SimilarityOps {
     * cells (hierarchical regime only) — the output then carries up to
     * `probes` rows per vec_id and downstream pair detection must dedup,
     * which [[semDupPairs]] does. Default 1 preserves the one-label-per-
-    * vector contract the oracle-twin queries rely on. */
+    * vector contract the oracle-twin queries rely on.
+    *
+    * `probeMargin` < ∞ restricts the extra probes to BOUNDARY vectors:
+    * a runner-up cell is kept only when its d² ≤ probeMargin × the best
+    * cell's (see [[assignVecProbes]]) — near-full multiprobe recall at a
+    * fraction of the extra memberships, since only vectors near a cell
+    * seam can have pairs split by it.
+    *
+    * `subProbeMargin` > 1 applies the same boundary rule one level down:
+    * a vector near a SUB-cluster seam inside its cell is also emitted
+    * under the runner-up sub-cluster ([[localKmeansProbed]]) — the knob
+    * for pairs the level-1 probes cannot recover because they split
+    * across sub-clusters of a shared cell. */
   private[graft] def semClustersFromEmb(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame, n: Long,
-      probes: Int = 1): org.apache.spark.sql.DataFrame = {
+      probes: Int = 1, probeMargin: Double = Double.PositiveInfinity,
+      subProbeMargin: Double = 0.0): org.apache.spark.sql.DataFrame = {
     val k = semK(n)
     require(k > 8, s"semClustersFromEmb is the production path; semK($n)=$k <= 8")
     if (k <= FlatKCap) {
@@ -503,7 +568,8 @@ object SimilarityOps {
       val SubBits = 40
       require(k1.toLong < (1L << (63 - SubBits)),
         s"coarse cell count $k1 overflows the composite cluster id layout")
-      val cells = assignVecProbes(emb, trainVecCentroids(emb, k1), probes)
+      val cells = assignVecProbes(emb, trainVecCentroids(emb, k1), probes,
+          probeMargin)
         .select(col("vec_id"), col("c").as("cell"))
       // level 2: per-cell local Lloyd, sub-cluster target = SemTargetCluster
       emb.join(cells, Seq("vec_id"))
@@ -516,9 +582,12 @@ object SimilarityOps {
           val k2 = math.max(1, math.ceil(vs.length / SemTargetCluster).toInt)
           require(k2.toLong < (1L << SubBits),
             s"cell $cell sub-cluster count $k2 overflows the composite id")
-          val sub = localKmeans(vs, k2)
-          vs.iterator.zipWithIndex.map { case ((id, _), j) =>
-            (id, (cell << SubBits) + sub(j)) // (cell, sub) composite id
+          val sub = localKmeansProbed(vs, k2, subProbeMargin)
+          vs.iterator.zipWithIndex.flatMap { case ((id, _), j) =>
+            val (best, secnd) = sub(j)
+            val first = (id, (cell << SubBits) + best) // (cell, sub) id
+            if (secnd < 0) Iterator.single(first)
+            else Iterator(first, (id, (cell << SubBits) + secnd))
           }
         }
         .toDF("vec_id", "cluster")

@@ -312,17 +312,24 @@ object Collect {
     * tx_received counters (see [[CollectorMetrics]]): `received` is
     * counted pre-dedup on the tx query's plan only (the trash query
     * re-derives from the raw stream so nothing double-counts), `first`
-    * on the post-dedup valid branch, `trash` on the reject branch. */
+    * on the post-dedup valid branch, `trash` on the reject branch.
+    * `dedupWith` selects the suppression operator: the built-in
+    * [[dedup]] (arrival-order keep) by default, or [[dedupStateful]]
+    * when the deterministic earliest-timestamp keep must match the batch
+    * merge's A1 rule — the day-chain composition (DayChainSpec) runs the
+    * stateful path so collector output merged downstream is row-identical
+    * to merging the raw day directly. */
   def runWith(stream: DataFrame, outDir: String,
-      trigger: Trigger, observeSources: Option[Seq[String]] = None): Seq[StreamingQuery] = {
+      trigger: Trigger, observeSources: Option[Seq[String]] = None,
+      dedupWith: DataFrame => DataFrame = dedup): Seq[StreamingQuery] = {
     def obs(df: DataFrame, stage: String): DataFrame =
       observeSources.map(CollectorMetrics.observed(df, stage, _)).getOrElse(df)
 
-    val validated = validate(dedup(obs(stream, "received")))
+    val validated = validate(dedupWith(obs(stream, "received")))
     // independent plan for the trash query: no received-observation node,
     // so the shared prefix runs twice but is only ever counted once
     val validatedTrash =
-      if (observeSources.isDefined) validate(dedup(stream)) else validated
+      if (observeSources.isDefined) validate(dedupWith(stream)) else validated
 
     val txQuery = obs(validated.filter(col("reason").isNull), "first")
       .select(col("timestamp_ms"), col("hash"), col("raw_tx_hex"),
