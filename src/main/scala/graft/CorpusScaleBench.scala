@@ -259,9 +259,12 @@ object CorpusScaleBench {
     // bootstrap: the standing corpus's own internal pairs (the one-time
     // full pipeline the daily loop exists to avoid re-running) and its
     // band index — both billed here, not to any day
+    // localCheckpoint (not cache): the pair frames survive to the
+    // end-state assert, and truncating their lineage lets the loop's
+    // per-day broadcasts and shuffle state be GC'd instead of staying
+    // reachable through K days of retained plans (the r13 OOM).
     val (bootPairs, bootPairSec) = stage("bootstrap pairs") {
-      val p = queries.DedupOps.minhashPairsFromDocs(spark, init).cache()
-      p.count(); p
+      queries.DedupOps.minhashPairsFromDocs(spark, init).localCheckpoint(true)
     }
     val (piece0, bootIxSec) = stage("bootstrap index") {
       val ix = queries.DedupOps.minhashIndex(spark, init)
@@ -283,7 +286,8 @@ object CorpusScaleBench {
       val index = pieces.reduce(_ union _)
       val (p, sec) = stage(s"day $d probe+verify") {
         val dp = queries.DedupOps
-          .minhashPairsAgainstIndex(spark, index, existing, fresh).cache()
+          .minhashPairsAgainstIndex(spark, index, existing, fresh)
+          .localCheckpoint(true)
         dayPairCounts(d) = dp.count()
         dp
       }
@@ -297,7 +301,13 @@ object CorpusScaleBench {
       }
       appendSecs(d) = asec
       pieces = pieces :+ piece
-      queries.DedupOps.releaseMinhashBase(spark, fresh)
+      // sweep ALL bases, not just `fresh`: the probe shingled an internal
+      // touchedExisting frame this caller can't name — K days of those
+      // leaked K persisted bases before the sweep existed (r13 OOM).
+      // The index pieces themselves stay persisted by design (they ARE
+      // the standing state) and were materialized by count(), so
+      // dropping the bases costs nothing while they stay on disk.
+      queries.DedupOps.releaseAllMinhashBases(spark)
     }
 
     // end-state correctness: bootstrap-internal ∪ per-day pair sets must

@@ -128,6 +128,18 @@ object DedupOps {
     SessionCaches.release(s, s"dedup.minhash.base:${key._2}")
   }
 
+  /** Release EVERY memoized shingle base for `s` — for callers that
+    * create bases on frames they never see (minhashPairsAgainstIndex
+    * shingles an internal `touchedExisting` semi-join; a K-day ingest
+    * loop makes K distinct such frames, and without this sweep each
+    * day's base stays persisted for the session's lifetime — the r13
+    * daily-loop bench OOM'd its full-batch oracle exactly this way). */
+  private[graft] def releaseAllMinhashBases(s: SparkSession): Unit = {
+    val sid = System.identityHashCode(s)
+    minhashBaseMemo.keys.filter(_._1 == sid)
+      .foreach(k => SessionCaches.release(s, s"dedup.minhash.base:${k._2}"))
+  }
+
   /** LSH banding rows (doc_id, band, bucket[, extra…]) via the scan-local
     * native signature (md5 + 16 permutation minima in one pass over the
     * shingle array) — the explode → md5 → hex-conv → 16-column min
