@@ -202,7 +202,15 @@ object Bench {
     // from those measurements: idle calibration is ~0.13–0.19 s and idle
     // 1-min load ≤ ~2; calibration > 0.25 s or load > 6 has only ever
     // meant a contended box.
-    val contended = calibrationSec > 0.25 || loadStart > 6.0
+    // loadEnd too (ADVICE r13): a box that becomes contended MID-sweep
+    // (loadStart low, loadEnd high) was labeled clean. The end threshold
+    // must sit ABOVE the sweep's own self-load, not at 6: this bench IS
+    // a ~90 s 32-thread burst, and the driver's CLEAN r13 artifact ended
+    // at load 7.0 (calibration 0.182, idle start). A concurrent 32-thread
+    // sbt pushes end load toward 2× cores; half the cores is comfortably
+    // past self-load and comfortably below that.
+    val contended = calibrationSec > 0.25 || loadStart > 6.0 ||
+      loadEnd > (Runtime.getRuntime.availableProcessors() / 2.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""calibration_sec":$calibrationSec,"calibration_scan_sec":$calibrationScanSec,""" +
       s""""fixture_sec":$fixtureSec,"merge_sec":$mergeSec,"pairs_sec":$pairsSec,""" +

@@ -24,11 +24,20 @@ import org.apache.spark.sql.functions._
   *               and report planted + exact-subsample recall
   *               (VERDICT r11 item 5). --runs=p1,p2m1.4,p2m1.4s1.1,…
   *               selects the (probes, level-1 margin, level-2 margin)
-  *               matrix.
-  *   --daily     instead run the standing-index maintenance loop: 5
-  *               successive 5 % batches against an appended-piece band
+  *               matrix; `frontier` / `exact` name the SemPreset
+  *               operating points. --geometry=iso|mog|lowrank picks the
+  *               synthetic distribution (VERDICT r13 item 1);
+  *               --calibrate prints the coarse d²-ratio quantiles the
+  *               margin calibration rule reads.
+  *   --daily     instead run the standing-index maintenance loop:
+  *               `--days=K` (default 5) successive `--batch=P`-percent
+  *               (default 5) batches against an appended-piece band
   *               index, with an end-state equality assert vs the
-  *               full-batch pipeline (VERDICT r12 item 5)
+  *               full-batch pipeline (VERDICT r12 item 5).
+  *               `--compact-every=K` (default 0 = never) rewrites the
+  *               accumulated pieces into ONE parquet piece whenever
+  *               more than K exist — the S11-compactor treatment of the
+  *               standing index (VERDICT r13 item 3).
   */
 object CorpusScaleBench {
 
@@ -95,6 +104,65 @@ object CorpusScaleBench {
     out
   }
 
+  /** Anisotropic synthetic geometries (VERDICT r13 item 1): the margin
+    * band measured on [[synVec]]'s isotropic N(0, 1/64) cosines may be a
+    * geometry artifact, so the sweep must also run on clustered and
+    * spectrum-decayed corpora. Same planted-pair construction as synVec
+    * (id ≡ 9 mod 10 = base + ε·0.1 perturbation, cos ≈ 0.98+), same unit
+    * normalization — only the BASE vector distribution changes:
+    *  - `mog`: mixture of 64 Gaussians — base = unit center(c) + 0.45·U
+    *    noise, c = hash(base id) mod 64. Within-cluster cosine ≈ 0.5,
+    *    cross ≈ 0 — density concentrated around 64 directions, the
+    *    "topic cluster" shape real embedding corpora show.
+    *  - `lowrank`: axis-aligned spectrum decay — dim i scaled by
+    *    e^(−i/48), effective dimension ≈ 40 of 64. The "PCA spectrum"
+    *    shape; random cosines widen to ~N(0, 1/40) but stay ~6σ below
+    *    τ = 0.9, keeping the planted set the analytic ground truth. */
+  def synVecGeo(id: Long, geometry: String): Array[Float] = geometry match {
+    case "iso" => synVec(id)
+    case "mog" | "lowrank" =>
+      val base = if (id % 10 == 9) id - 9 else id
+      var x = mix(base ^ 0x5ca1ab1eL)
+      def next(): Double = {
+        x = mix(x)
+        (x >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+      val v = new Array[Double](64)
+      if (geometry == "mog") {
+        val c = java.lang.Math.floorMod(mix(base ^ 0x10fca7L), 64L)
+        var xc = mix(c ^ 0xce17e4L)
+        def nc(): Double = {
+          xc = mix(xc)
+          (xc >>> 11).toDouble / (1L << 53).toDouble - 0.5
+        }
+        val cen = Array.fill(64)(nc())
+        val cn = 1.0 / math.sqrt(cen.map(t => t * t).sum)
+        var i = 0
+        while (i < 64) { v(i) = cen(i) * cn + 0.45 * next(); i += 1 }
+      } else {
+        var i = 0
+        while (i < 64) { v(i) = next() * math.exp(-i / 48.0); i += 1 }
+      }
+      if (id % 10 == 9) {
+        var y = mix(id ^ 0x0ddba11L)
+        def nz(): Double = {
+          y = mix(y)
+          (y >>> 11).toDouble / (1L << 53).toDouble - 0.5
+        }
+        var j = 0
+        while (j < 64) { v(j) += 0.1 * nz(); j += 1 }
+      }
+      var s2 = 0.0
+      var k = 0
+      while (k < 64) { s2 += v(k) * v(k); k += 1 }
+      val inv = 1.0 / math.sqrt(s2)
+      val out = new Array[Float](64)
+      var m = 0
+      while (m < 64) { out(m) = (v(m) * inv).toFloat; m += 1 }
+      out
+    case other => sys.error(s"unknown --geometry '$other' (iso, mog, lowrank)")
+  }
+
   /** VERDICT r11 item 5: the SemDeDup hierarchical-blocking path
     * (semK(N) ≫ FlatKCap → coarse cells + per-cell local Lloyd)
     * wall-measured at N synthetic embeddings, with TWO recall figures:
@@ -102,10 +170,11 @@ object CorpusScaleBench {
     * brute-force exact pair set on a 100 k subsample. */
   private def semanticRun(spark: SparkSession, n: Long, probes: Int,
       margin: Double = Double.PositiveInfinity, subMargin: Double = 0.0,
-      agg: BenchMetrics = new BenchMetrics, withStages: Boolean = false): Unit = {
+      agg: BenchMetrics = new BenchMetrics, withStages: Boolean = false,
+      geometry: String = "iso"): Unit = {
     import spark.implicits._
     val tau = 0.9
-    val tag0 = f"p$probes" +
+    val tag0 = f"$geometry p$probes" +
       (if (!margin.isPosInfinity) f"m$margin%.2f" else "") +
       (if (subMargin > 1.0) f"s$subMargin%.2f" else "")
     var lastSnap = agg.snapshot()
@@ -130,8 +199,9 @@ object CorpusScaleBench {
     // slicing OOM'd the level-2 shuffle's map side at 10 M vectors
     // (312 k deserialized 64-dim arrays per task)
     val genSlices = math.max(32, (n / 30000L).toInt)
+    val geo = geometry
     val emb = spark.range(0, n, 1, genSlices).as[Long]
-      .mapPartitions(_.map(i => (i, synVec(i)))).toDF("vec_id", "embedding")
+      .mapPartitions(_.map(i => (i, synVecGeo(i, geo)))).toDF("vec_id", "embedding")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val (_, genSec) = stage("embedding gen")(emb.count())
 
@@ -221,7 +291,7 @@ object CorpusScaleBench {
 
     val total = (System.nanoTime() - t0) / 1e9
     val marginJson = if (margin.isPosInfinity) "null" else f"$margin%.3f"
-    println(f"""{"metric":"sem_scale","n_vecs":$n,"probes":$probes,"margin":$marginJson,"sub_margin":$subMargin%.3f,"memberships":$memberships,"clusters":$nClusters,"pairs":$nPairs,"planted_recall":$plantedRecall%.4f,"exact_sub_pairs":$nExact,"exact_sub_recall":$exactRecall%.4f,"gen_sec":$genSec%.1f,"block_sec":$blockSec%.1f,"pair_sec":$pairSec%.1f,"exact_sec":$exactSec%.1f,"total_sec":$total%.1f,"vecs_per_sec":${n / (blockSec + pairSec)}%.0f}""")
+    println(f"""{"metric":"sem_scale","n_vecs":$n,"geometry":"$geometry","probes":$probes,"margin":$marginJson,"sub_margin":$subMargin%.3f,"memberships":$memberships,"clusters":$nClusters,"pairs":$nPairs,"planted_recall":$plantedRecall%.4f,"exact_sub_pairs":$nExact,"exact_sub_recall":$exactRecall%.4f,"gen_sec":$genSec%.1f,"block_sec":$blockSec%.1f,"pair_sec":$pairSec%.1f,"exact_sec":$exactSec%.1f,"total_sec":$total%.1f,"vecs_per_sec":${n / (blockSec + pairSec)}%.0f}""")
     pairs.unpersist(); clusters.unpersist(); emb.unpersist()
   }
 
@@ -238,7 +308,8 @@ object CorpusScaleBench {
     * pairs ∪ all per-day pairs must equal the full-batch pipeline's pair
     * set on the identical corpus (the q_dedup_incremental oracle-twin
     * idea, iterated K times). */
-  private def dailyRun(spark: SparkSession, n: Long, days: Int): Unit = {
+  private[graft] def dailyRun(spark: SparkSession, n: Long, days: Int,
+      batchPct: Int, compactEvery: Int): Unit = {
     import spark.implicits._
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     def stage[T](tag: String)(f: => T): (T, Double) = {
@@ -252,9 +323,15 @@ object CorpusScaleBench {
       spark.range(lo, hi, 1,
           math.max(cpus, ((hi - lo) / 30000L).toInt)).as[Long]
         .mapPartitions(_.map(i => (i, docText(i)))).toDF("doc_id", "text")
-    val batchN = n * 5 / 100
+    val batchN = n * batchPct / 100
     val initLo = batchN * days
+    require(initLo > 0 && initLo < n,
+      s"days=$days × batch=$batchPct% must leave a non-empty bootstrap corpus (n=$n)")
     val init = docsRange(initLo, n)
+    // compacted pieces are parquet rewrites (the S11 compactor shape) —
+    // a scratch dir this run owns and deletes
+    val compactDir = java.nio.file.Files
+      .createTempDirectory("graft-daily-compact").toString
 
     // bootstrap: the standing corpus's own internal pairs (the one-time
     // full pipeline the daily loop exists to avoid re-running) and its
@@ -277,14 +354,17 @@ object CorpusScaleBench {
     var dayPairs = List.empty[org.apache.spark.sql.DataFrame]
     val daySecs = Array.ofDim[Double](days)
     val appendSecs = Array.ofDim[Double](days)
+    val compactSecs = Array.ofDim[Double](days)
+    val pieceCounts = Array.ofDim[Int](days)
     val dayPairCounts = Array.ofDim[Long](days)
     for (d <- 0 until days) {
       val fresh = docsRange(d.toLong * batchN, (d + 1).toLong * batchN)
       val existing =
         if (d == 0) init
         else init.union(docsRange(0L, d.toLong * batchN))
+      pieceCounts(d) = pieces.length
       val index = pieces.reduce(_ union _)
-      val (p, sec) = stage(s"day $d probe+verify") {
+      val (p, sec) = stage(s"day $d probe+verify (${pieces.length} pieces)") {
         val dp = queries.DedupOps
           .minhashPairsAgainstIndex(spark, index, existing, fresh)
           .localCheckpoint(true)
@@ -301,6 +381,25 @@ object CorpusScaleBench {
       }
       appendSecs(d) = asec
       pieces = pieces :+ piece
+      // compact-every-K (VERDICT r13 item 3): the standing index is K
+      // appended pieces; unbounded K grows the probe plan's union depth
+      // (and, in the parquet-partition-add production shape, its file
+      // count). Every K days rewrite ALL pieces into ONE parquet piece —
+      // the S11 compactor idea applied to the band index. The compact
+      // bill is ∝ index size / K amortized; probing stays flat because
+      // the piece count is bounded by K+1. Lineage fully truncates (a
+      // parquet read, not a cached union plan).
+      if (compactEvery > 0 && pieces.length > compactEvery) {
+        val (merged, csec) = stage(s"day $d compact ${pieces.length} pieces") {
+          val dir = s"$compactDir/piece_d$d"
+          pieces.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(dir)
+          spark.read.parquet(dir)
+        }
+        compactSecs(d) = csec
+        pieces.foreach(_.unpersist(false))
+        pieces = List(merged)
+      }
       // sweep ALL bases, not just `fresh`: the probe shingled an internal
       // touchedExisting frame this caller can't name — K days of those
       // leaked K persisted bases before the sweep existed (r13 OOM).
@@ -329,10 +428,20 @@ object CorpusScaleBench {
     queries.DedupOps.releaseMinhashBase(spark, all)
     def fmt(xs: Array[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     println(s"""{"metric":"daily_scale","n_docs":$n,"days":$days,"batch":$batchN,""" +
+      s""""compact_every":$compactEvery,""" +
       s""""boot_pair_sec":${f"$bootPairSec%.1f"},"boot_index_sec":${f"$bootIxSec%.1f"},""" +
       s""""day_secs":${fmt(daySecs)},"append_secs":${fmt(appendSecs)},""" +
+      s""""compact_secs":${fmt(compactSecs)},""" +
+      s""""pieces":${pieceCounts.mkString("[", ",", "]")},""" +
       s""""day_pairs":${dayPairCounts.mkString("[", ",", "]")},""" +
       s""""full_pairs":$nFull,"sym_diff":$symDiff,"full_sec":${f"$fullSec%.1f"}}""")
+    // drop the compaction scratch dir (same discipline as the merge bench)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(compactDir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     require(symDiff == 0,
       s"daily-chained pair set diverged from the full-batch pipeline by $symDiff rows")
   }
@@ -366,7 +475,14 @@ object CorpusScaleBench {
 
     if (flag("daily")) {
       graft.functions.GraftFunctions.register(spark)
-      dailyRun(spark, n, days = 5)
+      // --days=K (default 5), --batch=P percent (default 5),
+      // --compact-every=K (default 0 = never) — VERDICT r13 items 3 & 5
+      def intOpt(name: String, dflt: Int): Int =
+        args.find(_.startsWith(s"--$name=")).map(_.stripPrefix(s"--$name=").toInt)
+          .getOrElse(dflt)
+      dailyRun(spark, n, days = intOpt("days", 5),
+        batchPct = intOpt("batch", 5),
+        compactEvery = intOpt("compact-every", 0))
       spark.stop()
       return
     }
@@ -381,14 +497,47 @@ object CorpusScaleBench {
       val semStages = flag("stages")
       val semAgg = new BenchMetrics
       if (semStages) spark.sparkContext.addSparkListener(semAgg)
+      val geometry = args.find(_.startsWith("--geometry="))
+        .map(_.stripPrefix("--geometry=")).getOrElse("iso")
+      // per-geometry margin calibration (VERDICT r13 item 1), once per
+      // invocation: quantiles of the coarse runner-up/best d² ratio over
+      // the SAME level-1 centroids the blocking trains. A vector earns a
+      // second membership iff its ratio ≤ margin, so margin = the
+      // f-quantile of this distribution buys exactly fraction f of extra
+      // memberships — the calibration rule that replaces a fixture-tuned
+      // constant: pick f, read the margin off the corpus.
+      if (flag("calibrate")) {
+        val genSlices = math.max(32, (n / 30000L).toInt)
+        val emb = spark.range(0, n, 1, genSlices).as[Long]
+          .mapPartitions(_.map(i => (i, synVecGeo(i, geometry))))
+          .toDF("vec_id", "embedding")
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        emb.count()
+        val qs = Array(0.01, 0.02, 0.05, 0.10, 0.20, 0.50)
+        val vals = queries.SimilarityOps.coarseMarginRatios(spark, emb, n)
+          .stat.approxQuantile("ratio", qs, 0.001)
+        println(s"""{"metric":"sem_margin_calibration","n_vecs":$n,""" +
+          s""""geometry":"$geometry",""" +
+          qs.zip(vals).map { case (q, v) => f""""q$q%.2f":$v%.5f""" }
+            .mkString(",") + "}")
+        emb.unpersist()
+      }
       val spec = args.find(_.startsWith("--runs="))
         .map(_.stripPrefix("--runs=")).getOrElse("p1,p2,p2m1.4,p2m1.4s1.1")
       val runRe = """p(\d+)(?:m([\d.]+))?(?:s([\d.]+))?""".r
       spec.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+        // named operating points — the same constants CorpusBuild's
+        // --sem-preset resolves, so the README frontier row is runnable
+        // by name (VERDICT r13 item 4)
+        case name @ ("frontier" | "exact") =>
+          val pr = queries.SimilarityOps.SemPreset.parse(name).get
+          semanticRun(spark, n, pr.probes, pr.probeMargin,
+            pr.subProbeMargin, semAgg, semStages, geometry)
         case runRe(p, m, sm) =>
           semanticRun(spark, n, p.toInt,
             Option(m).map(_.toDouble).getOrElse(Double.PositiveInfinity),
-            Option(sm).map(_.toDouble).getOrElse(0.0), semAgg, semStages)
+            Option(sm).map(_.toDouble).getOrElse(0.0), semAgg, semStages,
+            geometry)
         case other => sys.error(s"bad --runs token: $other")
       }
       spark.stop()

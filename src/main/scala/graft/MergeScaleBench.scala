@@ -109,7 +109,18 @@ object MergeScaleBench {
         val (_, rereadSec) = phase("cache re-read (excl.)")(result.parsed.count())
         val (_, writeSec) = phase("attach+sort+write")(
           Sinks.writeParquetArchive(result.transactions, s"$out/archive"))
-        parseSec - rereadSec + writeSec
+        // Clamp the re-read correction (ADVICE r13): the subtraction
+        // assumes the warm cache re-read exactly prices the barrier's
+        // extra read; on a contended / cold-page-cache box rereadSec can
+        // exceed what the barrier actually cost and the corrected
+        // headline drifts below — or goes negative vs — the plain-mode
+        // wall it claims to equal. Cap the correction at parseSec and
+        // floor the headline at writeSec; print the uncorrected wall too
+        // so the correction stays auditable.
+        val corrected = math.max(writeSec,
+          parseSec - math.min(rereadSec, parseSec) + writeSec)
+        println(f"""{"stages_uncorrected_wall_sec":${parseSec + writeSec}%.1f,"reread_correction_sec":$rereadSec%.1f}""")
+        corrected
       } else {
         Sinks.writeParquetArchive(result.transactions, s"$out/archive")
         (System.nanoTime() - t0) / 1e9

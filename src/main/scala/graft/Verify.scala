@@ -31,6 +31,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    // load context (VERDICT r13 item 7, same self-labeling Bench carries):
+    // a verify run that overlaps other heavy JVMs times out / runs slow
+    // for reasons that are not defects — record the signal with the run
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -90,6 +97,15 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // one-line summary with the contended self-label (Bench's rule: a
+    // local[4] verify's own load is ≤ ~4, so start > 6 or end > cores/2
+    // has only ever meant another heavy JVM on the box)
+    val loadEnd = loadAvg
+    val contended = loadStart > 6.0 ||
+      loadEnd > (Runtime.getRuntime.availableProcessors() / 2.0)
+    val nRun = SparkEntry.queries.count { case (name, _) =>
+      only.isEmpty || only.contains(name) }
+    println(f"""{"metric":"verify","n_queries":$nRun,"n_errors":${errors.size},"contended":$contended,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

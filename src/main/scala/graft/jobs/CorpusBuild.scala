@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object CorpusBuild {
 
-  final case class Inputs(docs: DataFrame, evalDocs: Option[DataFrame])
+  /** Optional SemDeDup stage: embeddings keyed by vec_id = doc_id plus a
+    * named operating point ([[graft.queries.SimilarityOps.SemPreset]] —
+    * the measured CorpusScaleBench points, VERDICT r13 item 4). */
+  final case class SemDedup(embeddings: DataFrame,
+      preset: graft.queries.SimilarityOps.SemPreset, tau: Double = 0.9)
+
+  final case class Inputs(docs: DataFrame, evalDocs: Option[DataFrame],
+      semDedup: Option[SemDedup] = None)
 
   /** `kept` is the final sharded corpus; `funnel` the attrition report;
     * `shards` the per-shard balance table. All unmaterialized plans.
@@ -32,7 +39,18 @@ object CorpusBuild {
       release: () => Unit = () => ())
 
   def run(spark: SparkSession, in: Inputs): Result = {
-    val docs = in.docs
+    // semantic near-dup drop FIRST (it composes upstream at the embedding
+    // level): losers scale with the duplicate rate, so the anti-join's
+    // build side is small by construction — size-gated broadcast, the
+    // q_dedup_apply shape. A doc with no embeddings row is KEPT.
+    val docs = in.semDedup match {
+      case Some(sd) =>
+        val losers = graft.queries.SimilarityOps
+          .semLosers(spark, sd.embeddings, sd.preset, sd.tau)
+        in.docs.join(graft.ops.Hints.broadcastIfSmall(losers),
+          Seq("doc_id"), "left_anti")
+      case None => in.docs
+    }
     // the SAME gate predicates the differential-tested q_filter_funnel
     // uses — one definition, no drift
     val f1 = TextOps.gateMinLength
@@ -78,21 +96,31 @@ object CorpusBuild {
         expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1"))
       .drop("h")
 
+    // funnel stage numbering: with the optional semantic stage ON, the
+    // pre-drop corpus is stage 0 "all" and the post-drop count slots in
+    // as "semantic_dedup"; with it OFF the shape is byte-identical to the
+    // q_corpus_build oracle's five rows.
+    val off = if (in.semDedup.isDefined) 1 else 0
     val flagCounts = docs
       .select(f1.cast("long").as("p1"), f2.cast("long").as("p2"))
       .agg(count(lit(1)).as("n0"), sum("p1").as("n1"), sum("p2").as("n2"))
+    val gate0 = if (in.semDedup.isDefined) "semantic_dedup" else "all"
     val head = flagCounts.select(explode(array(
-      struct(lit(0).as("stage"), lit("all").as("gate"), col("n0").as("n_docs")),
-      struct(lit(1).as("stage"), lit("min_length").as("gate"), col("n1").as("n_docs")),
-      struct(lit(2).as("stage"), lit("stopword_evidence").as("gate"), col("n2").as("n_docs"))))
+      struct(lit(0 + off).as("stage"), lit(gate0).as("gate"), col("n0").as("n_docs")),
+      struct(lit(1 + off).as("stage"), lit("min_length").as("gate"), col("n1").as("n_docs")),
+      struct(lit(2 + off).as("stage"), lit("stopword_evidence").as("gate"), col("n2").as("n_docs"))))
       .as("r")).select("r.*")
+    val preHead = in.semDedup.map { _ =>
+      in.docs.agg(count(lit(1)).as("n")).select(
+        lit(0).as("stage"), lit("all").as("gate"), col("n").as("n_docs"))
+    }
     val tail = deduped.agg(count(lit(1)).as("n3"))
       .crossJoin(kept.agg(count(lit(1)).as("n4")))
       .select(explode(array(
-        struct(lit(3).as("stage"), lit("exact_dedup").as("gate"), col("n3").as("n_docs")),
-        struct(lit(4).as("stage"), lit("decontaminate").as("gate"), col("n4").as("n_docs"))))
+        struct(lit(3 + off).as("stage"), lit("exact_dedup").as("gate"), col("n3").as("n_docs")),
+        struct(lit(4 + off).as("stage"), lit("decontaminate").as("gate"), col("n4").as("n_docs"))))
         .as("r")).select("r.*")
-    val funnel = head.unionAll(tail)
+    val funnel = preHead.map(_.unionAll(head)).getOrElse(head).unionAll(tail)
 
     val shards = kept.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -117,10 +145,13 @@ object CorpusBuild {
 /** CLI: corpus build over JSONL or parquet document inputs.
   *
   * usage: CorpusBuildJob <docsPath> <outDir> [evalDocsPath]
+  *          [--embeddings=<path> --sem-preset=frontier|exact|off]
   *
   * `docsPath` ending in .parquet reads the parquet documents table;
   * anything else is JSON-lines (plain or .gz) in the documents schema.
-  */
+  * `--sem-preset` (with `--embeddings`) runs SemDeDup upstream of the
+  * gates at a measured named operating point — `frontier` is the
+  * README's p2 m1.02 s1.1 recall/cost point (VERDICT r13 item 4). */
 object CorpusBuildJob {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -133,17 +164,28 @@ object CorpusBuildJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (docsPath, outDir, evalPath) = args.toSeq match {
+    def opt(name: String): Option[String] =
+      args.find(_.startsWith(s"--$name=")).map(_.stripPrefix(s"--$name="))
+    val pos = args.filterNot(_.startsWith("--")).toSeq
+    val (docsPath, outDir, evalPath) = pos match {
       case Seq(d, o)     => (d, o, None)
       case Seq(d, o, e)  => (d, o, Some(e))
-      case _ => sys.error("usage: CorpusBuildJob <docsPath> <outDir> [evalDocsPath]")
+      case _ => sys.error("usage: CorpusBuildJob <docsPath> <outDir> [evalDocsPath] " +
+        "[--embeddings=<path> --sem-preset=frontier|exact|off]")
     }
     def read(p: String) =
       if (p.endsWith(".parquet")) spark.read.parquet(p)
       else graft.ops.Sources.readDocumentsJsonl(spark, p)
 
+    val semDedup = opt("sem-preset")
+      .flatMap(graft.queries.SimilarityOps.SemPreset.parse)
+      .map { preset =>
+        val embPath = opt("embeddings").getOrElse(
+          sys.error("--sem-preset requires --embeddings=<path>"))
+        CorpusBuild.SemDedup(spark.read.parquet(embPath), preset)
+      }
     val result = CorpusBuild.run(spark,
-      CorpusBuild.Inputs(read(docsPath), evalPath.map(read)))
+      CorpusBuild.Inputs(read(docsPath), evalPath.map(read), semDedup))
     CorpusBuild.write(result, outDir)
     result.funnel.orderBy("stage").collect().foreach { r =>
       println(f"${r.getInt(0)}%d ${r.getString(1)}%-20s ${r.getLong(2)}%d")

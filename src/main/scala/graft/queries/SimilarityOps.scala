@@ -57,6 +57,102 @@ object SimilarityOps {
     * from its cluster-size floor. */
   val VerifyExactGate = 512L
 
+  /** Named SemDeDup operating points (VERDICT r13 item 4): the
+    * [[semClustersFromEmb]] knob triples measured by CorpusScaleBench's
+    * `--semantic` sweeps, reachable by NAME from CorpusBuild's CLI and
+    * from `--runs=` so the README frontier row is user-runnable without
+    * code edits. */
+  final case class SemPreset(probes: Int, probeMargin: Double,
+      subProbeMargin: Double)
+
+  object SemPreset {
+    /** One label per vector — the oracle-twin single-assignment contract
+      * (recall 0.84 @ 1 M isotropic; the cheapest point). */
+    val Exact: SemPreset = SemPreset(1, Double.PositiveInfinity, 0.0)
+    /** The measured recall/cost frontier: 2-probe restricted to boundary
+      * vectors at level-1 margin 1.02, plus level-2 sub-cluster margin
+      * 1.1 (README "SemDeDup operating points": ~0.97 recall at ~1.1×
+      * memberships vs blanket 2-probe's ~0.99 at 2.0×). */
+    val Frontier: SemPreset = SemPreset(2, 1.02, 1.1)
+    /** `off` → None (skip semantic dedup entirely). Unknown names error
+      * with the valid set, so a CLI typo can't silently run `exact`. */
+    def parse(name: String): Option[SemPreset] = name match {
+      case "exact"    => Some(Exact)
+      case "frontier" => Some(Frontier)
+      case "off"      => None
+      case other => sys.error(
+        s"unknown --sem-preset '$other' (valid: frontier, exact, off)")
+    }
+  }
+
+  /** [[semClustersFromEmb]] with a named operating point. */
+  private[graft] def semClustersFromEmb(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame, n: Long,
+      preset: SemPreset): org.apache.spark.sql.DataFrame =
+    semClustersFromEmb(s, emb, n, preset.probes, preset.probeMargin,
+      preset.subProbeMargin)
+
+  /** Margin-calibration diagnostic (VERDICT r13 item 1): per vector, the
+    * runner-up/best coarse-cell d² ratio over the SAME level-1 centroids
+    * [[semClustersFromEmb]] trains. [[assignVecProbes]] keeps a second
+    * membership iff ratio ≤ probeMargin, so the f-quantile of this
+    * distribution IS the margin that buys fraction f of extra
+    * memberships on THIS corpus — a per-geometry calibration rule
+    * instead of a fixture-tuned constant. Same plan shape as the probe
+    * path: broadcast centroids, map-side WindowGroupLimit to 2 rows per
+    * vector, one vec_id shuffle. */
+  private[graft] def coarseMarginRatios(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame, n: Long): org.apache.spark.sql.DataFrame = {
+    import graft.functions.VecOps.vec_dot
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val k = semK(n)
+    require(k > FlatKCap, s"margin calibration is a hierarchical-path tool; semK($n)=$k")
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val w = Window.partitionBy("vec_id")
+    emb.crossJoin(broadcast(trainVecCentroids(emb, k1)))
+      .withColumn("d2",
+        vec_dot(col("embedding"), col("embedding"))
+          - lit(2.0) * vec_dot(col("embedding"), col("m"))
+          + vec_dot(col("m"), col("m")))
+      .withColumn("rk", row_number().over(w.orderBy(col("d2"), col("c"))))
+      .filter(col("rk") <= 2)
+      .groupBy("vec_id")
+      .agg(min(when(col("rk") === 1, col("d2"))).as("d_best"),
+        min(when(col("rk") === 2, col("d2"))).as("d_second"))
+      // float cancellation can push a tiny d² below 0; clamp the
+      // denominator so the ratio stays finite and ≥ 1-ish
+      .select(col("vec_id"),
+        (col("d_second") / greatest(col("d_best"), lit(1e-300))).as("ratio"))
+  }
+
+  /** SemDeDup LOSER set (doc_id) over any (vec_id, embedding) frame at a
+    * named operating point: blocking → in-cluster pairwise cosine at
+    * `tau` → min-label components → every non-canonical member. The
+    * CorpusBuild hook: drop the losers, keep everything else (a doc with
+    * no embedding can never be detected — it is kept, same declared
+    * semantics as q_dedup_apply). Below the hierarchical floor
+    * (semK(n) ≤ 8, i.e. n ≤ 512) the preset knobs have no level-1/level-2
+    * structure to act on, so a flat 8-centroid quantizer stands in. */
+  private[graft] def semLosers(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame, preset: SemPreset,
+      tau: Double = 0.9): org.apache.spark.sql.DataFrame = {
+    val n = emb.count()
+    val clusters =
+      if (semK(n) > 8) semClustersFromEmb(s, emb, n, preset)
+      else {
+        graft.functions.GraftFunctions.register(s)
+        assignVec(emb, trainVecCentroids(emb, 8))
+          .select(col("vec_id"), col("c").as("cluster"))
+      }
+    val pairs = semDupPairs(s, emb, clusters, tau)
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    DedupOps.minLabelComponents(edges, emb.select("vec_id")).labels
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id").as("doc_id"))
+  }
+
   /** Fraction of the corpus one LSH multiprobe query touches (expected). */
   def lshProbeFraction(n: Long): Double = {
     val p = lshPlanes(n)
@@ -427,7 +523,7 @@ object SimilarityOps {
     * miss-split printout showed splitting across SUB-clusters within a
     * shared cell (VERDICT r12 item 4). subMargin ≤ 1 keeps the single-
     * assignment contract exactly (second is always -1). */
-  private def localKmeansProbed(vs: Array[(Long, Array[Double])], k: Int,
+  private[graft] def localKmeansProbed(vs: Array[(Long, Array[Double])], k: Int,
       subMargin: Double, lloyd: Int = 2): Array[(Int, Int)] = {
     val dim = vs.head._2.length
     var cents = Array.tabulate(k)(j => vs((j.toLong * vs.length / k).toInt)._2.clone)
@@ -479,7 +575,13 @@ object SimilarityOps {
         else if (d < sD) { sD = d; s = c }
         c += 1
       }
-      val second = if (s >= 0 && sD <= subMargin * bD) s else -1
+      // Gate on the knob actually being ON: at subMargin ≤ 1 the contract
+      // is single-assignment, but `sD <= subMargin * bD` alone re-admits
+      // the runner-up when bD == sD == 0 (vector bit-equal to two sub-
+      // centroids — attainable with exact-duplicate embeddings plus a
+      // dead centroid keeping its initial data-vector value), silently
+      // emitting duplicate (vec_id, cluster) rows (ADVICE r13).
+      val second = if (subMargin > 1.0 && s >= 0 && sD <= subMargin * bD) s else -1
       out(j) = (b, second)
       j += 1
     }

@@ -47,6 +47,44 @@ class CorpusJobSpec extends AnyFunSuite {
       "a contaminated doc survived")
   }
 
+  test("sem presets resolve to exactly the measured operating points") {
+    // VERDICT r13 item 4: the README frontier row (p2 m1.02 s1.1) must be
+    // reachable BY NAME — pin the constants so a knob edit can't silently
+    // detach the preset from the measured numbers
+    import graft.queries.SimilarityOps.SemPreset
+    assert(SemPreset.parse("frontier").contains(SemPreset(2, 1.02, 1.1)))
+    assert(SemPreset.parse("exact")
+      .contains(SemPreset(1, Double.PositiveInfinity, 0.0)))
+    assert(SemPreset.parse("off").isEmpty)
+    assertThrows[RuntimeException](SemPreset.parse("frontierr"))
+  }
+
+  test("corpus build with --sem-preset drops semantic losers upstream of the gates") {
+    import graft.queries.SimilarityOps
+    val emb = Tables.embeddings(spark, sf)
+    val semIn = CorpusBuild.Inputs(inputs.docs, inputs.evalDocs,
+      Some(CorpusBuild.SemDedup(emb, SimilarityOps.SemPreset.Frontier)))
+    val r = CorpusBuild.run(spark, semIn)
+    val rows = r.funnel.orderBy("stage").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getString(1)).toSeq == Seq("all", "semantic_dedup",
+      "min_length", "stopword_evidence", "exact_dedup", "decontaminate"))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: ${counts.mkString(",")}")
+    assert(counts.head == inputs.docs.count())
+    assert(counts.last == r.kept.count())
+    // the losers the preset computes are exactly the docs that vanished
+    // between stage 0 and stage 1 — and none of them survive to kept
+    val losers = SimilarityOps.semLosers(spark, emb,
+      SimilarityOps.SemPreset.Frontier)
+      .join(inputs.docs.select("doc_id"), Seq("doc_id"), "left_semi").cache()
+    assert(counts(0) - counts(1) == losers.count())
+    assert(r.kept.join(losers, Seq("doc_id"), "left_semi").count() == 0,
+      "a semantic loser survived to the kept corpus")
+    losers.unpersist()
+  }
+
   test("corpus build: sharded write round-trips with shard layout") {
     val out = Files.createTempDirectory("graft-corpus").toString
     val r = CorpusBuild.run(spark, inputs)

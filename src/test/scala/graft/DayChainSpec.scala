@@ -27,9 +27,18 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DayChainSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
-  private val sf = "/root/testdata/sf0.001"
 
   test("collect → merge → analyze → website: chained day equals the direct merge") {
+    runChain("/root/testdata/sf0.001")
+  }
+
+  test("day chain holds at sf0.01 (the driver's gate SF) — not a single-scale claim") {
+    // VERDICT r13 item 6: the byte-identity seam re-proven at 10× the
+    // fixture day, the same SF the correctness gate runs at
+    runChain("/root/testdata/sf0.01")
+  }
+
+  private def runChain(sf: String): Unit = {
     val n = MempoolParse.nFor(sf).toInt
     val in = Files.createTempDirectory("graft-day-feed").toString
     val out = Files.createTempDirectory("graft-day-collect").toString

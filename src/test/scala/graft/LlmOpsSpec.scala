@@ -404,6 +404,23 @@ class LlmOpsSpec extends AnyFunSuite {
       s"per-cluster population not scale-stable: $pops")
   }
 
+  test("localKmeansProbed: all-zero-distance tie emits no runner-up unless the knob is on") {
+    // ADVICE r13 (medium): with bD == sD == 0 (vector bit-equal to TWO
+    // sub-centroids — here forced via lloyd=0 so strided seeds keep their
+    // raw duplicate values), `sD <= subMargin * bD` holds even at the
+    // default subMargin=0.0, silently emitting a duplicate membership.
+    // The runner-up must be gated on subMargin > 1 (the knob being ON).
+    val v = Array(1.0, 2.0, 3.0)
+    val vs = Array.tabulate(4)(i => (i.toLong, v.clone))
+    // k=2, lloyd=0: seeds = vs(0), vs(2) → two bit-equal centroids survive
+    val off = queries.SimilarityOps.localKmeansProbed(vs, 2, 0.0, lloyd = 0)
+    assert(off.forall(_._2 == -1),
+      s"subMargin=0 (knob off) emitted a runner-up on a zero-distance tie: ${off.toSeq}")
+    val on = queries.SimilarityOps.localKmeansProbed(vs, 2, 1.1, lloyd = 0)
+    assert(on.forall { case (b, s) => b == 0 && s == 1 },
+      s"subMargin>1 must keep the tied runner-up: ${on.toSeq}")
+  }
+
   test("BPE training matches an independent in-memory implementation") {
     // reference: greedy left-to-right merges over the collected corpus,
     // run to 6 rounds so it covers both the 3-round query and the

@@ -398,6 +398,39 @@ class ScalePlanSpec extends AnyFunSuite {
       s"centroid scoring below the group limit is not broadcast:\n$plan")
   }
 
+  test("SemDeDup boundary margin: finite probeMargin keeps the map-side limit shape, no second vec_id exchange") {
+    import spark.implicits._
+    // assignVecProbes claims the finite-margin second window (min over
+    // vec_id) runs over the ALREADY group-limited rows with the same
+    // vec_id clustering — i.e. the Partial/Final limit and shuffle shape
+    // are untouched and NO second vec_id exchange appears (ADVICE r13).
+    val n = 1100L
+    val emb = spark.range(n).map(i => (i, CorpusScaleBench.synVec(i)))
+      .toDF("vec_id", "embedding")
+    val clusters = queries.SimilarityOps.semClustersFromEmb(spark, emb, n, 2, 1.4)
+    val plan = finalPlan(clusters)
+    val partialIdx = plan.indexOf("row_number(), 2, Partial")
+    val finalIdx = plan.indexOf("row_number(), 2, Final")
+    assert(partialIdx >= 0 && finalIdx >= 0,
+      s"finite-margin probe rank lost the partial+final WindowGroupLimit:\n$plan")
+    val exIdx = plan.indexOf("Exchange hashpartitioning(vec_id", finalIdx)
+    assert(exIdx >= 0 && exIdx < partialIdx,
+      s"no vec_id exchange between the Final and Partial group limits:\n$plan")
+    // the margin window must NOT add a vec_id exchange over the
+    // margin=∞ plan (the downstream vec_id join keeps its own; the count
+    // must be IDENTICAL between the two plans)
+    def countVecEx(p: String): Int =
+      "Exchange hashpartitioning\\(vec_id".r.findAllIn(p).length
+    val planInf = finalPlan(
+      queries.SimilarityOps.semClustersFromEmb(spark, emb, n, 2))
+    assert(countVecEx(plan) == countVecEx(planInf),
+      s"finite margin changed the vec_id exchange count: " +
+        s"${countVecEx(plan)} vs ${countVecEx(planInf)}\n$plan")
+    assert(plan.indexOf("BroadcastNestedLoopJoin", partialIdx) >= 0 ||
+      plan.indexOf("BroadcastHashJoin", partialIdx) >= 0,
+      s"centroid scoring below the group limit is not broadcast:\n$plan")
+  }
+
   test("ngram-Jaccard: dict broadcasts, candidates broadcast, no cartesian") {
     val plan = finalPlan(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf))
     // the charset³-bounded dictionary and the near-dup-bounded candidate
