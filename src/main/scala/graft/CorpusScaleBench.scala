@@ -38,6 +38,12 @@ import org.apache.spark.sql.functions._
   *               accumulated pieces into ONE parquet piece whenever
   *               more than K exist — the S11-compactor treatment of the
   *               standing index (VERDICT r13 item 3).
+  *               Combined `--semantic --daily` (r14): the SEMANTIC
+  *               maintenance loop — frozen two-level quantizer persisted
+  *               as parquet, per-day assign→probe-touched-clusters→
+  *               piece-append, end-state equality vs the full-batch run
+  *               over the same frozen index; same --days/--batch/
+  *               --compact-every/--geometry flags.
   */
 object CorpusScaleBench {
 
@@ -295,6 +301,163 @@ object CorpusScaleBench {
     pairs.unpersist(); clusters.unpersist(); emb.unpersist()
   }
 
+  /** r14: the SEMANTIC standing-index maintenance loop — the SemDeDup
+    * twin of [[dailyRun]]. Bootstrap (the last (1 − days·batch%) of ids)
+    * trains the frozen two-level quantizer ([[queries.SimilarityOps
+    * .semIndexTrain]]), PERSISTS it as parquet (the production shape),
+    * and assigns itself through it (piece 0). Each day: assign the fresh
+    * batch through the frozen index, pair it against ONLY the standing
+    * members of the clusters it touches (cluster populations are ≈ 64 by
+    * construction, so the probe bill is ∝ batch — never a corpus
+    * re-shuffle), then append the batch's (vec_id, cluster, embedding)
+    * rows as a new piece, with the same `--compact-every` parquet-rewrite
+    * bound on the piece count. End-state require: bootstrap-internal ∪
+    * per-day pair sets must equal the full-batch pipeline over the SAME
+    * frozen index, value-exact on (vec_a, vec_b, cos) — cosines are
+    * bit-equal because a pair's value never depends on who else shares
+    * its cluster group ([[queries.SimilarityOps.semDupPairsAssigned]]). */
+  private[graft] def semanticDailyRun(spark: SparkSession, n: Long,
+      days: Int, batchPct: Int, compactEvery: Int,
+      geometry: String): Unit = {
+    import spark.implicits._
+    import queries.SimilarityOps
+    val tau = 0.9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    def stage[T](tag: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[semdaily] $tag%-28s $sec%8.2f s")
+      (r, sec)
+    }
+    val geo = geometry
+    def embRange(lo: Long, hi: Long) =
+      spark.range(lo, hi, 1,
+          math.max(cpus, ((hi - lo) / 30000L).toInt)).as[Long]
+        .mapPartitions(_.map(i => (i, synVecGeo(i, geo))))
+        .toDF("vec_id", "embedding")
+    val batchN = n * batchPct / 100
+    val initLo = batchN * days
+    require(initLo > 0 && initLo < n,
+      s"days=$days × batch=$batchPct% must leave a non-empty bootstrap corpus (n=$n)")
+    val init = embRange(initLo, n)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sem-daily").toString
+
+    // bootstrap: train + FREEZE the index on disk (parquet round-trip —
+    // lineage-free, exactly what a production run reloads next day)
+    val (index, trainSec) = stage("index train+freeze") {
+      val ix = SimilarityOps.semIndexTrain(spark, init, n - initLo)
+      ix.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+      ix.sub.write.mode("overwrite").parquet(s"$dir/sub")
+      SimilarityOps.SemIndex(
+        spark.read.parquet(s"$dir/coarse"), spark.read.parquet(s"$dir/sub"))
+    }
+    val (piece0, bootAssignSec) = stage("bootstrap assign") {
+      SimilarityOps.semIndexAssign(spark, init, index)
+        .write.mode("overwrite").parquet(s"$dir/piece_boot")
+      spark.read.parquet(s"$dir/piece_boot")
+    }
+    val (bootPairs, bootPairSec) = stage("bootstrap pairs") {
+      val p = SimilarityOps.semDupPairsAssigned(spark, piece0, tau)
+        .localCheckpoint(true)
+      p.count(); p
+    }
+
+    var pieces = List(piece0)
+    var dayPairs = List.empty[org.apache.spark.sql.DataFrame]
+    val daySecs = Array.ofDim[Double](days)
+    val appendSecs = Array.ofDim[Double](days)
+    val compactSecs = Array.ofDim[Double](days)
+    val pieceCounts = Array.ofDim[Int](days)
+    val dayPairCounts = Array.ofDim[Long](days)
+    for (d <- 0 until days) {
+      val lo = d.toLong * batchN
+      val hi = (d + 1).toLong * batchN
+      val fresh = embRange(lo, hi)
+      pieceCounts(d) = pieces.length
+      val freshA = SimilarityOps.semIndexAssign(spark, fresh, index)
+        .localCheckpoint(true)
+      val (p, sec) = stage(s"day $d probe (${pieces.length} pieces)") {
+        val standing = pieces.reduce(_ unionByName _)
+        val members = standing.join(
+          org.apache.spark.sql.functions.broadcast(
+            freshA.select("cluster").distinct()),
+          Seq("cluster"), "left_semi")
+        val dp = SimilarityOps
+          .semDupPairsAssigned(spark, members.unionByName(freshA), tau)
+          // pairs between two STANDING members of a touched cluster were
+          // already found (bootstrap or an earlier day) — keep only pairs
+          // touching the fresh id range
+          .filter((col("vec_a") >= lo && col("vec_a") < hi) ||
+            (col("vec_b") >= lo && col("vec_b") < hi))
+          .localCheckpoint(true)
+        dayPairCounts(d) = dp.count()
+        dp
+      }
+      daySecs(d) = sec
+      dayPairs ::= p
+      val (piece, asec) = stage(s"day $d piece append") {
+        freshA.write.mode("overwrite").parquet(s"$dir/piece_d$d")
+        spark.read.parquet(s"$dir/piece_d$d")
+      }
+      appendSecs(d) = asec
+      pieces = pieces :+ piece
+      if (compactEvery > 0 && pieces.length > compactEvery) {
+        val (merged, csec) = stage(s"day $d compact ${pieces.length} pieces") {
+          val cdir = s"$dir/piece_compact_d$d"
+          pieces.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(cdir)
+          spark.read.parquet(cdir)
+        }
+        compactSecs(d) = csec
+        pieces = List(merged)
+      }
+    }
+
+    // end-state equality vs the full-batch pipeline over the SAME frozen
+    // index (assign everything, pair in-cluster) — symmetric difference
+    // on (vec_a, vec_b, cos) must be empty
+    val ((nFull, symDiff, found), fullSec) = stage("full-batch (frozen) oracle") {
+      val fullA = SimilarityOps.semIndexAssign(spark, embRange(0L, n), index)
+      val full = SimilarityOps.semDupPairsAssigned(spark, fullA, tau).cache()
+      val nf = full.count()
+      val chained = bootPairs.unionByName(dayPairs.reduce(_ unionByName _))
+      val miss = full.join(chained, Seq("vec_a", "vec_b", "cos"), "left_anti").count()
+      val extra = chained.join(full, Seq("vec_a", "vec_b", "cos"), "left_anti").count()
+      val planted = chained
+        .filter(col("vec_b") % 10 === 9 && col("vec_a") === col("vec_b") - 9)
+        .count()
+      full.unpersist()
+      (nf, miss + extra, planted)
+    }
+    val plantedRecall = found.toDouble / (n / 10).toDouble
+    def fmt(xs: Array[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"sem_daily_scale","n_vecs":$n,"geometry":"$geometry","days":$days,"batch":$batchN,""" +
+      s""""compact_every":$compactEvery,"train_sec":${f"$trainSec%.1f"},""" +
+      s""""boot_assign_sec":${f"$bootAssignSec%.1f"},"boot_pair_sec":${f"$bootPairSec%.1f"},""" +
+      s""""day_secs":${fmt(daySecs)},"append_secs":${fmt(appendSecs)},""" +
+      s""""compact_secs":${fmt(compactSecs)},""" +
+      s""""pieces":${pieceCounts.mkString("[", ",", "]")},""" +
+      s""""day_pairs":${dayPairCounts.mkString("[", ",", "]")},""" +
+      s""""full_pairs":$nFull,"sym_diff":$symDiff,"planted_recall":${f"$plantedRecall%.4f"},""" +
+      s""""full_sec":${f"$fullSec%.1f"}}""")
+    locally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    // nFull > 0 guards the equality against vacuous truth: the planted
+    // construction guarantees ~n/10 pairs, so an empty full set means a
+    // broken pipeline, not a clean one (this exact failure shipped once:
+    // 0-based seed filtering emptied the bootstrap-trained centroids and
+    // every set compared 0 == 0)
+    require(nFull > 0, "frozen full-batch run found no pairs — pipeline broken")
+    require(symDiff == 0,
+      s"incremental semantic pair set diverged from the frozen full-batch run by $symDiff rows")
+  }
+
   /** VERDICT r12 item 5: the standing-index MAINTENANCE path, measured.
     * q_dedup_incremental proves ONE fresh batch against a persisted band
     * index; production runs K successive days — so here: bootstrap a
@@ -480,9 +643,17 @@ object CorpusScaleBench {
       def intOpt(name: String, dflt: Int): Int =
         args.find(_.startsWith(s"--$name=")).map(_.stripPrefix(s"--$name=").toInt)
           .getOrElse(dflt)
-      dailyRun(spark, n, days = intOpt("days", 5),
-        batchPct = intOpt("batch", 5),
-        compactEvery = intOpt("compact-every", 0))
+      // --semantic --daily = the embedding-side maintenance loop (r14)
+      if (flag("semantic"))
+        semanticDailyRun(spark, n, days = intOpt("days", 5),
+          batchPct = intOpt("batch", 5),
+          compactEvery = intOpt("compact-every", 0),
+          geometry = args.find(_.startsWith("--geometry="))
+            .map(_.stripPrefix("--geometry=")).getOrElse("iso"))
+      else
+        dailyRun(spark, n, days = intOpt("days", 5),
+          batchPct = intOpt("batch", 5),
+          compactEvery = intOpt("compact-every", 0))
       spark.stop()
       return
     }

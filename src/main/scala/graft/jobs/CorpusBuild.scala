@@ -145,7 +145,9 @@ object CorpusBuild {
 /** CLI: corpus build over JSONL or parquet document inputs.
   *
   * usage: CorpusBuildJob <docsPath> <outDir> [evalDocsPath]
-  *          [--embeddings=<path> --sem-preset=frontier|exact|off]
+  *          [--embeddings=<path>
+  *           --sem-preset=frontier|exact|off|calibrated:<f>
+  *           --sem-tau=<cos threshold, default 0.9>]
   *
   * `docsPath` ending in .parquet reads the parquet documents table;
   * anything else is JSON-lines (plain or .gz) in the documents schema.
@@ -177,13 +179,28 @@ object CorpusBuildJob {
       if (p.endsWith(".parquet")) spark.read.parquet(p)
       else graft.ops.Sources.readDocumentsJsonl(spark, p)
 
-    val semDedup = opt("sem-preset")
-      .flatMap(graft.queries.SimilarityOps.SemPreset.parse)
-      .map { preset =>
-        val embPath = opt("embeddings").getOrElse(
-          sys.error("--sem-preset requires --embeddings=<path>"))
-        CorpusBuild.SemDedup(spark.read.parquet(embPath), preset)
-      }
+    import graft.queries.SimilarityOps
+    val semDedup = opt("sem-preset").filterNot(_ == "off").map { name =>
+      val embPath = opt("embeddings").getOrElse(
+        sys.error("--sem-preset requires --embeddings=<path>"))
+      val emb = spark.read.parquet(embPath)
+      // calibrated:<f> reads the level-1 margin off THIS corpus (the
+      // f-quantile of its coarse d²-ratio — requires the hierarchical
+      // regime, i.e. > ~1k embeddings); named presets are the measured
+      // constants.
+      val preset =
+        if (name.startsWith("calibrated:"))
+          SimilarityOps.calibratedPreset(spark, emb, emb.count(),
+            name.stripPrefix("calibrated:").toDouble)
+        else SimilarityOps.SemPreset.parse(name).get
+      // --sem-tau: the dup-pair cosine threshold. 0.9 is the SemDeDup
+      // paper's near-exact regime (and the synthetic-bench default);
+      // corpora whose "duplicate" notion is looser pass their own
+      // (the parquet fixtures' planted scale is 0.25, matching
+      // q_dedup_semantic / q_dedup_apply).
+      CorpusBuild.SemDedup(emb, preset,
+        tau = opt("sem-tau").map(_.toDouble).getOrElse(0.9))
+    }
     val result = CorpusBuild.run(spark,
       CorpusBuild.Inputs(read(docsPath), evalPath.map(read), semDedup))
     CorpusBuild.write(result, outDir)

@@ -85,6 +85,24 @@ object SimilarityOps {
     }
   }
 
+  /** The README calibration rule as a runnable operator (r14): a
+    * [[SemPreset]] whose level-1 margin is READ OFF THE CORPUS — the
+    * f-quantile of the coarse d²-ratio distribution
+    * ([[coarseMarginRatios]]), which buys exactly fraction `f` of extra
+    * level-1 memberships on this corpus regardless of its geometry
+    * (isotropic q0.10 ≈ 1.004, mixture-of-Gaussians ≈ 1.016,
+    * spectrum-decayed ≈ 1.007 — measured in README "r14"). Level-2 keeps
+    * the frontier sub-margin. One extra pass over the corpus (broadcast
+    * scoring + approxQuantile), billed once per build. */
+  private[graft] def calibratedPreset(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame, n: Long,
+      f: Double): SemPreset = {
+    require(f > 0.0 && f < 1.0, s"quantile fraction f=$f outside (0, 1)")
+    val margin = coarseMarginRatios(s, emb, n)
+      .stat.approxQuantile("ratio", Array(f), 0.001).head
+    SemPreset(2, margin, SemPreset.Frontier.subProbeMargin)
+  }
+
   /** [[semClustersFromEmb]] with a named operating point. */
   private[graft] def semClustersFromEmb(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame, n: Long,
@@ -470,7 +488,15 @@ object SimilarityOps {
     * k×dim doubles — tiny and broadcastable at any corpus size. */
   private def trainVecCentroids(emb: org.apache.spark.sql.DataFrame,
       k: Int, lloyd: Int = 2): org.apache.spark.sql.DataFrame = {
-    var centroids = emb.filter(col("vec_id") < k)
+    // seeds = the k SMALLEST vec_ids (TakeOrdered, k rows to the driver
+    // merge — bounded at any N), with c = the seed's own id. On a 0-based
+    // corpus this is value-identical to the original `vec_id < k` filter
+    // (same rows, same labels — the oracle twins are unaffected), but it
+    // stays correct when the frame's ids start elsewhere: the standing
+    // semantic index trains on a BOOTSTRAP slice whose ids begin at
+    // initLo ≫ k, where the filter form seeded an EMPTY centroid table
+    // and silently zeroed every downstream assignment (r14).
+    var centroids = emb.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("c"),
         transform(col("embedding"), _.cast("double")).as("m"))
     val train = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
@@ -523,8 +549,14 @@ object SimilarityOps {
     * miss-split printout showed splitting across SUB-clusters within a
     * shared cell (VERDICT r12 item 4). subMargin ≤ 1 keeps the single-
     * assignment contract exactly (second is always -1). */
-  private[graft] def localKmeansProbed(vs: Array[(Long, Array[Double])], k: Int,
-      subMargin: Double, lloyd: Int = 2): Array[(Int, Int)] = {
+  /** The Lloyd-fit half of [[localKmeansProbed]]: strided seeds, `lloyd`
+    * iterations, dead centroids dropped — returns the SETTLED centroids.
+    * Exposed separately so the standing semantic index
+    * ([[semIndexTrain]]) can persist them: re-assigning any member
+    * through these centroids with the same (strict <, lower-id tie)
+    * argmin reproduces its training assignment exactly. */
+  private[graft] def localKmeansFit(vs: Array[(Long, Array[Double])], k: Int,
+      lloyd: Int = 2): Array[Array[Double]] = {
     val dim = vs.head._2.length
     var cents = Array.tabulate(k)(j => vs((j.toLong * vs.length / k).toInt)._2.clone)
     def nearest(v: Array[Double]): Int = {
@@ -555,8 +587,15 @@ object SimilarityOps {
           while (i < dim) { m(i) /= cnts(c); i += 1 }
           m
       }
-      if (it < lloyd) asg = vs.map(p => nearest(p._2)) // final pass below
+      if (it < lloyd) asg = vs.map(p => nearest(p._2)) // final pass is the caller's
     }
+    cents
+  }
+
+  private[graft] def localKmeansProbed(vs: Array[(Long, Array[Double])], k: Int,
+      subMargin: Double, lloyd: Int = 2): Array[(Int, Int)] = {
+    val dim = vs.head._2.length
+    val cents = localKmeansFit(vs, k, lloyd)
     // final assignment pass over the settled centroids, tracking best AND
     // runner-up in one scan (best semantics identical to nearest():
     // strict <, ties toward the lower centroid id)
@@ -705,9 +744,22 @@ object SimilarityOps {
   private[graft] def semDupPairs(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame,
       clusters: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame =
+    semDupPairsAssigned(s, emb.join(clusters, Seq("vec_id")), tau)
+
+  /** [[semDupPairs]] over an already-assigned (vec_id, cluster,
+    * embedding) frame — the standing-piece schema of the incremental
+    * semantic index, where the join above has no work to do. Per-pair
+    * cosine depends only on the two vectors (each group member's inverse
+    * norm is computed from its own embedding), so a pair's value is
+    * BIT-IDENTICAL whether its cluster group holds the full corpus or
+    * any subset containing both members — the property the daily loop's
+    * end-state equality relies on. */
+  private[graft] def semDupPairsAssigned(s: SparkSession,
+      assigned: org.apache.spark.sql.DataFrame,
       tau: Double): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    emb.join(clusters, Seq("vec_id"))
+    assigned
       .select(col("cluster"), col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("e"))
       .as[(Long, Long, Array[Double])]
@@ -740,6 +792,91 @@ object SimilarityOps {
       // co-locate one pair in several clusters — report each pair once.
       // The dedup key shuffles only found pairs (≈ dup rate × N rows).
       .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** Standing semantic index (r14): the FROZEN two-level quantizer the
+    * incremental embedding-ingest loop assigns against — the SemDeDup
+    * twin of the minhash band index. `coarse` is the √k level-1 centroid
+    * table (c, m) — broadcastable at ANY corpus size; `sub` is the full
+    * level-2 sub-centroid table (cell, sub, m) — k ≈ N/64 rows × 512 B,
+    * broadcast while it fits (size-gated) and a cell-co-partitioned join
+    * past that. Production persists both as parquet between daily runs
+    * (CorpusScaleBench's --semantic --daily does exactly that), so the
+    * blocking geometry is frozen: every vector — bootstrap or any later
+    * batch — resolves to the same cluster id through the same argmin,
+    * which is what makes incremental pair discovery equal the full-batch
+    * run over the frozen index (the q_dedup_incremental argument, one
+    * level up). */
+  final case class SemIndex(coarse: org.apache.spark.sql.DataFrame,
+      sub: org.apache.spark.sql.DataFrame)
+
+  /** Train the standing index on the bootstrap corpus: the SAME level-1
+    * train-assign and per-cell strided local Lloyd as
+    * [[semClustersFromEmb]], but emitting the SETTLED sub-centroids
+    * ([[localKmeansFit]]) instead of member assignments. k derives from
+    * the bootstrap N (frozen thereafter — production retrains
+    * periodically, the compaction analog for drift). */
+  private[graft] def semIndexTrain(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame, n: Long): SemIndex = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val k = semK(n)
+    require(k > FlatKCap,
+      s"the standing index is a hierarchical-regime tool; semK($n)=$k <= $FlatKCap")
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val SubBits = 40
+    val coarse = trainVecCentroids(emb, k1)
+    val cells = assignVec(emb, coarse)
+      .select(col("vec_id"), col("c").as("cell"))
+    val sub = emb.join(cells, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Long, it: Iterator[(Long, Long, Array[Double])]) =>
+        val vs = it.map { case (_, id, e) => (id, e) }.toArray.sortBy(_._1)
+        val k2 = math.max(1, math.ceil(vs.length / SemTargetCluster).toInt)
+        require(k2.toLong < (1L << SubBits),
+          s"cell $cell sub-centroid count $k2 overflows the composite id")
+        localKmeansFit(vs, k2).iterator.zipWithIndex
+          .map { case (m, j) => (cell, j, m) }
+      }
+      .toDF("cell", "sub", "m")
+    SemIndex(coarse, sub)
+  }
+
+  /** Assign any (vec_id, embedding) frame through a FROZEN [[SemIndex]]:
+    * nearest coarse cell (broadcast, the [[assignVec]] shape), then
+    * nearest sub-centroid within the cell. The sub step scores against
+    * the size-gated-broadcast sub table and cuts to one row per vector
+    * via the same map-side WindowGroupLimit shape the multiprobe path
+    * pins — only the winning (vec_id, cluster, embedding) row crosses
+    * the exchange. Output schema IS the standing-piece schema: the index
+    * stores the vectors it indexes, exactly like the minhash band index
+    * stores its banding rows, so the daily probe never re-reads or
+    * re-shuffles the full corpus. Deterministic: ties break toward the
+    * lower sub id, matching [[localKmeansProbed]]'s in-training argmin. */
+  private[graft] def semIndexAssign(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame,
+      index: SemIndex): org.apache.spark.sql.DataFrame = {
+    import graft.functions.VecOps.vec_dot
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val cells = assignVec(emb, index.coarse)
+      .select(col("vec_id"), col("c").as("cell"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d2"), col("sub"))
+    emb.join(cells, Seq("vec_id"))
+      .join(graft.ops.Hints.broadcastIfSmall(index.sub), Seq("cell"))
+      .withColumn("d2",
+        vec_dot(col("embedding"), col("embedding"))
+          - lit(2.0) * vec_dot(col("embedding"), col("m"))
+          + vec_dot(col("m"), col("m")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"),
+        (shiftleft(col("cell"), 40) + col("sub")).as("cluster"),
+        col("embedding"))
   }
 
   /** Bench attribution hooks: materialize the shared trained artifacts so

@@ -62,8 +62,13 @@ class CorpusJobSpec extends AnyFunSuite {
   test("corpus build with --sem-preset drops semantic losers upstream of the gates") {
     import graft.queries.SimilarityOps
     val emb = Tables.embeddings(spark, sf)
+    // τ = 0.25: the fixtures' planted semantic-dup scale (the same
+    // threshold q_dedup_semantic / q_dedup_apply use) — at the 0.9
+    // default this fixture has no dups and the equality below would be
+    // vacuously 0 == 0
+    val tau = 0.25
     val semIn = CorpusBuild.Inputs(inputs.docs, inputs.evalDocs,
-      Some(CorpusBuild.SemDedup(emb, SimilarityOps.SemPreset.Frontier)))
+      Some(CorpusBuild.SemDedup(emb, SimilarityOps.SemPreset.Frontier, tau)))
     val r = CorpusBuild.run(spark, semIn)
     val rows = r.funnel.orderBy("stage").collect()
     assert(rows.length == 6)
@@ -77,8 +82,10 @@ class CorpusJobSpec extends AnyFunSuite {
     // the losers the preset computes are exactly the docs that vanished
     // between stage 0 and stage 1 — and none of them survive to kept
     val losers = SimilarityOps.semLosers(spark, emb,
-      SimilarityOps.SemPreset.Frontier)
+      SimilarityOps.SemPreset.Frontier, tau)
       .join(inputs.docs.select("doc_id"), Seq("doc_id"), "left_semi").cache()
+    assert(losers.count() > 0, "fixture has no semantic losers — the " +
+      "stage-drop equality below would be vacuous")
     assert(counts(0) - counts(1) == losers.count())
     assert(r.kept.join(losers, Seq("doc_id"), "left_semi").count() == 0,
       "a semantic loser survived to the kept corpus")

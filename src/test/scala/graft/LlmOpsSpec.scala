@@ -404,6 +404,27 @@ class LlmOpsSpec extends AnyFunSuite {
       s"per-cluster population not scale-stable: $pops")
   }
 
+  test("calibrated preset: the f-quantile margin buys ≈ fraction f of level-1 memberships") {
+    import spark.implicits._
+    // the README r14 calibration rule as an operator: margin = f-quantile
+    // of the coarse d²-ratio ⇒ extra level-1 memberships ≈ f·n. Verify on
+    // a synthetic corpus in the hierarchical regime, with the level-2
+    // knob off so only the rule's own memberships are counted.
+    val n = 1100L
+    val emb = spark.range(n).map(i => (i, CorpusScaleBench.synVec(i)))
+      .toDF("vec_id", "embedding")
+    val f = 0.2
+    val p = queries.SimilarityOps.calibratedPreset(spark, emb, n, f)
+    assert(p.probes == 2 && p.subProbeMargin == 1.1)
+    assert(p.probeMargin > 1.0 && p.probeMargin < 2.0, s"margin ${p.probeMargin}")
+    val members = queries.SimilarityOps
+      .semClustersFromEmb(spark, emb, n, p.probes, p.probeMargin, 0.0)
+      .count()
+    val extra = (members - n).toDouble / n
+    assert(extra > f / 2 && extra < 2 * f,
+      s"f=$f bought extra-membership fraction $extra (margin ${p.probeMargin})")
+  }
+
   test("localKmeansProbed: all-zero-distance tie emits no runner-up unless the knob is on") {
     // ADVICE r13 (medium): with bD == sD == 0 (vector bit-equal to TWO
     // sub-centroids — here forced via lloyd=0 so strided seeds keep their

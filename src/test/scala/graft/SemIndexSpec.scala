@@ -1,0 +1,88 @@
+package graft
+
+import graft.queries.SimilarityOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The standing semantic index (r14): frozen two-level quantizer +
+  * appended assignment pieces — the SemDeDup twin of the minhash band
+  * index. CI-scale proofs of the properties the measured
+  * `CorpusScaleBench --semantic --daily` loop leans on. */
+class SemIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def emb(lo: Long, hi: Long) = {
+    import spark.implicits._
+    spark.range(lo, hi).map(i => (i, CorpusScaleBench.synVec(i)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("frozen assignment is deterministic, single-label, and id-bounded") {
+    val n = 1400L
+    val index = SimilarityOps.semIndexTrain(spark, emb(0, n), n)
+    val a1 = SimilarityOps.semIndexAssign(spark, emb(0, n), index)
+    assert(a1.columns.toSeq == Seq("vec_id", "cluster", "embedding"),
+      "assignment must carry the standing-piece schema")
+    assert(a1.count() == n, "one label per vector")
+    assert(a1.select("vec_id").distinct().count() == n)
+    // deterministic: a second pass through the same frozen index agrees
+    val a2 = SimilarityOps.semIndexAssign(spark, emb(0, n), index)
+    assert(a1.select("vec_id", "cluster")
+      .join(a2.select("vec_id", "cluster"), Seq("vec_id", "cluster"), "left_anti")
+      .count() == 0, "frozen reassignment diverged")
+    // composite (cell << 40) + sub stays within documented bounds
+    val bad = a1.filter(shiftrightunsigned(col("cluster"), 40) >=
+      SimilarityOps.semK(n) || (col("cluster").bitwiseAND(lit((1L << 40) - 1))) >= (1L << 40))
+    assert(bad.count() == 0)
+  }
+
+  test("a batch assigned later lands exactly where the full-corpus assignment puts it") {
+    // the frozen-geometry property: assignment is per-vector through
+    // frozen centroids, so splitting the corpus into arrival batches
+    // cannot move anyone. The index trains on an OFFSET id range —
+    // the regression case where 0-based seed filtering produced an
+    // empty centroid table and this equality held vacuously on empty
+    // frames (r14) — hence the count asserts BEFORE the anti-joins.
+    val n = 1400L
+    val index = SimilarityOps.semIndexTrain(spark, emb(200, n), n - 200)
+    assert(index.coarse.count() > 0, "bootstrap-trained coarse table is empty")
+    val whole = SimilarityOps.semIndexAssign(spark, emb(0, n), index)
+      .select("vec_id", "cluster")
+    assert(whole.count() == n, "full-corpus assignment lost vectors")
+    val pieces = SimilarityOps.semIndexAssign(spark, emb(0, 200), index)
+      .unionByName(SimilarityOps.semIndexAssign(spark, emb(200, n), index))
+      .select("vec_id", "cluster")
+    assert(whole.join(pieces, Seq("vec_id", "cluster"), "left_anti").count() == 0)
+    assert(pieces.join(whole, Seq("vec_id", "cluster"), "left_anti").count() == 0)
+  }
+
+  test("frozen assignment plan: map-side WindowGroupLimit, broadcast sub table, one vec_id exchange") {
+    // the scaladoc claim: the sub-centroid argmin compiles to the same
+    // Partial-below-Exchange-below-Final WindowGroupLimit shape the
+    // multiprobe path pins, over a broadcast-scored sub table — only the
+    // winning row per vector crosses the vec_id exchange
+    val n = 1400L
+    val index = SimilarityOps.semIndexTrain(spark, emb(0, n), n)
+    val df = SimilarityOps.semIndexAssign(spark, emb(0, n), index)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("row_number(), 1, Partial")
+    val finalIdx = plan.indexOf("row_number(), 1, Final")
+    assert(partialIdx >= 0 && finalIdx >= 0,
+      s"sub argmin did not compile to a partial+final WindowGroupLimit:\n$plan")
+    val exIdx = plan.indexOf("Exchange hashpartitioning(vec_id", finalIdx)
+    assert(exIdx >= 0 && exIdx < partialIdx,
+      s"no vec_id exchange between the Final and Partial group limits:\n$plan")
+    assert(plan.indexOf("BroadcastHashJoin", partialIdx) >= 0 ||
+      plan.indexOf("BroadcastNestedLoopJoin", partialIdx) >= 0,
+      s"sub-centroid scoring below the group limit is not broadcast:\n$plan")
+  }
+
+  test("incremental semantic daily loop (with compaction) equals the frozen full-batch run") {
+    // semanticDailyRun REQUIREs sym_diff == 0 between bootstrap ∪ daily
+    // pair sets and the full-batch pipeline over the same frozen index —
+    // reaching the end IS the assert (the CI twin of the measured run)
+    CorpusScaleBench.semanticDailyRun(spark, 2000L, days = 3,
+      batchPct = 10, compactEvery = 2, geometry = "iso")
+  }
+}
