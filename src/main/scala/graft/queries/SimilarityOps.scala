@@ -1281,6 +1281,123 @@ object SimilarityOps {
     // vec_dot on the packed embeddings — no 64-way explode); the cluster
     // id is the one shuffle key (same partitioning the IVF index already
     // maintains, so the blocks are free if both run).
+    // Incremental SEMANTIC dedup, oracle-gated (r14): the
+    // q_dedup_incremental argument one level up — a FROZEN quantizer
+    // trained on the BOOTSTRAP corpus (vec_id ≥ N/4; seeds = its 8
+    // smallest ids, one exact-decimal Lloyd round over bootstrap only),
+    // every vector assigned through the frozen centroids, in-cluster
+    // exact-decimal cosine at τ = 0.25, and the result restricted to
+    // pairs TOUCHING the fresh quarter — exactly the per-day emission of
+    // the standing-index maintenance loop. This exact chain IS the
+    // oracle twin at every SF (decimal arithmetic, hash-green at sf0.01
+    // AND sf0.1); the production float path — semIndexTrain /
+    // semIndexAssign / semDupPairsAssigned with parquet-frozen state —
+    // runs the same algorithm at scale and is gated by SemIndexSpec
+    // (batch-vs-whole assignment equality, WindowGroupLimit plan pin,
+    // compacted-loop end-state require) and measured by CorpusScaleBench
+    // --semantic --daily (1 M: day cost flat ~2 s per 50 k batch,
+    // sym_diff 0 vs the frozen full-batch run).
+    "q_dedup_incremental_sem" -> QueryDef.sql(
+      "incremental semantic dedup: fresh batch through a frozen bootstrap-trained quantizer",
+      """WITH nn AS (SELECT COUNT(*) // 4 AS k FROM embeddings),
+        |flat AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |seeds AS (
+        |  SELECT vec_id FROM embeddings, nn WHERE vec_id >= nn.k
+        |  ORDER BY vec_id LIMIT 8),
+        |c0 AS (
+        |  SELECT f.vec_id AS c, f.i, f.v AS cv
+        |  FROM flat f JOIN seeds s ON f.vec_id = s.vec_id),
+        |d1 AS (
+        |  SELECT f.vec_id, c0.c,
+        |    SUM(CAST((f.v - c0.cv) * (f.v - c0.cv) AS DECIMAL(28,12))) AS d2
+        |  FROM flat f JOIN c0 ON f.i = c0.i, nn WHERE f.vec_id >= nn.k
+        |  GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, c FROM (
+        |    SELECT vec_id, c,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT a1.c, f.i,
+        |    CAST(SUM(CAST(f.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+        |  FROM flat f JOIN a1 ON f.vec_id = a1.vec_id GROUP BY 1, 2),
+        |d2t AS (
+        |  SELECT f.vec_id, c1.c,
+        |    SUM(CAST((f.v - c1.cv) * (f.v - c1.cv) AS DECIMAL(28,12))) AS d2
+        |  FROM flat f JOIN c1 ON f.i = c1.i GROUP BY 1, 2),
+        |clus AS (
+        |  SELECT vec_id, c AS cluster FROM (
+        |    SELECT vec_id, c,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+        |    FROM d2t) WHERE rk = 1),
+        |nrm AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,12))) AS n2
+        |        FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    SUM(CAST(a.v * b.v AS DECIMAL(28,12))) AS dot
+        |  FROM flat a JOIN clus ca ON a.vec_id = ca.vec_id
+        |  JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  JOIN clus cb ON b.vec_id = cb.vec_id AND cb.cluster = ca.cluster
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b,
+        |  CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos
+        |FROM dots JOIN nrm x ON vec_a = x.vec_id
+        |JOIN nrm y ON vec_b = y.vec_id, nn
+        |WHERE CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.25
+        |  AND (vec_a < nn.k OR vec_b < nn.k)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.count() / 4
+      val flat = emb.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"),
+          col("col").cast("double").as("v"))
+      def dists(rows: org.apache.spark.sql.DataFrame,
+          cents: org.apache.spark.sql.DataFrame) =
+        rows.join(broadcast(cents), Seq("i"))
+          .groupBy("vec_id", "c")
+          .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
+            .cast(DecimalType(28, 12))).as("d2"))
+      def argmin(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
+          .filter(col("rk") === 1)
+      val bootFlat = flat.filter(col("vec_id") >= cut)
+      val seeds = emb.filter(col("vec_id") >= cut)
+        .orderBy("vec_id").limit(8).select("vec_id")
+      val c0 = bootFlat.join(broadcast(seeds), Seq("vec_id"))
+        .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
+      val a1 = argmin(dists(bootFlat, c0)).select("vec_id", "c")
+      val c1 = flat.join(a1, Seq("vec_id"))
+        .groupBy("c", "i")
+        .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("cv"))
+      val clus = argmin(dists(flat, c1))
+        .select(col("vec_id"), col("c").as("cluster"))
+      val nrm = flat.groupBy("vec_id")
+        .agg(sum((col("v") * col("v")).cast(DecimalType(28, 12))).as("n2"))
+      val fa = flat.join(clus, Seq("vec_id"))
+        .select(col("cluster"), col("i"), col("vec_id").as("vec_a"),
+          col("v").as("va"))
+      val fb = flat.join(clus, Seq("vec_id"))
+        .select(col("cluster"), col("i"), col("vec_id").as("vec_b"),
+          col("v").as("vb"))
+      fa.join(fb, Seq("cluster", "i"))
+        .filter(col("vec_a") < col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(sum((col("va") * col("vb")).cast(DecimalType(28, 12))).as("dot"))
+        .join(nrm.select(col("vec_id").as("vec_a"), col("n2").as("na")), Seq("vec_a"))
+        .join(nrm.select(col("vec_id").as("vec_b"), col("n2").as("nb")), Seq("vec_b"))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .filter(col("cos") >= 0.25 &&
+          (col("vec_a") < cut || col("vec_b") < cut))
+        .select("vec_a", "vec_b", "cos")
+    },
+
     "q_dedup_semantic" -> QueryDef.sql(
       "SemDeDup: k-means-blocked pairwise cosine, drop lower-priority near-dups",
       s"""WITH $KmeansOracleCtes,
