@@ -98,11 +98,15 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     // one-line summary with the contended self-label (Bench's rule: a
-    // local[4] verify's own load is ≤ ~4, so start > 6 or end > cores/2
-    // has only ever meant another heavy JVM on the box)
+    // local[4] verify's own load is ≤ ~4, so start > 6 or end past the
+    // run's own width + slack has only ever meant another heavy JVM on
+    // the box). The end threshold scales with the CONFIGURED thread
+    // count, not raw cores (ADVICE r14): SPARK_GRAFT_CPUS ≥ cores/2
+    // would otherwise self-trip on the run's own load.
     val loadEnd = loadAvg
     val contended = loadStart > 6.0 ||
-      loadEnd > (Runtime.getRuntime.availableProcessors() / 2.0)
+      loadEnd > math.max(
+        Runtime.getRuntime.availableProcessors() / 2.0, cpus.toInt + 6.0)
     val nRun = SparkEntry.queries.count { case (name, _) =>
       only.isEmpty || only.contains(name) }
     println(f"""{"metric":"verify","n_queries":$nRun,"n_errors":${errors.size},"contended":$contended,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")

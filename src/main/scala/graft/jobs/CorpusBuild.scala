@@ -31,9 +31,14 @@ object CorpusBuild {
       semDedup: Option[SemDedup] = None)
 
   /** `kept` is the final sharded corpus; `funnel` the attrition report;
-    * `shards` the per-shard balance table. All unmaterialized plans.
-    * `release` unpersists the run's internal post-redaction cache — call
-    * it after the last consumer (the same ownership contract as
+    * `shards` the per-shard balance table. All unmaterialized plans —
+    * EXCEPT when the semantic stage is on: computing the loser set runs
+    * the connected-components loop eagerly at construction time (its
+    * per-round state is checkpointed — there is no lazy form of an
+    * iterate-to-convergence loop), leaving only the small checkpointed
+    * loser-id frame resident. `release` unpersists the run's internal
+    * post-redaction cache and that loser checkpoint — call it after the
+    * last consumer (the same ownership contract as
     * [[Merge.Output.parsed]]). */
   final case class Result(kept: DataFrame, funnel: DataFrame, shards: DataFrame,
       release: () => Unit = () => ())
@@ -43,13 +48,13 @@ object CorpusBuild {
     // level): losers scale with the duplicate rate, so the anti-join's
     // build side is small by construction — size-gated broadcast, the
     // q_dedup_apply shape. A doc with no embeddings row is KEPT.
-    val docs = in.semDedup match {
+    val (docs, semRelease) = in.semDedup match {
       case Some(sd) =>
-        val losers = graft.queries.SimilarityOps
+        val (losers, rel) = graft.queries.SimilarityOps
           .semLosers(spark, sd.embeddings, sd.preset, sd.tau)
-        in.docs.join(graft.ops.Hints.broadcastIfSmall(losers),
-          Seq("doc_id"), "left_anti")
-      case None => in.docs
+        (in.docs.join(graft.ops.Hints.broadcastIfSmall(losers),
+          Seq("doc_id"), "left_anti"), rel)
+      case None => (in.docs, () => ())
     }
     // the SAME gate predicates the differential-tested q_filter_funnel
     // uses — one definition, no drift
@@ -126,7 +131,8 @@ object CorpusBuild {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens"))
 
-    Result(kept, funnel, shards, () => { gated.unpersist(false); () })
+    Result(kept, funnel, shards,
+      () => { gated.unpersist(false); semRelease(); () })
   }
 
   /** Write the corpus sharded (`shard=N/` dirs) plus the two report CSVs. */
@@ -207,6 +213,7 @@ object CorpusBuildJob {
     result.funnel.orderBy("stage").collect().foreach { r =>
       println(f"${r.getInt(0)}%d ${r.getString(1)}%-20s ${r.getLong(2)}%d")
     }
+    result.release()
     spark.stop()
   }
 }

@@ -325,8 +325,32 @@ object DedupOps {
 
   /** Connected-components result: (vec_id, cluster_id) labels plus the
     * number of contraction rounds the loop took (bounded-rounds proof
-    * surface for the specs). */
-  final case class CcResult(labels: DataFrame, rounds: Int)
+    * surface for the specs). `release` frees the final round's
+    * localCheckpoint blocks (ADVICE r14 — the loops themselves free each
+    * SUPERSEDED round as soon as its successor materializes, but the last
+    * frame backs `labels` and must outlive its consumers): call it after
+    * the last action on `labels`; the lineage is truncated, so `labels`
+    * is unusable afterwards. */
+  final case class CcResult(labels: DataFrame, rounds: Int,
+      release: () => Unit = () => ())
+
+  /** Eager localCheckpoint plus a handle that frees its blocks.
+    * Dataset.localCheckpoint persists the materialized RDD OUTSIDE the
+    * cache manager — df.unpersist can't reach it, which is how the CC
+    * loops leaked one corpus-sized label frame per round until session
+    * end (ADVICE r14). The newly persisted RDD is identified by diffing
+    * sparkContext.getPersistentRDDs around the (eager) checkpoint; the
+    * suite runs tests sequentially in one forked JVM, so the diff is
+    * race-free in practice. */
+  private[graft] def checkpointReleasable(df: DataFrame)
+      : (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    val added = sc.getPersistentRDDs.keySet.toSeq.filterNot(before)
+    (out, () => added.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+  }
 
   /** Min-label propagation + pointer jumping: label(v) starts as vec_id,
     * each round takes the min over direct neighbors, then jumps to the
@@ -335,8 +359,10 @@ object DedupOps {
     * general-graph path is [[starComponents]]. `edges` must carry BOTH
     * directions of each pair. */
   def minLabelComponents(edges: DataFrame, nodes: DataFrame): CcResult = {
-    var labels = nodes
-      .select(col("vec_id"), col("vec_id").as("cluster_id")).localCheckpoint()
+    val init = checkpointReleasable(nodes
+      .select(col("vec_id"), col("vec_id").as("cluster_id")))
+    var labels = init._1
+    var release = init._2
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -352,17 +378,20 @@ object DedupOps {
         .join(nbrMin.select(col("src").as("vec_id"), col("nbr_min")), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("c1"))
-      val updated = prop.as("p")
+      // eager checkpoint: one job per round, constant-size plan — and the
+      // superseded round's blocks are freed as soon as this one lands
+      val (updated, relNew) = checkpointReleasable(prop.as("p")
         .join(prop.select(col("vec_id").as("c1"), col("c1").as("jump")).as("j"), Seq("c1"))
         .select(col("vec_id"), least(col("c1"), col("jump")).as("cluster_id"),
-          (least(col("c1"), col("jump")) < col("old")).as("chg"))
-        .localCheckpoint() // eager: one job per round, constant-size plan
+          (least(col("c1"), col("jump")) < col("old")).as("chg")))
       converged = updated
         .agg(sum(when(col("chg"), 1L).otherwise(0L))).head().getLong(0) == 0
+      release()
+      release = relNew
       labels = updated.drop("chg")
       rounds += 1
     }
-    CcResult(labels, rounds)
+    CcResult(labels, rounds, release)
   }
 
   /** Alternating large-star / small-star contraction (Kiveris et al.,
@@ -389,10 +418,13 @@ object DedupOps {
       Seq(r.get(0), r.get(1))
     }
     // canonical orientation src > dst, self-loops dropped
-    var edges = edges0.filter(col("src") =!= col("dst"))
-      .select(greatest(col("src"), col("dst")).as("src"),
-        least(col("src"), col("dst")).as("dst"))
-      .distinct().localCheckpoint()
+    val init = checkpointReleasable(
+      edges0.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct())
+    var edges = init._1
+    var release = init._2
     var sig = checksum(edges)
     var converged = false
     var rounds = 0
@@ -408,16 +440,20 @@ object DedupOps {
       // small-star over the now-oriented edges: every smaller neighbor
       // and u itself attach to u's minimum neighbor
       val withM = ls.withColumn("m", min("dst").over(Window.partitionBy("src")))
-      val ss = withM.select(col("dst").as("src"), col("m").as("dst"))
-        .union(withM.select(col("src"), col("m")).toDF("src", "dst"))
-        .filter(col("src") =!= col("dst"))
-        .select(greatest(col("src"), col("dst")).as("src"),
-          least(col("src"), col("dst")).as("dst"))
-        .distinct()
-        .localCheckpoint() // constant-size plan per round
+      // constant-size plan per round; the superseded round's checkpoint
+      // blocks are freed once this one is materialized and checksummed
+      val (ss, relNew) = checkpointReleasable(
+        withM.select(col("dst").as("src"), col("m").as("dst"))
+          .union(withM.select(col("src"), col("m")).toDF("src", "dst"))
+          .filter(col("src") =!= col("dst"))
+          .select(greatest(col("src"), col("dst")).as("src"),
+            least(col("src"), col("dst")).as("dst"))
+          .distinct())
       val s2 = checksum(ss)
       converged = s2 == sig
       sig = s2
+      release()
+      release = relNew
       edges = ss
       rounds += 1
     }
@@ -426,7 +462,7 @@ object DedupOps {
     val labels = nodes
       .join(edges.select(col("src").as("vec_id"), col("dst").as("root")), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("root"), col("vec_id")).as("cluster_id"))
-    CcResult(labels, rounds)
+    CcResult(labels, rounds, release)
   }
 
   /** docs ∪ deterministic near-dup copies (last two words dropped,

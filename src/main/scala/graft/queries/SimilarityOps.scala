@@ -152,9 +152,15 @@ object SimilarityOps {
     * semantics as q_dedup_apply). Below the hierarchical floor
     * (semK(n) ≤ 8, i.e. n ≤ 512) the preset knobs have no level-1/level-2
     * structure to act on, so a flat 8-centroid quantizer stands in. */
+  /** Returns the loser doc ids plus a release hook. The connected-
+    * components loop materializes eagerly (per-round localCheckpoints),
+    * so the loser set is itself checkpointed here — O(dup rate × N) rows,
+    * small by construction — and the corpus-sized CC label frame is freed
+    * IMMEDIATELY (ADVICE r14); the hook frees the loser checkpoint and
+    * must run after its last consumer. */
   private[graft] def semLosers(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame, preset: SemPreset,
-      tau: Double = 0.9): org.apache.spark.sql.DataFrame = {
+      tau: Double = 0.9): (org.apache.spark.sql.DataFrame, () => Unit) = {
     val n = emb.count()
     val clusters =
       if (semK(n) > 8) semClustersFromEmb(s, emb, n, preset)
@@ -166,9 +172,12 @@ object SimilarityOps {
     val pairs = semDupPairs(s, emb, clusters, tau)
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-    DedupOps.minLabelComponents(edges, emb.select("vec_id")).labels
+    val cc = DedupOps.minLabelComponents(edges, emb.select("vec_id"))
+    val (losers, release) = DedupOps.checkpointReleasable(cc.labels
       .filter(col("vec_id") =!= col("cluster_id"))
-      .select(col("vec_id").as("doc_id"))
+      .select(col("vec_id").as("doc_id")))
+    cc.release()
+    (losers, release)
   }
 
   /** Fraction of the corpus one LSH multiprobe query touches (expected). */
@@ -514,6 +523,24 @@ object SimilarityOps {
     centroids
   }
 
+  /** Remap a trained centroid table's labels to DENSE [0, k). A trained
+    * label is its seed's vec_id ([[trainVecCentroids]]) — bounded only by
+    * the corpus's id SPACE, and the composite (cell << 40) + sub cluster
+    * id packs the cell label into the high bits, so a corpus whose ids
+    * exceed 2^23 (real doc-id spaces — exactly the offset-id ranges the
+    * seed change exists to support) would silently wrap the shift and
+    * alias distinct cells (ADVICE r14). After the remap the max cell id
+    * is the cell COUNT − 1, which the existing k1 require bounds. k rows,
+    * single-partition window — driver-trivial by construction (the table
+    * is broadcastable or it wouldn't be a coarse quantizer). Ordered by
+    * the original label so the remap is deterministic. */
+  private def denseCells(cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cents.withColumn("c",
+      row_number().over(Window.orderBy("c")).cast("long") - 1)
+  }
+
   /** Single-level ceiling: one flat quantizer's centroid table is k×dim
     * doubles = N/64 × 512 B, which outgrows the broadcast budget around
     * k ≈ 2 M (N ≈ 10⁸ vectors) — so past [[FlatKCap]] the blocking goes
@@ -705,12 +732,15 @@ object SimilarityOps {
       // within documented bounds: sub < 2^40 would need a single cell of
       // > 2^40 · 64 ≈ 7e13 vectors, and cell < 2^23 holds up to
       // N = 64·(2^23)² ≈ 4.5e15 vectors — 4 orders past a 100 TB corpus
-      // (N ≈ 4e11 at 256 B/vector). Both bounds are asserted, not assumed.
+      // (N ≈ 4e11 at 256 B/vector). Both bounds are asserted, not assumed:
+      // cell ids are DENSE [0, k1) ([[denseCells]] — seed vec_ids would
+      // wrap the shift on real doc-id spaces past 2^23, ADVICE r14), so
+      // the k1 count bound below IS the max-cell-id bound.
       val SubBits = 40
       require(k1.toLong < (1L << (63 - SubBits)),
         s"coarse cell count $k1 overflows the composite cluster id layout")
-      val cells = assignVecProbes(emb, trainVecCentroids(emb, k1), probes,
-          probeMargin)
+      val cells = assignVecProbes(emb, denseCells(trainVecCentroids(emb, k1)),
+          probes, probeMargin)
         .select(col("vec_id"), col("c").as("cell"))
       // level 2: per-cell local Lloyd, sub-cluster target = SemTargetCluster
       emb.join(cells, Seq("vec_id"))
@@ -825,7 +855,12 @@ object SimilarityOps {
       s"the standing index is a hierarchical-regime tool; semK($n)=$k <= $FlatKCap")
     val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val SubBits = 40
-    val coarse = trainVecCentroids(emb, k1)
+    // dense cell labels (ADVICE r14): the composite (cell << 40) + sub id
+    // needs cell < 2^23, a bound on the cell COUNT only after the remap —
+    // raw seed vec_ids wrap the shift on offset doc-id spaces.
+    require(k1.toLong < (1L << (63 - SubBits)),
+      s"coarse cell count $k1 overflows the composite cluster id layout")
+    val coarse = denseCells(trainVecCentroids(emb, k1))
     val cells = assignVec(emb, coarse)
       .select(col("vec_id"), col("c").as("cell"))
     val sub = emb.join(cells, Seq("vec_id"))
@@ -842,7 +877,18 @@ object SimilarityOps {
           .map { case (m, j) => (cell, j, m) }
       }
       .toDF("cell", "sub", "m")
-    SemIndex(coarse, sub)
+    // every coarse cell must own ≥ 1 sub row: a cell can end MEMBERLESS
+    // in the final assignment (centroids move on the last Lloyd update),
+    // and [[semIndexAssign]] joins on the cell id — a later batch vector
+    // whose coarse argmin lands in a sub-less cell would silently vanish
+    // from the standing index, and the daily sym_diff check can't see it
+    // because both sides drop it identically (ADVICE r14). Memberless
+    // cells carry their own coarse centroid as sub 0, keeping assignment
+    // TOTAL by construction.
+    val orphans = coarse.select(col("c").as("cell"), col("m"))
+      .join(sub.select("cell").distinct(), Seq("cell"), "left_anti")
+      .select(col("cell"), lit(0).as("sub"), col("m"))
+    SemIndex(coarse, sub.unionByName(orphans))
   }
 
   /** Assign any (vec_id, embedding) frame through a FROZEN [[SemIndex]]:
@@ -855,16 +901,32 @@ object SimilarityOps {
     * stores the vectors it indexes, exactly like the minhash band index
     * stores its banding rows, so the daily probe never re-reads or
     * re-shuffles the full corpus. Deterministic: ties break toward the
-    * lower sub id, matching [[localKmeansProbed]]'s in-training argmin. */
+    * lower sub id, matching [[localKmeansProbed]]'s in-training argmin.
+    *
+    * `probes`/`probeMargin` (VERDICT r14 item 2) apply the online path's
+    * boundary-margin multiprobe ([[assignVecProbes]] — the exact same
+    * code) to the FROZEN coarse level: a vector near a cell seam is also
+    * emitted under its runner-up cell when that cell's d² is within
+    * `probeMargin`× of the best, recovering the seam-split pairs that
+    * cost the frozen index its recall gap vs the online blocking. Each
+    * probed membership resolves its own best sub-centroid (the window
+    * below partitions by (vec_id, cell)), so the output carries at most
+    * `probes` rows per vector — duplicate pair emissions are collapsed by
+    * [[semDupPairsAssigned]]'s existing pair dedup, and the incremental =
+    * full-batch equality is preserved because membership is still a pure
+    * per-vector function of the frozen index. Defaults reproduce the
+    * single-label r14 behavior exactly. */
   private[graft] def semIndexAssign(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame,
-      index: SemIndex): org.apache.spark.sql.DataFrame = {
+      index: SemIndex, probes: Int = 1,
+      probeMargin: Double = Double.PositiveInfinity)
+      : org.apache.spark.sql.DataFrame = {
     import graft.functions.VecOps.vec_dot
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    val cells = assignVec(emb, index.coarse)
+    val cells = assignVecProbes(emb, index.coarse, probes, probeMargin)
       .select(col("vec_id"), col("c").as("cell"))
-    val w = Window.partitionBy("vec_id")
+    val w = Window.partitionBy("vec_id", "cell")
       .orderBy(col("d2"), col("sub"))
     emb.join(cells, Seq("vec_id"))
       .join(graft.ops.Hints.broadcastIfSmall(index.sub), Seq("cell"))
@@ -1288,15 +1350,23 @@ object SimilarityOps {
     // every vector assigned through the frozen centroids, in-cluster
     // exact-decimal cosine at τ = 0.25, and the result restricted to
     // pairs TOUCHING the fresh quarter — exactly the per-day emission of
-    // the standing-index maintenance loop. This exact chain IS the
-    // oracle twin at every SF (decimal arithmetic, hash-green at sf0.01
-    // AND sf0.1); the production float path — semIndexTrain /
-    // semIndexAssign / semDupPairsAssigned with parquet-frozen state —
-    // runs the same algorithm at scale and is gated by SemIndexSpec
-    // (batch-vs-whole assignment equality, WindowGroupLimit plan pin,
-    // compacted-loop end-state require) and measured by CorpusScaleBench
-    // --semantic --daily (1 M: day cost flat ~2 s per 50 k batch,
-    // sym_diff 0 vs the frozen full-batch run).
+    // the standing-index maintenance loop. Twin-gated like its six
+    // ANN/kmeans siblings (VERDICT r14 item 1 — the ungated exact chain
+    // was 14 % of the clean suite at only 2,000 vectors, O(n²·d/8) with
+    // k frozen at 8 regardless of n):
+    //  - verify SF (N ≤ VerifyExactGate): the exact-decimal fixed-k=8
+    //    chain below, hash-green vs DuckDB (sf0.01, the driver's gate);
+    //  - above: the PRODUCTION path — semIndexTrain on the bootstrap
+    //    three-quarters (k = semK(N), hierarchical), semIndexAssign of
+    //    the full corpus through the frozen index, in-cluster float
+    //    cosine via semDupPairsAssigned, restricted to pairs touching
+    //    the fresh quarter. A designed mismatch vs the exact oracle at
+    //    sf0.1 (different blocking k and float arithmetic — the
+    //    q_dedup_semantic convention); its correctness is carried by
+    //    SemIndexSpec (batch-vs-whole assignment equality,
+    //    WindowGroupLimit plan pin, compacted daily-loop end-state
+    //    require) and the measured CorpusScaleBench --semantic --daily
+    //    sym_diff-0 runs.
     "q_dedup_incremental_sem" -> QueryDef.sql(
       "incremental semantic dedup: fresh batch through a frozen bootstrap-trained quantizer",
       """WITH nn AS (SELECT COUNT(*) // 4 AS k FROM embeddings),
@@ -1351,7 +1421,21 @@ object SimilarityOps {
         |  AND (vec_a < nn.k OR vec_b < nn.k)""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, dir)
-      val cut = emb.count() / 4
+      val n = emb.count()
+      val cut = n / 4
+      if (n > VerifyExactGate) {
+        // production: the frozen standing index itself (float path).
+        // semIndexTrain's hierarchical-regime require holds at every
+        // gated SF: the smallest is sf0.1 with N = 2000, bootstrap 1500,
+        // semK = 24 > FlatKCap.
+        val boot = emb.select("vec_id", "embedding")
+          .filter(col("vec_id") >= cut)
+        val index = semIndexTrain(s, boot, n - cut)
+        val assigned = semIndexAssign(s, emb.select("vec_id", "embedding"), index)
+        semDupPairsAssigned(s, assigned, 0.25)
+          .filter(col("vec_a") < cut || col("vec_b") < cut)
+          .select("vec_a", "vec_b", "cos")
+      } else {
       val flat = emb.select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), (col("pos") + 1).as("i"),
           col("col").cast("double").as("v"))
@@ -1396,6 +1480,7 @@ object SimilarityOps {
         .filter(col("cos") >= 0.25 &&
           (col("vec_a") < cut || col("vec_b") < cut))
         .select("vec_a", "vec_b", "cos")
+      }
     },
 
     "q_dedup_semantic" -> QueryDef.sql(

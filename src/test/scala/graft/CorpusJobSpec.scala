@@ -81,8 +81,9 @@ class CorpusJobSpec extends AnyFunSuite {
     assert(counts.last == r.kept.count())
     // the losers the preset computes are exactly the docs that vanished
     // between stage 0 and stage 1 — and none of them survive to kept
-    val losers = SimilarityOps.semLosers(spark, emb,
+    val (loserIds, releaseLosers) = SimilarityOps.semLosers(spark, emb,
       SimilarityOps.SemPreset.Frontier, tau)
+    val losers = loserIds
       .join(inputs.docs.select("doc_id"), Seq("doc_id"), "left_semi").cache()
     assert(losers.count() > 0, "fixture has no semantic losers — the " +
       "stage-drop equality below would be vacuous")
@@ -90,6 +91,8 @@ class CorpusJobSpec extends AnyFunSuite {
     assert(r.kept.join(losers, Seq("doc_id"), "left_semi").count() == 0,
       "a semantic loser survived to the kept corpus")
     losers.unpersist()
+    releaseLosers()
+    r.release()
   }
 
   test("corpus build: sharded write round-trips with shard layout") {

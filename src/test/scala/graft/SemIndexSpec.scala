@@ -78,6 +78,61 @@ class SemIndexSpec extends AnyFunSuite {
       s"sub-centroid scoring below the group limit is not broadcast:\n$plan")
   }
 
+  test("cell ids are dense: ids past 2^23 cannot overflow the composite shift") {
+    // ADVICE r14: cell labels were raw seed vec_ids — on a doc-id space
+    // past 2^23 the (cell << 40) pack wrapped Long and aliased distinct
+    // cells. After the dense remap the max cell id is the cell COUNT − 1
+    // regardless of the corpus's id range.
+    val lo = 1L << 24 // seed ids would have overflowed the pre-fix pack
+    val n = 1400L
+    val index = SimilarityOps.semIndexTrain(spark, emb(lo, lo + n), n)
+    val maxCell = index.coarse.agg(max(col("c"))).head().getLong(0)
+    val k1 = math.ceil(math.sqrt(SimilarityOps.semK(n).toDouble)).toLong
+    assert(maxCell < k1, s"cell ids not dense: max $maxCell vs k1 $k1")
+    val a = SimilarityOps.semIndexAssign(spark, emb(lo, lo + n), index)
+    assert(a.count() == n, "assignment through the offset-trained index lost vectors")
+    assert(a.filter(shiftrightunsigned(col("cluster"), 40) >= k1).count() == 0,
+      "a composite cluster id carries an out-of-range cell")
+  }
+
+  test("every coarse cell owns a sub row, and cross-distribution assignment is total") {
+    // ADVICE r14: a coarse cell can end memberless after the last Lloyd
+    // update; semIndexAssign joins on the cell id, so a batch vector
+    // whose argmin lands there would silently vanish. semIndexTrain now
+    // emits the cell's own coarse centroid as sub 0 for such cells.
+    val n = 1400L
+    val index = SimilarityOps.semIndexTrain(spark, emb(0, n), n)
+    val subless = index.coarse.select(col("c").as("cell"))
+      .join(index.sub.select("cell").distinct(), Seq("cell"), "left_anti")
+    assert(subless.count() == 0, "a coarse cell has no sub rows")
+    // totality under distribution shift: vectors the training corpus
+    // never saw (a different geometry) must still all land somewhere
+    import spark.implicits._
+    val shifted = spark.range(5000, 5000 + 600)
+      .map(i => (i, CorpusScaleBench.synVecGeo(i, "mog")))
+      .toDF("vec_id", "embedding")
+    assert(SimilarityOps.semIndexAssign(spark, shifted, index).count() == 600,
+      "a cross-distribution batch vector was dropped by the sub join")
+  }
+
+  test("boundary-margin multiprobe: bounded memberships, primary labels preserved") {
+    val n = 1400L
+    val index = SimilarityOps.semIndexTrain(spark, emb(0, n), n)
+    val single = SimilarityOps.semIndexAssign(spark, emb(0, n), index)
+      .select("vec_id", "cluster")
+    val probed = SimilarityOps.semIndexAssign(spark, emb(0, n), index,
+      probes = 2, probeMargin = 1.1)
+    val m = probed.count()
+    assert(m >= n && m <= 2 * n, s"memberships $m outside [n, 2n]")
+    // the probed assignment is a SUPERSET of the single-probe one: the
+    // argmin membership is always kept (rk = 1 bypasses the margin gate)
+    assert(single.join(probed.select("vec_id", "cluster"),
+      Seq("vec_id", "cluster"), "left_anti").count() == 0,
+      "multiprobe dropped a primary (argmin) membership")
+    // at most `probes` rows per vector
+    assert(probed.groupBy("vec_id").count().filter(col("count") > 2).count() == 0)
+  }
+
   test("incremental semantic daily loop (with compaction) equals the frozen full-batch run") {
     // semanticDailyRun REQUIREs sym_diff == 0 between bootstrap ∪ daily
     // pair sets and the full-batch pipeline over the same frozen index —
