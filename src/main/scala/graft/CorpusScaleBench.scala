@@ -43,7 +43,14 @@ import org.apache.spark.sql.functions._
   *               as parquet, per-day assign→probe-touched-clusters→
   *               piece-append, end-state equality vs the full-batch run
   *               over the same frozen index; same --days/--batch/
-  *               --compact-every/--geometry flags.
+  *               --compact-every/--geometry flags. r15 additions:
+  *               `--index-probes=N --index-margin=F` run every frozen-
+  *               index assignment boundary-margin multiprobed (the
+  *               recall knob, VERDICT r14 item 2); `--geometry=drift`
+  *               generates day d from a center window slid d+1 steps
+  *               off the bootstrap's, and `--retrain-every=K` retrains +
+  *               refreezes on the standing corpus every K days
+  *               (staleness experiment, VERDICT r14 item 4).
   */
 object CorpusScaleBench {
 
@@ -167,6 +174,52 @@ object CorpusScaleBench {
       while (m < 64) { out(m) = (v(m) * inv).toFloat; m += 1 }
       out
     case other => sys.error(s"unknown --geometry '$other' (iso, mog, lowrank)")
+  }
+
+  /** [[synVecGeo]]'s `mog` with a SLIDING 64-center window — the drifting
+    * corpus for the standing-index staleness experiment (VERDICT r14
+    * item 4). Window w draws its 64 mixture centers from [16·w, 16·w+64)
+    * of an UNBOUNDED center sequence: consecutive windows share 75 % of
+    * their topic mix, and window w shares max(0, 1 − w/4) of it with
+    * window 0 (the bootstrap's distribution) — disjoint from day 4 on.
+    * Window 0 is bit-identical to `mog`. The planted-pair construction is
+    * untouched: both members of a pair share a base id, hence a center,
+    * so ground truth stays analytic at every window. */
+  def synVecMogWindow(id: Long, window: Int): Array[Float] = {
+    val base = if (id % 10 == 9) id - 9 else id
+    var x = mix(base ^ 0x5ca1ab1eL)
+    def next(): Double = {
+      x = mix(x)
+      (x >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val v = new Array[Double](64)
+    val c = 16L * window + java.lang.Math.floorMod(mix(base ^ 0x10fca7L), 64L)
+    var xc = mix(c ^ 0xce17e4L)
+    def nc(): Double = {
+      xc = mix(xc)
+      (xc >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val cen = Array.fill(64)(nc())
+    val cn = 1.0 / math.sqrt(cen.map(t => t * t).sum)
+    var i = 0
+    while (i < 64) { v(i) = cen(i) * cn + 0.45 * next(); i += 1 }
+    if (id % 10 == 9) {
+      var y = mix(id ^ 0x0ddba11L)
+      def nz(): Double = {
+        y = mix(y)
+        (y >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+      var j = 0
+      while (j < 64) { v(j) += 0.1 * nz(); j += 1 }
+    }
+    var s2 = 0.0
+    var k = 0
+    while (k < 64) { s2 += v(k) * v(k); k += 1 }
+    val inv = 1.0 / math.sqrt(s2)
+    val out = new Array[Float](64)
+    var m = 0
+    while (m < 64) { out(m) = (v(m) * inv).toFloat; m += 1 }
+    out
   }
 
   /** VERDICT r11 item 5: the SemDeDup hierarchical-blocking path
@@ -315,10 +368,26 @@ object CorpusScaleBench {
     * per-day pair sets must equal the full-batch pipeline over the SAME
     * frozen index, value-exact on (vec_a, vec_b, cos) — cosines are
     * bit-equal because a pair's value never depends on who else shares
-    * its cluster group ([[queries.SimilarityOps.semDupPairsAssigned]]). */
+    * its cluster group ([[queries.SimilarityOps.semDupPairsAssigned]]).
+    *
+    * r15 knobs: `indexProbes`/`indexMargin` switch every assignment to
+    * the frozen index's boundary-margin multiprobe (VERDICT r14 item 2 —
+    * the recall knob; the equality above survives because membership
+    * stays a pure per-vector function of the frozen index).
+    * `geometry = "drift"` generates day d's batch from [[synVecMogWindow]]
+    * window d+1 (bootstrap = window 0) — the staleness experiment
+    * (item 4); per-day planted recall and probe-row counts are reported
+    * either way. `retrainEvery = K > 0` retrains + refreezes the index on
+    * the standing corpus every K days and reassigns the standing pieces
+    * through it (one compacted piece — the rewrite IS the compaction);
+    * day pairs found under superseded indexes make the single-frozen-
+    * index equality inapplicable, so the full-batch oracle is skipped
+    * (sym_diff reported as -1) and the claim is the recall curve. */
   private[graft] def semanticDailyRun(spark: SparkSession, n: Long,
       days: Int, batchPct: Int, compactEvery: Int,
-      geometry: String): Unit = {
+      geometry: String, indexProbes: Int = 1,
+      indexMargin: Double = Double.PositiveInfinity,
+      retrainEvery: Int = 0): Unit = {
     import spark.implicits._
     import queries.SimilarityOps
     val tau = 0.9
@@ -331,30 +400,44 @@ object CorpusScaleBench {
       (r, sec)
     }
     val geo = geometry
-    def embRange(lo: Long, hi: Long) =
-      spark.range(lo, hi, 1,
-          math.max(cpus, ((hi - lo) / 30000L).toInt)).as[Long]
-        .mapPartitions(_.map(i => (i, synVecGeo(i, geo))))
-        .toDF("vec_id", "embedding")
     val batchN = n * batchPct / 100
     val initLo = batchN * days
     require(initLo > 0 && initLo < n,
       s"days=$days × batch=$batchPct% must leave a non-empty bootstrap corpus (n=$n)")
+    require(batchN % 10 == 0 && initLo % 10 == 0,
+      "batch and bootstrap boundaries must align to planted-pair decades")
+    // drift mode: an id's generator window is derivable from the id alone
+    // (bootstrap ids ≥ initLo → window 0, day-d ids → window d+1), so the
+    // incremental loop and any oracle see bit-identical vectors
+    val batchNC = batchN; val initLoC = initLo
+    def embRange(lo: Long, hi: Long) =
+      spark.range(lo, hi, 1,
+          math.max(cpus, ((hi - lo) / 30000L).toInt)).as[Long]
+        .mapPartitions(_.map { i =>
+          val v =
+            if (geo == "drift")
+              synVecMogWindow(i,
+                if (i >= initLoC) 0 else (i / batchNC).toInt + 1)
+            else synVecGeo(i, geo)
+          (i, v)
+        })
+        .toDF("vec_id", "embedding")
     val init = embRange(initLo, n)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-sem-daily").toString
 
     // bootstrap: train + FREEZE the index on disk (parquet round-trip —
     // lineage-free, exactly what a production run reloads next day)
-    val (index, trainSec) = stage("index train+freeze") {
+    val (index0, trainSec) = stage("index train+freeze") {
       val ix = SimilarityOps.semIndexTrain(spark, init, n - initLo)
       ix.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
       ix.sub.write.mode("overwrite").parquet(s"$dir/sub")
       SimilarityOps.SemIndex(
         spark.read.parquet(s"$dir/coarse"), spark.read.parquet(s"$dir/sub"))
     }
+    var index = index0 // rebound only by --retrain-every
     val (piece0, bootAssignSec) = stage("bootstrap assign") {
-      SimilarityOps.semIndexAssign(spark, init, index)
+      SimilarityOps.semIndexAssign(spark, init, index, indexProbes, indexMargin)
         .write.mode("overwrite").parquet(s"$dir/piece_boot")
       spark.read.parquet(s"$dir/piece_boot")
     }
@@ -369,14 +452,18 @@ object CorpusScaleBench {
     val daySecs = Array.ofDim[Double](days)
     val appendSecs = Array.ofDim[Double](days)
     val compactSecs = Array.ofDim[Double](days)
+    val retrainSecs = Array.ofDim[Double](days)
     val pieceCounts = Array.ofDim[Int](days)
     val dayPairCounts = Array.ofDim[Long](days)
+    val dayRecalls = Array.ofDim[Double](days)
+    val probeRows = Array.ofDim[Long](days)
     for (d <- 0 until days) {
       val lo = d.toLong * batchN
       val hi = (d + 1).toLong * batchN
       val fresh = embRange(lo, hi)
       pieceCounts(d) = pieces.length
-      val freshA = SimilarityOps.semIndexAssign(spark, fresh, index)
+      val freshA = SimilarityOps
+        .semIndexAssign(spark, fresh, index, indexProbes, indexMargin)
         .localCheckpoint(true)
       val (p, sec) = stage(s"day $d probe (${pieces.length} pieces)") {
         val standing = pieces.reduce(_ unionByName _)
@@ -396,6 +483,21 @@ object CorpusScaleBench {
         dp
       }
       daySecs(d) = sec
+      // per-day recall through the CURRENT index (the drift/staleness
+      // curve, VERDICT r14 item 4): a day's planted pairs sit entirely
+      // inside its own id range (both members share a decade), so the
+      // day's pair set is the complete evidence. Counted OUTSIDE the
+      // timed stage, off the day's checkpointed pairs — the flatness
+      // claim on day_secs is untouched.
+      dayRecalls(d) = p.filter(col("vec_b") % 10 === 9 &&
+        col("vec_a") === col("vec_b") - 9).count().toDouble / (batchN / 10)
+      // probe bill in rows: standing members of the clusters the batch
+      // touches (occupancy-skew signal — drift concentrates batches into
+      // few stale cells long before recall moves). Also untimed.
+      probeRows(d) = pieces.reduce(_ unionByName _).join(
+        org.apache.spark.sql.functions.broadcast(
+          freshA.select("cluster").distinct()),
+        Seq("cluster"), "left_semi").count()
       dayPairs ::= p
       val (piece, asec) = stage(s"day $d piece append") {
         freshA.write.mode("overwrite").parquet(s"$dir/piece_d$d")
@@ -403,7 +505,31 @@ object CorpusScaleBench {
       }
       appendSecs(d) = asec
       pieces = pieces :+ piece
-      if (compactEvery > 0 && pieces.length > compactEvery) {
+      if (retrainEvery > 0 && (d + 1) % retrainEvery == 0 && d + 1 < days) {
+        // retrain + refreeze on the standing corpus, reassign everything
+        // through the new index — the rewrite doubles as compaction, so
+        // the piece list collapses to 1 (the drift analog of
+        // --compact-every, with the training bill on top)
+        val (frozen, rsec) = stage(s"day $d retrain+reassign") {
+          val standingVecs = pieces.map(_.select("vec_id", "embedding"))
+            .reduce(_ unionByName _)
+          val cnt = standingVecs.count()
+          val ix = SimilarityOps.semIndexTrain(spark, standingVecs, cnt)
+          ix.coarse.write.mode("overwrite").parquet(s"$dir/coarse_d$d")
+          ix.sub.write.mode("overwrite").parquet(s"$dir/sub_d$d")
+          val fr = SimilarityOps.SemIndex(
+            spark.read.parquet(s"$dir/coarse_d$d"),
+            spark.read.parquet(s"$dir/sub_d$d"))
+          val rdir = s"$dir/piece_retrain_d$d"
+          SimilarityOps
+            .semIndexAssign(spark, standingVecs, fr, indexProbes, indexMargin)
+            .write.mode("overwrite").parquet(rdir)
+          pieces = List(spark.read.parquet(rdir))
+          fr
+        }
+        index = frozen
+        retrainSecs(d) = rsec
+      } else if (compactEvery > 0 && pieces.length > compactEvery) {
         val (merged, csec) = stage(s"day $d compact ${pieces.length} pieces") {
           val cdir = s"$dir/piece_compact_d$d"
           pieces.reduce(_ unionByName _)
@@ -415,31 +541,48 @@ object CorpusScaleBench {
       }
     }
 
+    val chained = bootPairs.unionByName(dayPairs.reduce(_ unionByName _))
+    val found = chained
+      .filter(col("vec_b") % 10 === 9 && col("vec_a") === col("vec_b") - 9)
+      .count()
+    val bootRecall = bootPairs
+      .filter(col("vec_b") % 10 === 9 && col("vec_a") === col("vec_b") - 9)
+      .count().toDouble / ((n - initLo) / 10).toDouble
     // end-state equality vs the full-batch pipeline over the SAME frozen
     // index (assign everything, pair in-cluster) — symmetric difference
-    // on (vec_a, vec_b, cos) must be empty
-    val ((nFull, symDiff, found), fullSec) = stage("full-batch (frozen) oracle") {
-      val fullA = SimilarityOps.semIndexAssign(spark, embRange(0L, n), index)
-      val full = SimilarityOps.semDupPairsAssigned(spark, fullA, tau).cache()
-      val nf = full.count()
-      val chained = bootPairs.unionByName(dayPairs.reduce(_ unionByName _))
-      val miss = full.join(chained, Seq("vec_a", "vec_b", "cos"), "left_anti").count()
-      val extra = chained.join(full, Seq("vec_a", "vec_b", "cos"), "left_anti").count()
-      val planted = chained
-        .filter(col("vec_b") % 10 === 9 && col("vec_a") === col("vec_b") - 9)
-        .count()
-      full.unpersist()
-      (nf, miss + extra, planted)
-    }
+    // on (vec_a, vec_b, cos) must be empty. Inapplicable under
+    // --retrain-every (day pairs were found through superseded indexes):
+    // skipped and reported as -1; the retrain run's claim is the per-day
+    // recall curve.
+    val ((nFull, symDiff), fullSec) =
+      if (retrainEvery > 0) ((-1L, -1L), 0.0)
+      else stage("full-batch (frozen) oracle") {
+        val fullA = SimilarityOps
+          .semIndexAssign(spark, embRange(0L, n), index, indexProbes, indexMargin)
+        val full = SimilarityOps.semDupPairsAssigned(spark, fullA, tau).cache()
+        val nf = full.count()
+        val miss = full.join(chained, Seq("vec_a", "vec_b", "cos"), "left_anti").count()
+        val extra = chained.join(full, Seq("vec_a", "vec_b", "cos"), "left_anti").count()
+        full.unpersist()
+        (nf, miss + extra)
+      }
     val plantedRecall = found.toDouble / (n / 10).toDouble
     def fmt(xs: Array[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    def fmt4(xs: Array[Double]) = xs.map(x => f"$x%.4f").mkString("[", ",", "]")
+    val marginJson =
+      if (indexMargin.isPosInfinity) "null" else f"$indexMargin%.4f"
     println(s"""{"metric":"sem_daily_scale","n_vecs":$n,"geometry":"$geometry","days":$days,"batch":$batchN,""" +
-      s""""compact_every":$compactEvery,"train_sec":${f"$trainSec%.1f"},""" +
+      s""""compact_every":$compactEvery,"retrain_every":$retrainEvery,""" +
+      s""""index_probes":$indexProbes,"index_margin":$marginJson,""" +
+      s""""train_sec":${f"$trainSec%.1f"},""" +
       s""""boot_assign_sec":${f"$bootAssignSec%.1f"},"boot_pair_sec":${f"$bootPairSec%.1f"},""" +
       s""""day_secs":${fmt(daySecs)},"append_secs":${fmt(appendSecs)},""" +
-      s""""compact_secs":${fmt(compactSecs)},""" +
+      s""""compact_secs":${fmt(compactSecs)},"retrain_secs":${fmt(retrainSecs)},""" +
       s""""pieces":${pieceCounts.mkString("[", ",", "]")},""" +
       s""""day_pairs":${dayPairCounts.mkString("[", ",", "]")},""" +
+      s""""day_recalls":${fmt4(dayRecalls)},""" +
+      s""""probe_rows":${probeRows.mkString("[", ",", "]")},""" +
+      s""""boot_recall":${f"$bootRecall%.4f"},""" +
       s""""full_pairs":$nFull,"sym_diff":$symDiff,"planted_recall":${f"$plantedRecall%.4f"},""" +
       s""""full_sec":${f"$fullSec%.1f"}}""")
     locally {
@@ -448,14 +591,17 @@ object CorpusScaleBench {
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    // nFull > 0 guards the equality against vacuous truth: the planted
-    // construction guarantees ~n/10 pairs, so an empty full set means a
-    // broken pipeline, not a clean one (this exact failure shipped once:
-    // 0-based seed filtering emptied the bootstrap-trained centroids and
-    // every set compared 0 == 0)
-    require(nFull > 0, "frozen full-batch run found no pairs — pipeline broken")
-    require(symDiff == 0,
-      s"incremental semantic pair set diverged from the frozen full-batch run by $symDiff rows")
+    // found > 0 / nFull > 0 guard the claims against vacuous truth: the
+    // planted construction guarantees ~n/10 pairs, so an empty pair set
+    // means a broken pipeline, not a clean one (this exact failure
+    // shipped once: 0-based seed filtering emptied the bootstrap-trained
+    // centroids and every set compared 0 == 0)
+    require(found > 0, "incremental loop found no planted pairs — pipeline broken")
+    if (retrainEvery == 0) {
+      require(nFull > 0, "frozen full-batch run found no pairs — pipeline broken")
+      require(symDiff == 0,
+        s"incremental semantic pair set diverged from the frozen full-batch run by $symDiff rows")
+    }
   }
 
   /** VERDICT r12 item 5: the standing-index MAINTENANCE path, measured.
@@ -643,13 +789,20 @@ object CorpusScaleBench {
       def intOpt(name: String, dflt: Int): Int =
         args.find(_.startsWith(s"--$name=")).map(_.stripPrefix(s"--$name=").toInt)
           .getOrElse(dflt)
-      // --semantic --daily = the embedding-side maintenance loop (r14)
+      // --semantic --daily = the embedding-side maintenance loop (r14);
+      // r15: --index-probes/--index-margin (frozen-index multiprobe),
+      // --geometry=drift + --retrain-every=K (staleness experiment)
       if (flag("semantic"))
         semanticDailyRun(spark, n, days = intOpt("days", 5),
           batchPct = intOpt("batch", 5),
           compactEvery = intOpt("compact-every", 0),
           geometry = args.find(_.startsWith("--geometry="))
-            .map(_.stripPrefix("--geometry=")).getOrElse("iso"))
+            .map(_.stripPrefix("--geometry=")).getOrElse("iso"),
+          indexProbes = intOpt("index-probes", 1),
+          indexMargin = args.find(_.startsWith("--index-margin="))
+            .map(_.stripPrefix("--index-margin=").toDouble)
+            .getOrElse(Double.PositiveInfinity),
+          retrainEvery = intOpt("retrain-every", 0))
       else
         dailyRun(spark, n, days = intOpt("days", 5),
           batchPct = intOpt("batch", 5),
