@@ -884,9 +884,13 @@ object SimilarityOps {
     // from the standing index, and the daily sym_diff check can't see it
     // because both sides drop it identically (ADVICE r14). Memberless
     // cells carry their own coarse centroid as sub 0, keeping assignment
-    // TOTAL by construction.
+    // TOTAL by construction. The anti-join probes `cells` (the cheap
+    // broadcast-scored assignment), not `sub` — sub's cell set equals the
+    // assignment's by construction (flatMapGroups emits ≥ 1 row per
+    // group), and re-deriving it would re-run the whole local-Lloyd
+    // pipeline a second time.
     val orphans = coarse.select(col("c").as("cell"), col("m"))
-      .join(sub.select("cell").distinct(), Seq("cell"), "left_anti")
+      .join(cells.select("cell").distinct(), Seq("cell"), "left_anti")
       .select(col("cell"), lit(0).as("sub"), col("m"))
     SemIndex(coarse, sub.unionByName(orphans))
   }
