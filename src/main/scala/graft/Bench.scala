@@ -9,6 +9,36 @@ import org.apache.spark.sql.SparkSession
   * billed to whichever query happens to run first.
   */
 object Bench {
+
+  /** The contended-artifact decision, pure so the thresholds are
+    * spec-pinned (BenchLabelSpec) rather than re-derived from artifact
+    * archaeology each round. Returns (contended, "sig|sig|…" naming
+    * every tripped signal — empty when clean). Signals:
+    *  - calibration > 0.25 s: the fixed CPU-bound reference job inflated
+    *    (idle band 0.13–0.19 s) — authoritative, it measures the
+    *    slowdown the per-query numbers actually suffer;
+    *  - loadStart > 6 AND calibration > 0.2 s: pre-sweep 1-min load —
+    *    EXCULPATED by an idle-level calibration, because the sample can
+    *    be pure residue of a just-finished JVM (the r14 false positive:
+    *    load 6.9, calibration 0.135) while the calibration job runs
+    *    after it and saw a quiet box;
+    *  - loadEnd > max(cores/2, threads+6): mid-sweep contention. The
+    *    threshold sits above the sweep's own self-load even when the
+    *    configured thread count oversubscribes the box (ADVICE r14 —
+    *    cores/2 alone mislabeled clean runs wherever threads ≥ cores/2),
+    *    while a same-width concurrent job pushes end load toward
+    *    2× threads and still trips it. */
+  private[graft] def contendedLabel(calibrationSec: Double,
+      loadStart: Double, loadEnd: Double, cores: Int,
+      threads: Int): (Boolean, String) = {
+    val loadEndThreshold = math.max(cores / 2.0, threads + 6.0)
+    val trippedBy = Seq(
+      if (calibrationSec > 0.25) Some("calibration") else None,
+      if (loadStart > 6.0 && calibrationSec > 0.2) Some("loadStart") else None,
+      if (loadEnd > loadEndThreshold) Some("loadEnd") else None).flatten
+    (trippedBy.nonEmpty, trippedBy.mkString("|"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -195,42 +225,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadAvg
-    // Self-label contended artifacts (VERDICT r12 item 6): two rounds
-    // running, the driver's sweep ran alongside other load and every
-    // apparent regression needed manual cross-referencing of the
-    // calibration fields against README's variance notes. Thresholds are
-    // from those measurements: idle calibration is ~0.13–0.19 s and idle
-    // 1-min load ≤ ~2; calibration > 0.25 s or load > 6 has only ever
-    // meant a contended box.
-    // loadEnd too (ADVICE r13): a box that becomes contended MID-sweep
-    // (loadStart low, loadEnd high) was labeled clean. The end threshold
-    // must sit ABOVE the sweep's own self-load, not at 6: this bench IS
-    // a ~90 s `threads`-wide burst, and the driver's CLEAN r13 artifact
-    // ended at load 7.0 (calibration 0.182, idle start). Scaled to the
-    // CONFIGURED thread count, not raw cores (ADVICE r14): on a box with
-    // < 2× the sweep's threads, cores/2 sat below the run's own self-load
-    // and permanently mislabeled clean artifacts.
-    // The label names its tripped signal(s) (VERDICT r14 item 3) so the
-    // artifact decodes itself — and a bare loadStart trip is EXCULPATED
-    // by an idle-level calibration: the 1-min loadStart can be pure
-    // residue of a just-finished JVM (the r14 false positive: load 6.9,
-    // calibration 0.135 — idle-perfect), while the calibration job runs
-    // AFTER the sample and measures the contention that actually matters.
-    // loadEnd and calibration trips stay authoritative.
-    // threads + 6: above the worst self-load even when the configured
-    // thread count OVERSUBSCRIBES the box (local[32] on 16 cores keeps
-    // 32 runnable threads — load can reach `threads` from the sweep
-    // alone), while a same-width concurrent job still pushes end load
-    // toward 2× threads and trips it.
-    val threads = cpus.toInt
-    val loadEndThreshold =
-      math.max(Runtime.getRuntime.availableProcessors() / 2.0, threads + 6.0)
-    val trippedBy = Seq(
-      if (calibrationSec > 0.25) Some("calibration") else None,
-      if (loadStart > 6.0 && calibrationSec > 0.2) Some("loadStart") else None,
-      if (loadEnd > loadEndThreshold) Some("loadEnd") else None).flatten
-    val contended = trippedBy.nonEmpty
-    val contendedBy = trippedBy.mkString("|")
+    // Self-label contended artifacts (VERDICT r12 item 6; r13/r14 refined
+    // the signals — see [[contendedLabel]] for the threshold rationale):
+    // the artifact must decode itself so an apparent regression can be
+    // told from a contended box without re-running.
+    val (contended, contendedBy) = contendedLabel(calibrationSec,
+      loadStart, loadEnd, Runtime.getRuntime.availableProcessors(),
+      cpus.toInt)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""calibration_sec":$calibrationSec,"calibration_scan_sec":$calibrationScanSec,""" +
       s""""fixture_sec":$fixtureSec,"merge_sec":$mergeSec,"pairs_sec":$pairsSec,""" +

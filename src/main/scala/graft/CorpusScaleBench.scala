@@ -442,7 +442,8 @@ object CorpusScaleBench {
       spark.read.parquet(s"$dir/piece_boot")
     }
     val (bootPairs, bootPairSec) = stage("bootstrap pairs") {
-      val p = SimilarityOps.semDupPairsAssigned(spark, piece0, tau)
+      val p = SimilarityOps.semDupPairsAssigned(spark, piece0, tau,
+        multiAssigned = indexProbes > 1)
         .localCheckpoint(true)
       p.count(); p
     }
@@ -472,7 +473,8 @@ object CorpusScaleBench {
             freshA.select("cluster").distinct()),
           Seq("cluster"), "left_semi")
         val dp = SimilarityOps
-          .semDupPairsAssigned(spark, members.unionByName(freshA), tau)
+          .semDupPairsAssigned(spark, members.unionByName(freshA), tau,
+            multiAssigned = indexProbes > 1)
           // pairs between two STANDING members of a touched cluster were
           // already found (bootstrap or an earlier day) — keep only pairs
           // touching the fresh id range
@@ -559,7 +561,9 @@ object CorpusScaleBench {
       else stage("full-batch (frozen) oracle") {
         val fullA = SimilarityOps
           .semIndexAssign(spark, embRange(0L, n), index, indexProbes, indexMargin)
-        val full = SimilarityOps.semDupPairsAssigned(spark, fullA, tau).cache()
+        val full = SimilarityOps
+          .semDupPairsAssigned(spark, fullA, tau, multiAssigned = indexProbes > 1)
+          .cache()
         val nf = full.count()
         val miss = full.join(chained, Seq("vec_a", "vec_b", "cos"), "left_anti").count()
         val extra = chained.join(full, Seq("vec_a", "vec_b", "cos"), "left_anti").count()

@@ -787,9 +787,10 @@ object SimilarityOps {
     * end-state equality relies on. */
   private[graft] def semDupPairsAssigned(s: SparkSession,
       assigned: org.apache.spark.sql.DataFrame,
-      tau: Double): org.apache.spark.sql.DataFrame = {
+      tau: Double, multiAssigned: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    assigned
+    val raw = assigned
       .select(col("cluster"), col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("e"))
       .as[(Long, Long, Array[Double])]
@@ -818,10 +819,14 @@ object SimilarityOps {
         out.result().iterator
       }
       .toDF("vec_a", "vec_b", "cos")
-      // a multiprobe blocking ([[semClustersFromEmb]] probes > 1) can
-      // co-locate one pair in several clusters — report each pair once.
-      // The dedup key shuffles only found pairs (≈ dup rate × N rows).
-      .dropDuplicates("vec_a", "vec_b")
+    // a multiprobe blocking ([[semClustersFromEmb]] probes > 1, or a
+    // probed [[semIndexAssign]]) can co-locate one pair in several
+    // clusters — report each pair once. The dedup key shuffles only
+    // found pairs (≈ dup rate × N rows) — but when the caller KNOWS the
+    // assignment is single-membership (`multiAssigned = false`) every
+    // pair is emitted by exactly one cluster group and even that shuffle
+    // is skipped (r15: one exchange saved per single-probe call).
+    if (multiAssigned) raw.dropDuplicates("vec_a", "vec_b") else raw
   }
 
   /** Standing semantic index (r14): the FROZEN two-level quantizer the
@@ -1436,7 +1441,7 @@ object SimilarityOps {
           .filter(col("vec_id") >= cut)
         val index = semIndexTrain(s, boot, n - cut)
         val assigned = semIndexAssign(s, emb.select("vec_id", "embedding"), index)
-        semDupPairsAssigned(s, assigned, 0.25)
+        semDupPairsAssigned(s, assigned, 0.25, multiAssigned = false)
           .filter(col("vec_a") < cut || col("vec_b") < cut)
           .select("vec_a", "vec_b", "cos")
       } else {
