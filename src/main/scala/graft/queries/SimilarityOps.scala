@@ -925,7 +925,91 @@ object SimilarityOps {
     * full-batch equality is preserved because membership is still a pure
     * per-vector function of the frozen index. Defaults reproduce the
     * single-label r14 behavior exactly. */
+  /** Sub-table row gate for [[semIndexAssign]]'s broadcast-map fast path:
+    * k ≈ N/64 rows × ~550 B ≈ 550 MB of driver/executor heap at the gate
+    * — comfortably collectable to N ≈ 6·10⁷ vectors. Past it the
+    * assignment falls back to [[semIndexAssignJoined]]. */
+  private[graft] val SubMapMaxRows = 1000000L
+
   private[graft] def semIndexAssign(s: SparkSession,
+      emb: org.apache.spark.sql.DataFrame,
+      index: SemIndex, probes: Int = 1,
+      probeMargin: Double = Double.PositiveInfinity)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val floatEmb = emb.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false) ||
+      emb.schema("embedding").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true)
+    if (floatEmb && index.sub.count() <= SubMapMaxRows) {
+      // fast path (r15 — found by the first 10 M daily run, which OOMed
+      // the join plan below): the sub table collapses to a broadcast
+      // cell → centroid-block map and each vector resolves its best sub
+      // in a tight task-local argmin — NO per-(vector × sub) row
+      // expansion, no sort, nothing but the coarse exchange the cells
+      // join already pays. Arithmetic mirrors the vec_dot chain of the
+      // join path term for term (three separate float→double
+      // accumulations, d² = ee − 2·em + mm, strict-< argmin over
+      // sub-ascending blocks), so both paths assign bit-identically —
+      // spec-pinned by SemIndexSpec's path-equality test.
+      import s.implicits._
+      val subMap: Map[Long, Array[(Int, Array[Double])]] =
+        index.sub.select(col("cell"), col("sub"), col("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cell, rows) =>
+            cell -> rows
+              .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+              .sortBy(_._1)
+          }
+      val bc = s.sparkContext.broadcast(subMap)
+      val cells = assignVecProbes(emb, index.coarse, probes, probeMargin)
+        .select(col("vec_id"), col("c").as("cell"))
+      emb.join(cells, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .as[(Long, Seq[Float], Long)]
+        .mapPartitions { it =>
+          val subs = bc.value
+          it.map { case (id, eSeq, cell) =>
+            val e = eSeq.toArray
+            var ee = 0.0
+            var i = 0
+            while (i < e.length) { ee += e(i).toDouble * e(i).toDouble; i += 1 }
+            val block = subs(cell) // total by construction (sub-0 orphans)
+            var best = -1
+            var bestD = Double.PositiveInfinity
+            var j = 0
+            while (j < block.length) {
+              val m = block(j)._2
+              val n = math.min(e.length, m.length)
+              var em = 0.0; var mm = 0.0
+              var d = 0
+              while (d < n) { em += e(d).toDouble * m(d); d += 1 }
+              d = 0
+              while (d < m.length) { mm += m(d) * m(d); d += 1 }
+              val d2 = ee - 2.0 * em + mm
+              if (d2 < bestD) { bestD = d2; best = block(j)._1 }
+              j += 1
+            }
+            (id, (cell << 40) + best, eSeq)
+          }
+        }
+        .toDF("vec_id", "cluster", "embedding")
+    } else semIndexAssignJoined(s, emb, index, probes, probeMargin)
+  }
+
+  /** [[semIndexAssign]]'s over-the-gate fallback: broadcast-or-
+    * co-partitioned join against the sub table, map-side WindowGroupLimit
+    * argmin. The scored rows are cut to SKINNY (vec_id, cell, sub, d2)
+    * BEFORE the window (r15): the first 10 M daily run OOMed because the
+    * sort under the group limit carried the embedding AND the sub
+    * centroid through a ≈ √k-way row expansion — ~3·10⁹ × 900 B at 10 M.
+    * Skinny rows make the sorted expansion 32 B/row, and the embedding is
+    * re-attached afterwards by one corpus-sized vec_id join (the price of
+    * the giant-index regime; under the gate the map path pays neither). */
+  private[graft] def semIndexAssignJoined(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame,
       index: SemIndex, probes: Int = 1,
       probeMargin: Double = Double.PositiveInfinity)
@@ -937,17 +1021,19 @@ object SimilarityOps {
       .select(col("vec_id"), col("c").as("cell"))
     val w = Window.partitionBy("vec_id", "cell")
       .orderBy(col("d2"), col("sub"))
-    emb.join(cells, Seq("vec_id"))
+    val best = emb.join(cells, Seq("vec_id"))
       .join(graft.ops.Hints.broadcastIfSmall(index.sub), Seq("cell"))
       .withColumn("d2",
         vec_dot(col("embedding"), col("embedding"))
           - lit(2.0) * vec_dot(col("embedding"), col("m"))
           + vec_dot(col("m"), col("m")))
+      .select(col("vec_id"), col("cell"), col("sub"), col("d2"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"),
-        (shiftleft(col("cell"), 40) + col("sub")).as("cluster"),
-        col("embedding"))
+        (shiftleft(col("cell"), 40) + col("sub")).as("cluster"))
+    best.join(emb, Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("embedding"))
   }
 
   /** Bench attribution hooks: materialize the shared trained artifacts so

@@ -56,14 +56,34 @@ class SemIndexSpec extends AnyFunSuite {
     assert(pieces.join(whole, Seq("vec_id", "cluster"), "left_anti").count() == 0)
   }
 
-  test("frozen assignment plan: map-side WindowGroupLimit, broadcast sub table, one vec_id exchange") {
-    // the scaladoc claim: the sub-centroid argmin compiles to the same
-    // Partial-below-Exchange-below-Final WindowGroupLimit shape the
-    // multiprobe path pins, over a broadcast-scored sub table — only the
-    // winning row per vector crosses the vec_id exchange
+  test("frozen assignment plan (map path): no row expansion, no window sort") {
+    // under the SubMapMaxRows gate the sub table rides a broadcast
+    // lookup map and the argmin is a task-local tight loop — the plan
+    // must carry NO per-(vector × sub) expansion and no WindowGroupLimit
+    // sort (the shape that OOMed the first 10 M daily run)
     val n = 1400L
     val index = SimilarityOps.semIndexTrain(spark, emb(0, n), n)
     val df = SimilarityOps.semIndexAssign(spark, emb(0, n), index)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // (denseCells' k1-row label-remap window survives in the coarse
+    // lineage — benign; the killer shape is the group-LIMIT over the
+    // per-(vector × sub) expansion)
+    assert(!plan.contains("WindowGroupLimit"),
+      s"map-path assignment regressed to a windowed expansion:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"map-path assignment lost its task-local argmin:\n$plan")
+  }
+
+  test("frozen assignment plan (joined fallback): skinny map-side WindowGroupLimit, broadcast sub table, one vec_id exchange") {
+    // the over-the-gate fallback: the sub-centroid argmin compiles to
+    // the Partial-below-Exchange-below-Final WindowGroupLimit shape the
+    // multiprobe path pins, over a broadcast-scored sub table — only the
+    // winning SKINNY (vec_id, cell, sub, d2) row crosses the exchange;
+    // the embedding is re-attached after the cut
+    val n = 1400L
+    val index = SimilarityOps.semIndexTrain(spark, emb(0, n), n)
+    val df = SimilarityOps.semIndexAssignJoined(spark, emb(0, n), index)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     val partialIdx = plan.indexOf("row_number(), 1, Partial")
@@ -76,6 +96,24 @@ class SemIndexSpec extends AnyFunSuite {
     assert(plan.indexOf("BroadcastHashJoin", partialIdx) >= 0 ||
       plan.indexOf("BroadcastNestedLoopJoin", partialIdx) >= 0,
       s"sub-centroid scoring below the group limit is not broadcast:\n$plan")
+  }
+
+  test("map path and joined fallback assign bit-identically") {
+    // the gate must be invisible: both paths replicate the same
+    // float→double d² arithmetic and the same strict-< lower-sub
+    // tie-break, so (vec_id, cluster) agree exactly — probed and not
+    val n = 1400L
+    val index = SimilarityOps.semIndexTrain(spark, emb(0, n), n)
+    for ((p, m) <- Seq((1, Double.PositiveInfinity), (2, 1.1))) {
+      val a = SimilarityOps.semIndexAssign(spark, emb(0, n), index, p, m)
+        .select("vec_id", "cluster")
+      val b = SimilarityOps.semIndexAssignJoined(spark, emb(0, n), index, p, m)
+        .select("vec_id", "cluster")
+      assert(a.count() == b.count(), s"path cardinality diverged at probes=$p")
+      assert(a.join(b, Seq("vec_id", "cluster"), "left_anti").count() == 0 &&
+        b.join(a, Seq("vec_id", "cluster"), "left_anti").count() == 0,
+        s"map vs joined assignment diverged at probes=$p margin=$m")
+    }
   }
 
   test("cell ids are dense: ids past 2^23 cannot overflow the composite shift") {
