@@ -451,6 +451,7 @@ object CorpusScaleBench {
     var pieces = List(piece0)
     var dayPairs = List.empty[org.apache.spark.sql.DataFrame]
     val daySecs = Array.ofDim[Double](days)
+    val assignSecs = Array.ofDim[Double](days)
     val appendSecs = Array.ofDim[Double](days)
     val compactSecs = Array.ofDim[Double](days)
     val retrainSecs = Array.ofDim[Double](days)
@@ -463,9 +464,16 @@ object CorpusScaleBench {
       val hi = (d + 1).toLong * batchN
       val fresh = embRange(lo, hi)
       pieceCounts(d) = pieces.length
-      val freshA = SimilarityOps
-        .semIndexAssign(spark, fresh, index, indexProbes, indexMargin)
-        .localCheckpoint(true)
+      // the assign leg is timed SEPARATELY from the probe (r15): day_secs
+      // is the standing-index-dependent claim (probe must not grow with
+      // the corpus), assign_secs the trivially-∝-batch leg — hiding the
+      // latter would understate the day bill
+      val (freshA, asnSec) = stage(s"day $d assign") {
+        SimilarityOps
+          .semIndexAssign(spark, fresh, index, indexProbes, indexMargin)
+          .localCheckpoint(true)
+      }
+      assignSecs(d) = asnSec
       val (p, sec) = stage(s"day $d probe (${pieces.length} pieces)") {
         val standing = pieces.reduce(_ unionByName _)
         val members = standing.join(
@@ -580,7 +588,8 @@ object CorpusScaleBench {
       s""""index_probes":$indexProbes,"index_margin":$marginJson,""" +
       s""""train_sec":${f"$trainSec%.1f"},""" +
       s""""boot_assign_sec":${f"$bootAssignSec%.1f"},"boot_pair_sec":${f"$bootPairSec%.1f"},""" +
-      s""""day_secs":${fmt(daySecs)},"append_secs":${fmt(appendSecs)},""" +
+      s""""day_secs":${fmt(daySecs)},"assign_secs":${fmt(assignSecs)},""" +
+      s""""append_secs":${fmt(appendSecs)},""" +
       s""""compact_secs":${fmt(compactSecs)},"retrain_secs":${fmt(retrainSecs)},""" +
       s""""pieces":${pieceCounts.mkString("[", ",", "]")},""" +
       s""""day_pairs":${dayPairCounts.mkString("[", ",", "]")},""" +

@@ -931,6 +931,12 @@ object SimilarityOps {
     * assignment falls back to [[semIndexAssignJoined]]. */
   private[graft] val SubMapMaxRows = 1000000L
 
+  /** Per-index broadcast of the collected sub table (the map fast path).
+    * WEAK keys: a replaced index (retrain) drops out and Spark's context
+    * cleaner reclaims the orphaned broadcast. */
+  private val subMapCache = new java.util.WeakHashMap[SemIndex,
+    org.apache.spark.broadcast.Broadcast[Map[Long, Array[(Int, Array[Double])]]]]
+
   private[graft] def semIndexAssign(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame,
       index: SemIndex, probes: Int = 1,
@@ -955,16 +961,28 @@ object SimilarityOps {
       // sub-ascending blocks), so both paths assign bit-identically —
       // spec-pinned by SemIndexSpec's path-equality test.
       import s.implicits._
-      val subMap: Map[Long, Array[(Int, Array[Double])]] =
-        index.sub.select(col("cell"), col("sub"), col("m"))
-          .collect()
-          .groupBy(_.getLong(0))
-          .map { case (cell, rows) =>
-            cell -> rows
-              .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
-              .sortBy(_._1)
-          }
-      val bc = s.sparkContext.broadcast(subMap)
+      // one collect+broadcast per INDEX, not per call (the daily loop
+      // assigns against the same frozen index every day; the map is keyed
+      // weakly on the SemIndex instance so a retrained index's
+      // predecessor — and its broadcast — become collectable)
+      val bc = subMapCache.synchronized {
+        val cached = subMapCache.get(index)
+        if (cached != null) cached
+        else {
+          val subMap: Map[Long, Array[(Int, Array[Double])]] =
+            index.sub.select(col("cell"), col("sub"), col("m"))
+              .collect()
+              .groupBy(_.getLong(0))
+              .map { case (cell, rows) =>
+                cell -> rows
+                  .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+                  .sortBy(_._1)
+              }
+          val b = s.sparkContext.broadcast(subMap)
+          subMapCache.put(index, b)
+          b
+        }
+      }
       val cells = assignVecProbes(emb, index.coarse, probes, probeMargin)
         .select(col("vec_id"), col("c").as("cell"))
       emb.join(cells, Seq("vec_id"))
