@@ -949,40 +949,49 @@ object SimilarityOps {
       emb.schema("embedding").dataType ==
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType, containsNull = true)
-    if (floatEmb && index.sub.count() <= SubMapMaxRows) {
-      // fast path (r15 — found by the first 10 M daily run, which OOMed
-      // the join plan below): the sub table collapses to a broadcast
-      // cell → centroid-block map and each vector resolves its best sub
-      // in a tight task-local argmin — NO per-(vector × sub) row
-      // expansion, no sort, nothing but the coarse exchange the cells
-      // join already pays. Arithmetic mirrors the vec_dot chain of the
-      // join path term for term (three separate float→double
-      // accumulations, d² = ee − 2·em + mm, strict-< argmin over
-      // sub-ascending blocks), so both paths assign bit-identically —
-      // spec-pinned by SemIndexSpec's path-equality test.
-      import s.implicits._
-      // one collect+broadcast per INDEX, not per call (the daily loop
-      // assigns against the same frozen index every day; the map is keyed
-      // weakly on the SemIndex instance so a retrained index's
-      // predecessor — and its broadcast — become collectable)
-      val bc = subMapCache.synchronized {
-        val cached = subMapCache.get(index)
-        if (cached != null) cached
+    // fast path (r15 — found by the first 10 M daily run, which OOMed
+    // the join plan below): the sub table collapses to a broadcast
+    // cell → centroid-block map and each vector resolves its best sub
+    // in a tight task-local argmin — NO per-(vector × sub) row
+    // expansion, no sort, nothing but the coarse exchange the cells
+    // join already pays. Arithmetic mirrors the vec_dot chain of the
+    // join path term for term (three separate float→double
+    // accumulations, d² = ee − 2·em + mm, strict-< argmin over
+    // sub-ascending blocks), so both paths assign bit-identically —
+    // spec-pinned by SemIndexSpec's path-equality test.
+    //
+    // The size gate IS the collect: limit(max+1) computes the sub plan
+    // ONCE and doubles as both the row-count test and the data (a
+    // separate count() re-ran the whole sub-training pipeline when the
+    // index was live rather than parquet-backed — measured +2.3 s on the
+    // gated oracle query). One collect+broadcast per INDEX, not per call
+    // (weak-keyed on the SemIndex instance, so a retrained index's
+    // predecessor — and its broadcast — become collectable); in the
+    // over-gate regime the bounded wasted collect is noise against the
+    // giant index's own build cost.
+    val bc = if (!floatEmb) null else subMapCache.synchronized {
+      val cached = subMapCache.get(index)
+      if (cached != null) cached
+      else {
+        val rows = index.sub.select(col("cell"), col("sub"), col("m"))
+          .limit(SubMapMaxRows.toInt + 1).collect()
+        if (rows.length > SubMapMaxRows) null
         else {
-          val subMap: Map[Long, Array[(Int, Array[Double])]] =
-            index.sub.select(col("cell"), col("sub"), col("m"))
-              .collect()
-              .groupBy(_.getLong(0))
-              .map { case (cell, rows) =>
-                cell -> rows
-                  .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
-                  .sortBy(_._1)
-              }
+          val subMap: Map[Long, Array[(Int, Array[Double])]] = rows
+            .groupBy(_.getLong(0))
+            .map { case (cell, rs) =>
+              cell -> rs
+                .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+                .sortBy(_._1)
+            }
           val b = s.sparkContext.broadcast(subMap)
           subMapCache.put(index, b)
           b
         }
       }
+    }
+    if (bc != null) {
+      import s.implicits._
       val cells = assignVecProbes(emb, index.coarse, probes, probeMargin)
         .select(col("vec_id"), col("c").as("cell"))
       emb.join(cells, Seq("vec_id"))
