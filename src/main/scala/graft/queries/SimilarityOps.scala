@@ -464,6 +464,12 @@ object SimilarityOps {
           vec_dot(col("embedding"), col("embedding"))
             - lit(2.0) * vec_dot(col("embedding"), col("m"))
             + vec_dot(col("m"), col("m")))
+        // SKINNY before the window (r15): the group-limit sort was
+        // carrying the embedding and the centroid array through the
+        // N×k scored expansion (~30× the bytes of the three columns the
+        // output actually uses) — the same disease that OOMed
+        // semIndexAssign's join path at 10 M
+        .select(col("vec_id"), col("c"), col("d2"))
         .withColumn("rk", row_number().over(
           w.orderBy(col("d2"), col("c"))))
         .filter(col("rk") <= probes)
@@ -743,13 +749,11 @@ object SimilarityOps {
           probes, probeMargin)
         .select(col("vec_id"), col("c").as("cell"))
       // level 2: per-cell local Lloyd, sub-cluster target = SemTargetCluster
-      emb.join(cells, Seq("vec_id"))
-        .select(col("cell"), col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("e"))
-        .as[(Long, Long, Array[Double])]
-        .groupByKey(_._1)
-        .flatMapGroups { (cell: Long, it: Iterator[(Long, Long, Array[Double])]) =>
-          val vs = it.map { case (_, id, e) => (id, e) }.toArray.sortBy(_._1)
+      flatMapVecGroups(s,
+        emb.join(cells, Seq("vec_id"))
+          .select(col("cell"), col("vec_id"), col("embedding")),
+        (cell: Long, mit: Iterator[(Long, Array[Double])]) => {
+          val vs = mit.toArray.sortBy(_._1)
           val k2 = math.max(1, math.ceil(vs.length / SemTargetCluster).toInt)
           require(k2.toLong < (1L << SubBits),
             s"cell $cell sub-cluster count $k2 overflows the composite id")
@@ -760,7 +764,7 @@ object SimilarityOps {
             if (secnd < 0) Iterator.single(first)
             else Iterator(first, (id, (cell << SubBits) + secnd))
           }
-        }
+        })
         .toDF("vec_id", "cluster")
     }
   }
@@ -785,18 +789,52 @@ object SimilarityOps {
     * BIT-IDENTICAL whether its cluster group holds the full corpus or
     * any subset containing both members — the property the daily loop's
     * end-state equality relies on. */
+  /** Group a (key, vec_id, e) frame by its first column and run `f` over
+    * each group's (vec_id, embedding-as-double) members — WITHOUT the
+    * interpreted `transform(_.cast("double"))` the call sites used to
+    * share: ArrayTransform boxes every element (Float.valueOf × dim per
+    * row — ~7·10⁸ allocations in the 10 M probed bootstrap's pair
+    * exchange, a GC-overhead OOM, r15). Float arrays now ride the
+    * exchange in their compact primitive form (half the shuffle bytes)
+    * and widen task-locally after it; the per-element `toDouble` is the
+    * same widening the cast performed, so results are bit-identical. */
+  private def flatMapVecGroups[T](s: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      f: (Long, Iterator[(Long, Array[Double])]) => Iterator[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import s.implicits._
+    df.schema(2).dataType match {
+      case ArrayType(FloatType, _) =>
+        df.as[(Long, Long, Array[Float])]
+          .groupByKey(_._1)
+          .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Array[Float])]) =>
+            f(k, it.map { case (_, id, e) =>
+              val d = new Array[Double](e.length)
+              var i = 0
+              while (i < e.length) { d(i) = e(i).toDouble; i += 1 }
+              (id, d)
+            })
+          }
+      case _ =>
+        df.as[(Long, Long, Array[Double])]
+          .groupByKey(_._1)
+          .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Array[Double])]) =>
+            f(k, it.map { case (_, id, e) => (id, e) })
+          }
+    }
+  }
+
   private[graft] def semDupPairsAssigned(s: SparkSession,
       assigned: org.apache.spark.sql.DataFrame,
       tau: Double, multiAssigned: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val raw = assigned
-      .select(col("cluster"), col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("e"))
-      .as[(Long, Long, Array[Double])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Array[Double])]) =>
-        val vs = it.map { case (_, id, e) => (id, e) }.toArray.sortBy(_._1)
+    val raw = flatMapVecGroups(s,
+      assigned.select(col("cluster"), col("vec_id"), col("embedding")),
+      (_: Long, mit: Iterator[(Long, Array[Double])]) => {
+        val vs = mit.toArray.sortBy(_._1)
         val inv = vs.map { case (_, e) =>
           var s2 = 0.0; var i = 0
           while (i < e.length) { s2 += e(i) * e(i); i += 1 }
@@ -817,7 +855,7 @@ object SimilarityOps {
           i += 1
         }
         out.result().iterator
-      }
+      })
       .toDF("vec_a", "vec_b", "cos")
     // a multiprobe blocking ([[semClustersFromEmb]] probes > 1, or a
     // probed [[semIndexAssign]]) can co-locate one pair in several
@@ -868,19 +906,17 @@ object SimilarityOps {
     val coarse = denseCells(trainVecCentroids(emb, k1))
     val cells = assignVec(emb, coarse)
       .select(col("vec_id"), col("c").as("cell"))
-    val sub = emb.join(cells, Seq("vec_id"))
-      .select(col("cell"), col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("e"))
-      .as[(Long, Long, Array[Double])]
-      .groupByKey(_._1)
-      .flatMapGroups { (cell: Long, it: Iterator[(Long, Long, Array[Double])]) =>
-        val vs = it.map { case (_, id, e) => (id, e) }.toArray.sortBy(_._1)
+    val sub = flatMapVecGroups(s,
+      emb.join(cells, Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("embedding")),
+      (cell: Long, mit: Iterator[(Long, Array[Double])]) => {
+        val vs = mit.toArray.sortBy(_._1)
         val k2 = math.max(1, math.ceil(vs.length / SemTargetCluster).toInt)
         require(k2.toLong < (1L << SubBits),
           s"cell $cell sub-centroid count $k2 overflows the composite id")
         localKmeansFit(vs, k2).iterator.zipWithIndex
           .map { case (m, j) => (cell, j, m) }
-      }
+      })
       .toDF("cell", "sub", "m")
     // every coarse cell must own ≥ 1 sub row: a cell can end MEMBERLESS
     // in the final assignment (centroids move on the last Lloyd update),
