@@ -387,6 +387,7 @@ object CorpusScaleBench {
       days: Int, batchPct: Int, compactEvery: Int,
       geometry: String, indexProbes: Int = 1,
       indexMargin: Double = Double.PositiveInfinity,
+      indexSubMargin: Double = 0.0,
       retrainEvery: Int = 0): Unit = {
     import spark.implicits._
     import queries.SimilarityOps
@@ -437,13 +438,14 @@ object CorpusScaleBench {
     }
     var index = index0 // rebound only by --retrain-every
     val (piece0, bootAssignSec) = stage("bootstrap assign") {
-      SimilarityOps.semIndexAssign(spark, init, index, indexProbes, indexMargin)
+      SimilarityOps.semIndexAssign(spark, init, index, indexProbes,
+          indexMargin, indexSubMargin)
         .write.mode("overwrite").parquet(s"$dir/piece_boot")
       spark.read.parquet(s"$dir/piece_boot")
     }
     val (bootPairs, bootPairSec) = stage("bootstrap pairs") {
       val p = SimilarityOps.semDupPairsAssigned(spark, piece0, tau,
-        multiAssigned = indexProbes > 1)
+        multiAssigned = indexProbes > 1 || indexSubMargin > 1.0)
         .localCheckpoint(true)
       p.count(); p
     }
@@ -470,7 +472,8 @@ object CorpusScaleBench {
       // latter would understate the day bill
       val (freshA, asnSec) = stage(s"day $d assign") {
         SimilarityOps
-          .semIndexAssign(spark, fresh, index, indexProbes, indexMargin)
+          .semIndexAssign(spark, fresh, index, indexProbes, indexMargin,
+            indexSubMargin)
           .localCheckpoint(true)
       }
       assignSecs(d) = asnSec
@@ -482,7 +485,7 @@ object CorpusScaleBench {
           Seq("cluster"), "left_semi")
         val dp = SimilarityOps
           .semDupPairsAssigned(spark, members.unionByName(freshA), tau,
-            multiAssigned = indexProbes > 1)
+            multiAssigned = indexProbes > 1 || indexSubMargin > 1.0)
           // pairs between two STANDING members of a touched cluster were
           // already found (bootstrap or an earlier day) — keep only pairs
           // touching the fresh id range
@@ -532,7 +535,8 @@ object CorpusScaleBench {
             spark.read.parquet(s"$dir/sub_d$d"))
           val rdir = s"$dir/piece_retrain_d$d"
           SimilarityOps
-            .semIndexAssign(spark, standingVecs, fr, indexProbes, indexMargin)
+            .semIndexAssign(spark, standingVecs, fr, indexProbes,
+              indexMargin, indexSubMargin)
             .write.mode("overwrite").parquet(rdir)
           pieces = List(spark.read.parquet(rdir))
           fr
@@ -568,9 +572,10 @@ object CorpusScaleBench {
       if (retrainEvery > 0) ((-1L, -1L), 0.0)
       else stage("full-batch (frozen) oracle") {
         val fullA = SimilarityOps
-          .semIndexAssign(spark, embRange(0L, n), index, indexProbes, indexMargin)
+          .semIndexAssign(spark, embRange(0L, n), index, indexProbes,
+            indexMargin, indexSubMargin)
         val full = SimilarityOps
-          .semDupPairsAssigned(spark, fullA, tau, multiAssigned = indexProbes > 1)
+          .semDupPairsAssigned(spark, fullA, tau, multiAssigned = indexProbes > 1 || indexSubMargin > 1.0)
           .cache()
         val nf = full.count()
         val miss = full.join(chained, Seq("vec_a", "vec_b", "cos"), "left_anti").count()
@@ -583,9 +588,12 @@ object CorpusScaleBench {
     def fmt4(xs: Array[Double]) = xs.map(x => f"$x%.4f").mkString("[", ",", "]")
     val marginJson =
       if (indexMargin.isPosInfinity) "null" else f"$indexMargin%.4f"
+    val subMarginJson =
+      if (indexSubMargin > 1.0) f"$indexSubMargin%.4f" else "null"
     println(s"""{"metric":"sem_daily_scale","n_vecs":$n,"geometry":"$geometry","days":$days,"batch":$batchN,""" +
       s""""compact_every":$compactEvery,"retrain_every":$retrainEvery,""" +
       s""""index_probes":$indexProbes,"index_margin":$marginJson,""" +
+      s""""index_sub_margin":$subMarginJson,""" +
       s""""train_sec":${f"$trainSec%.1f"},""" +
       s""""boot_assign_sec":${f"$bootAssignSec%.1f"},"boot_pair_sec":${f"$bootPairSec%.1f"},""" +
       s""""day_secs":${fmt(daySecs)},"assign_secs":${fmt(assignSecs)},""" +
@@ -815,6 +823,9 @@ object CorpusScaleBench {
           indexMargin = args.find(_.startsWith("--index-margin="))
             .map(_.stripPrefix("--index-margin=").toDouble)
             .getOrElse(Double.PositiveInfinity),
+          indexSubMargin = args.find(_.startsWith("--index-sub-margin="))
+            .map(_.stripPrefix("--index-sub-margin=").toDouble)
+            .getOrElse(0.0),
           retrainEvery = intOpt("retrain-every", 0))
       else
         dailyRun(spark, n, days = intOpt("days", 5),

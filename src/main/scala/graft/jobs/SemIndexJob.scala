@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   *     Rewrite all pieces into one (the probe-cost bound — README's
   *     measured +57 % drift at 20 uncompacted pieces).
   *
-  * Flags: --probes=N --margin=F (frozen-index boundary-margin multiprobe,
-  * README's measured recall knob), --tau=T (pair cosine threshold,
+  * Flags: --probes=N --margin=F (frozen-index level-1 boundary-margin
+  * multiprobe) and --sub-margin=F (the level-2 runner-up rule) —
+  * README's measured recall knobs; --tau=T (pair cosine threshold,
   * default 0.9).
   *
   * Every command is deterministic given its inputs: the frozen index
@@ -64,18 +65,20 @@ object SemIndexJob {
   }
 
   def bootstrap(spark: SparkSession, emb: DataFrame, indexDir: String,
-      standingDir: String, probes: Int, margin: Double): Unit =
+      standingDir: String, probes: Int, margin: Double,
+      subMargin: Double = 0.0): Unit =
     SimilarityOps
-      .semIndexAssign(spark, emb, loadIndex(spark, indexDir), probes, margin)
+      .semIndexAssign(spark, emb, loadIndex(spark, indexDir), probes,
+        margin, subMargin)
       .write.mode("overwrite").parquet(s"$standingDir/piece_boot")
 
   /** One maintenance tick; returns the number of new pairs found. */
   def day(spark: SparkSession, fresh: DataFrame, indexDir: String,
       standingDir: String, pairsOut: String, tau: Double,
-      probes: Int, margin: Double): Long = {
+      probes: Int, margin: Double, subMargin: Double = 0.0): Long = {
     val index = loadIndex(spark, indexDir)
     val freshA = SimilarityOps
-      .semIndexAssign(spark, fresh, index, probes, margin)
+      .semIndexAssign(spark, fresh, index, probes, margin, subMargin)
       .localCheckpoint(true)
     val standing = pieces(spark, standingDir)
     val members = standing.join(
@@ -92,7 +95,7 @@ object SemIndexJob {
     val fb = freshIds.select(col("vec_id").as("vec_b"), lit(1).as("tb"))
     val dp = SimilarityOps
       .semDupPairsAssigned(spark, members.unionByName(freshA), tau,
-        multiAssigned = probes > 1)
+        multiAssigned = probes > 1 || subMargin > 1.0)
       .join(broadcast(fa), Seq("vec_a"), "left")
       .join(broadcast(fb), Seq("vec_b"), "left")
       .filter(col("ta").isNotNull || col("tb").isNotNull)
@@ -137,6 +140,7 @@ object SemIndexJob {
     val probes = opt("probes").map(_.toInt).getOrElse(1)
     val margin = opt("margin").map(_.toDouble)
       .getOrElse(Double.PositiveInfinity)
+    val subMargin = opt("sub-margin").map(_.toDouble).getOrElse(0.0)
     val tau = opt("tau").map(_.toDouble).getOrElse(0.9)
     val pos = args.filterNot(_.startsWith("--")).toSeq
     pos match {
@@ -144,10 +148,10 @@ object SemIndexJob {
         train(spark, spark.read.parquet(embPath), indexDir)
       case Seq("bootstrap", embPath, indexDir, standingDir) =>
         bootstrap(spark, spark.read.parquet(embPath), indexDir, standingDir,
-          probes, margin)
+          probes, margin, subMargin)
       case Seq("day", freshPath, indexDir, standingDir, pairsOut) =>
         val n = day(spark, spark.read.parquet(freshPath), indexDir,
-          standingDir, pairsOut, tau, probes, margin)
+          standingDir, pairsOut, tau, probes, margin, subMargin)
         println(s"""{"metric":"sem_index_day","new_pairs":$n}""")
       case Seq("compact", standingDir) =>
         compact(spark, standingDir)
@@ -155,7 +159,7 @@ object SemIndexJob {
         "usage: SemIndexJob train <emb> <indexDir> | " +
           "bootstrap <emb> <indexDir> <standingDir> | " +
           "day <fresh> <indexDir> <standingDir> <pairsOut> | " +
-          "compact <standingDir>  [--probes=N --margin=F --tau=T]" +
+          "compact <standingDir>  [--probes=N --margin=F --sub-margin=F --tau=T]" +
           s" (got: ${other.mkString(" ")})")
     }
     spark.stop()

@@ -976,7 +976,8 @@ object SimilarityOps {
   private[graft] def semIndexAssign(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame,
       index: SemIndex, probes: Int = 1,
-      probeMargin: Double = Double.PositiveInfinity)
+      probeMargin: Double = Double.PositiveInfinity,
+      subProbeMargin: Double = 0.0)
       : org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val floatEmb = emb.schema("embedding").dataType ==
@@ -1030,19 +1031,20 @@ object SimilarityOps {
       import s.implicits._
       val cells = assignVecProbes(emb, index.coarse, probes, probeMargin)
         .select(col("vec_id"), col("c").as("cell"))
+      val subM = subProbeMargin
       emb.join(cells, Seq("vec_id"))
         .select(col("vec_id"), col("embedding"), col("cell"))
         .as[(Long, Seq[Float], Long)]
         .mapPartitions { it =>
           val subs = bc.value
-          it.map { case (id, eSeq, cell) =>
+          it.flatMap { case (id, eSeq, cell) =>
             val e = eSeq.toArray
             var ee = 0.0
             var i = 0
             while (i < e.length) { ee += e(i).toDouble * e(i).toDouble; i += 1 }
             val block = subs(cell) // total by construction (sub-0 orphans)
-            var best = -1
-            var bestD = Double.PositiveInfinity
+            var best = -1; var bestD = Double.PositiveInfinity
+            var secnd = -1; var secndD = Double.PositiveInfinity
             var j = 0
             while (j < block.length) {
               val m = block(j)._2
@@ -1053,14 +1055,22 @@ object SimilarityOps {
               d = 0
               while (d < m.length) { mm += m(d) * m(d); d += 1 }
               val d2 = ee - 2.0 * em + mm
-              if (d2 < bestD) { bestD = d2; best = block(j)._1 }
+              if (d2 < bestD) {
+                secndD = bestD; secnd = best; bestD = d2; best = block(j)._1
+              } else if (d2 < secndD) { secndD = d2; secnd = block(j)._1 }
               j += 1
             }
-            (id, (cell << 40) + best, eSeq)
+            val first = (id, (cell << 40) + best, eSeq)
+            // level-2 boundary runner-up, the [[localKmeansProbed]] rule
+            // verbatim (knob-ON gate, within-margin, lower-sub ties)
+            if (subM > 1.0 && secnd >= 0 && secndD <= subM * bestD)
+              Iterator(first, (id, (cell << 40) + secnd, eSeq))
+            else Iterator.single(first)
           }
         }
         .toDF("vec_id", "cluster", "embedding")
-    } else semIndexAssignJoined(s, emb, index, probes, probeMargin)
+    } else semIndexAssignJoined(s, emb, index, probes, probeMargin,
+      subProbeMargin)
   }
 
   /** [[semIndexAssign]]'s over-the-gate fallback: broadcast-or-
@@ -1075,7 +1085,8 @@ object SimilarityOps {
   private[graft] def semIndexAssignJoined(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame,
       index: SemIndex, probes: Int = 1,
-      probeMargin: Double = Double.PositiveInfinity)
+      probeMargin: Double = Double.PositiveInfinity,
+      subProbeMargin: Double = 0.0)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.VecOps.vec_dot
     import org.apache.spark.sql.expressions.Window
@@ -1084,7 +1095,8 @@ object SimilarityOps {
       .select(col("vec_id"), col("c").as("cell"))
     val w = Window.partitionBy("vec_id", "cell")
       .orderBy(col("d2"), col("sub"))
-    val best = emb.join(cells, Seq("vec_id"))
+    val keepN = if (subProbeMargin > 1.0) 2 else 1
+    val ranked = emb.join(cells, Seq("vec_id"))
       .join(graft.ops.Hints.broadcastIfSmall(index.sub), Seq("cell"))
       .withColumn("d2",
         vec_dot(col("embedding"), col("embedding"))
@@ -1092,9 +1104,19 @@ object SimilarityOps {
           + vec_dot(col("m"), col("m")))
       .select(col("vec_id"), col("cell"), col("sub"), col("d2"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"),
-        (shiftleft(col("cell"), 40) + col("sub")).as("cluster"))
+      .filter(col("rk") <= keepN)
+    // level-2 boundary runner-up: the same post-group-limit margin pass
+    // the coarse multiprobe uses ([[assignVecProbes]]) — runs over the
+    // ALREADY group-limited ≤2 rows per (vec_id, cell), no extra shuffle
+    val kept =
+      if (keepN == 1) ranked
+      else ranked
+        .withColumn("d2b",
+          min(col("d2")).over(Window.partitionBy("vec_id", "cell")))
+        .filter(col("rk") === 1 ||
+          col("d2") <= lit(subProbeMargin) * col("d2b"))
+    val best = kept.select(col("vec_id"),
+      (shiftleft(col("cell"), 40) + col("sub")).as("cluster"))
     best.join(emb, Seq("vec_id"))
       .select(col("vec_id"), col("cluster"), col("embedding"))
   }

@@ -104,15 +104,21 @@ class SemIndexSpec extends AnyFunSuite {
     // tie-break, so (vec_id, cluster) agree exactly — probed and not
     val n = 1400L
     val index = SimilarityOps.semIndexTrain(spark, emb(0, n), n)
-    for ((p, m) <- Seq((1, Double.PositiveInfinity), (2, 1.1))) {
-      val a = SimilarityOps.semIndexAssign(spark, emb(0, n), index, p, m)
+    for ((p, m, sm) <- Seq((1, Double.PositiveInfinity, 0.0), (2, 1.1, 0.0),
+        (2, 1.02, 1.1), (1, Double.PositiveInfinity, 1.1))) {
+      val a = SimilarityOps.semIndexAssign(spark, emb(0, n), index, p, m, sm)
         .select("vec_id", "cluster")
-      val b = SimilarityOps.semIndexAssignJoined(spark, emb(0, n), index, p, m)
+      val b = SimilarityOps
+        .semIndexAssignJoined(spark, emb(0, n), index, p, m, sm)
         .select("vec_id", "cluster")
-      assert(a.count() == b.count(), s"path cardinality diverged at probes=$p")
+      assert(a.count() == b.count(),
+        s"path cardinality diverged at probes=$p subMargin=$sm")
       assert(a.join(b, Seq("vec_id", "cluster"), "left_anti").count() == 0 &&
         b.join(a, Seq("vec_id", "cluster"), "left_anti").count() == 0,
-        s"map vs joined assignment diverged at probes=$p margin=$m")
+        s"map vs joined assignment diverged at probes=$p margin=$m subMargin=$sm")
+      // membership bound: ≤ probes level-1 cells × ≤ 2 subs per cell
+      assert(a.groupBy("vec_id").count()
+        .filter(col("count") > p * (if (sm > 1.0) 2 else 1)).count() == 0)
     }
   }
 
