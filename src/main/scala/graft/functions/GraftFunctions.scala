@@ -85,6 +85,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinhashSigExpr(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("vec_pack"),
+      new ExpressionInfo(classOf[VecPack].getName, "vec_pack"),
+      (exprs: Seq[Expression]) => VecPack(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("vec_unpack_float"),
+      new ExpressionInfo(classOf[VecUnpackFloat].getName, "vec_unpack_float"),
+      (exprs: Seq[Expression]) => VecUnpackFloat(exprs.head)))
   }
 }
 
@@ -129,5 +137,9 @@ object GraftFunctions {
       exprs => WinnowSelExpr(exprs.head, exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinhashSigExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_pack", exprs => VecPack(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_unpack_float", exprs => VecUnpackFloat(exprs.head), "scala_udf")
   }
 }

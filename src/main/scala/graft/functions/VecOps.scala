@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -198,11 +198,121 @@ object SetOps {
   }
 }
 
+/** Pack a float/double embedding array into its raw little-endian bits
+  * (BINARY), codegen'd. Exists for the object-encoder boundary: a typed
+  * `groupByKey`/`mapPartitions` over an `array<float>` column
+  * deserializes it via MapObjects — Float.valueOf per ELEMENT, ~10⁹
+  * boxed floats in the 10 M probed bootstrap's pair exchange, a
+  * GC-overhead OOM (r15) — while a primitive byte array crosses the same
+  * boundary as one copy. floatToRawIntBits round-trips bit-exactly
+  * (NaN payloads included), so packed pipelines produce identical
+  * results. */
+case class VecPack(child: Expression) extends UnaryExpression {
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_pack requires array<float|double>, got ${child.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "vec_pack"
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (isFloat) {
+      val bb = java.nio.ByteBuffer.allocate(n * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) { bb.putFloat(a.getFloat(i)); i += 1 }
+      bb.array()
+    } else {
+      val bb = java.nio.ByteBuffer.allocate(n * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) { bb.putDouble(a.getDouble(i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (get, put, width) =
+      if (isFloat) ("getFloat", "putFloat", 4) else ("getDouble", "putDouble", 8)
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val bb = ctx.freshName("bb")
+      s"""
+         |int $n = $a.numElements();
+         |java.nio.ByteBuffer $bb = java.nio.ByteBuffer.allocate($n * $width)
+         |  .order(java.nio.ByteOrder.LITTLE_ENDIAN);
+         |for (int $i = 0; $i < $n; $i++) { $bb.$put($a.$get($i)); }
+         |${ev.value} = $bb.array();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecPack =
+    copy(child = newChild)
+}
+
+/** Inverse of [[VecPack]] for the float case: BINARY (little-endian raw
+  * float bits) → `array<float>`, codegen'd — lets a packed pipeline
+  * restore the column schema without routing the array back through an
+  * object encoder. */
+case class VecUnpackFloat(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_unpack_float requires binary, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_unpack_float"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bytes.length / 4
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getFloat(i * 4); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val bb = ctx.freshName("bb")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $b.length / 4;
+         |java.nio.ByteBuffer $bb = java.nio.ByteBuffer.wrap($b)
+         |  .order(java.nio.ByteOrder.LITTLE_ENDIAN);
+         |float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) { $out[$i] = $bb.getFloat($i * 4); }
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VecUnpackFloat =
+    copy(child = newChild)
+}
+
 object VecOps {
   /** Column API: dot product of two embedding columns. Requires
     * [[GraftFunctions.register]] (or the GraftExtensions session
     * extension) on the session, which is idempotent. */
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Column API: raw-bits pack / unpack for the object-encoder boundary. */
+  def vec_pack(a: Column): Column = call_function("vec_pack", a)
+  def vec_unpack_float(a: Column): Column = call_function("vec_unpack_float", a)
 
   /** Column API: random-hyperplane LSH bucket id (low `planes` bits). */
   def lsh_bucket(emb: Column, planes: Column): Column =

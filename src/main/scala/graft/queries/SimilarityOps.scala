@@ -790,40 +790,46 @@ object SimilarityOps {
     * any subset containing both members — the property the daily loop's
     * end-state equality relies on. */
   /** Group a (key, vec_id, e) frame by its first column and run `f` over
-    * each group's (vec_id, embedding-as-double) members — WITHOUT the
-    * interpreted `transform(_.cast("double"))` the call sites used to
-    * share: ArrayTransform boxes every element (Float.valueOf × dim per
-    * row — ~7·10⁸ allocations in the 10 M probed bootstrap's pair
-    * exchange, a GC-overhead OOM, r15). Float arrays now ride the
-    * exchange in their compact primitive form (half the shuffle bytes)
-    * and widen task-locally after it; the per-element `toDouble` is the
-    * same widening the cast performed, so results are bit-identical. */
+    * each group's (vec_id, embedding-as-double) members. The embedding
+    * crosses the typed-Dataset boundary as PACKED BYTES
+    * ([[graft.functions.VecPack]], codegen'd): both the interpreted
+    * `transform(_.cast("double"))` this shared and the object encoder's
+    * own array deserializer (MapObjects, which `groupByKey`'s key
+    * extraction runs over EVERY row) box each element — Float.valueOf ×
+    * dim per row, ~10⁹ allocations at the 10 M probed bootstrap, two
+    * successive GC-overhead OOMs (r15). A byte array crosses the
+    * boundary as one copy; the task-local widen is bit-identical
+    * (floatToRawIntBits round-trips exactly, and float→double is the
+    * same widening the cast performed). */
   private def flatMapVecGroups[T](s: SparkSession,
       df: org.apache.spark.sql.DataFrame,
       f: (Long, Iterator[(Long, Array[Double])]) => Iterator[T])(
       implicit enc: org.apache.spark.sql.Encoder[T])
       : org.apache.spark.sql.Dataset[T] = {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.VecOps.vec_pack
     import s.implicits._
-    df.schema(2).dataType match {
-      case ArrayType(FloatType, _) =>
-        df.as[(Long, Long, Array[Float])]
-          .groupByKey(_._1)
-          .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Array[Float])]) =>
-            f(k, it.map { case (_, id, e) =>
-              val d = new Array[Double](e.length)
-              var i = 0
-              while (i < e.length) { d(i) = e(i).toDouble; i += 1 }
-              (id, d)
-            })
-          }
-      case _ =>
-        df.as[(Long, Long, Array[Double])]
-          .groupByKey(_._1)
-          .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Array[Double])]) =>
-            f(k, it.map { case (_, id, e) => (id, e) })
-          }
+    graft.functions.GraftFunctions.register(s)
+    val width = df.schema(2).dataType match {
+      case ArrayType(FloatType, _) => 4
+      case _ => 8
     }
+    df.select(col(df.columns(0)), col(df.columns(1)),
+        vec_pack(col(df.columns(2))))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Array[Byte])]) =>
+        f(k, it.map { case (_, id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bytes.length / width
+          val d = new Array[Double](n)
+          var i = 0
+          if (width == 4) while (i < n) { d(i) = bb.getFloat(i * 4).toDouble; i += 1 }
+          else while (i < n) { d(i) = bb.getDouble(i * 8); i += 1 }
+          (id, d)
+        })
+      }
   }
 
   private[graft] def semDupPairsAssigned(s: SparkSession,
@@ -1032,16 +1038,27 @@ object SimilarityOps {
       val cells = assignVecProbes(emb, index.coarse, probes, probeMargin)
         .select(col("vec_id"), col("c").as("cell"))
       val subM = subProbeMargin
+      // the embedding crosses the object boundary packed ([[VecPack]]/
+      // [[VecUnpackFloat]], bit-exact round-trip): MapObjects would box
+      // every element twice per row (deserialize AND re-serialize) — the
+      // allocation shape that OOMed the grouped passes at 10 M
+      import graft.functions.VecOps.{vec_pack, vec_unpack_float}
       emb.join(cells, Seq("vec_id"))
-        .select(col("vec_id"), col("embedding"), col("cell"))
-        .as[(Long, Seq[Float], Long)]
+        .select(col("vec_id"), vec_pack(col("embedding")).as("eb"), col("cell"))
+        .as[(Long, Array[Byte], Long)]
         .mapPartitions { it =>
           val subs = bc.value
-          it.flatMap { case (id, eSeq, cell) =>
-            val e = eSeq.toArray
+          it.flatMap { case (id, eb, cell) =>
+            val ebb = java.nio.ByteBuffer.wrap(eb)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val e = new Array[Double](eb.length / 4)
             var ee = 0.0
             var i = 0
-            while (i < e.length) { ee += e(i).toDouble * e(i).toDouble; i += 1 }
+            while (i < e.length) {
+              e(i) = ebb.getFloat(i * 4).toDouble
+              ee += e(i) * e(i)
+              i += 1
+            }
             val block = subs(cell) // total by construction (sub-0 orphans)
             var best = -1; var bestD = Double.PositiveInfinity
             var secnd = -1; var secndD = Double.PositiveInfinity
@@ -1051,7 +1068,7 @@ object SimilarityOps {
               val n = math.min(e.length, m.length)
               var em = 0.0; var mm = 0.0
               var d = 0
-              while (d < n) { em += e(d).toDouble * m(d); d += 1 }
+              while (d < n) { em += e(d) * m(d); d += 1 }
               d = 0
               while (d < m.length) { mm += m(d) * m(d); d += 1 }
               val d2 = ee - 2.0 * em + mm
@@ -1060,15 +1077,17 @@ object SimilarityOps {
               } else if (d2 < secndD) { secndD = d2; secnd = block(j)._1 }
               j += 1
             }
-            val first = (id, (cell << 40) + best, eSeq)
+            val first = (id, (cell << 40) + best, eb)
             // level-2 boundary runner-up, the [[localKmeansProbed]] rule
             // verbatim (knob-ON gate, within-margin, lower-sub ties)
             if (subM > 1.0 && secnd >= 0 && secndD <= subM * bestD)
-              Iterator(first, (id, (cell << 40) + secnd, eSeq))
+              Iterator(first, (id, (cell << 40) + secnd, eb))
             else Iterator.single(first)
           }
         }
-        .toDF("vec_id", "cluster", "embedding")
+        .toDF("vec_id", "cluster", "eb")
+        .select(col("vec_id"), col("cluster"),
+          vec_unpack_float(col("eb")).as("embedding"))
     } else semIndexAssignJoined(s, emb, index, probes, probeMargin,
       subProbeMargin)
   }
