@@ -12,29 +12,46 @@ object Bench {
 
   /** The contended-artifact decision, pure so the thresholds are
     * spec-pinned (BenchLabelSpec) rather than re-derived from artifact
-    * archaeology each round. Returns (contended, "sig|sig|…" naming
+    * archaeology each round, and SHARED: Bench passes both calibrations,
+    * Verify (which runs no calibration jobs) passes None and gets the
+    * un-exculpated load rules (VERDICT r15 item 3 — the inline Verify
+    * copy had already drifted). Returns (contended, "sig|sig|…" naming
     * every tripped signal — empty when clean). Signals:
     *  - calibration > 0.25 s: the fixed CPU-bound reference job inflated
     *    (idle band 0.13–0.19 s) — authoritative, it measures the
     *    slowdown the per-query numbers actually suffer;
-    *  - loadStart > 6 AND calibration > 0.2 s: pre-sweep 1-min load —
-    *    EXCULPATED by an idle-level calibration, because the sample can
-    *    be pure residue of a just-finished JVM (the r14 false positive:
-    *    load 6.9, calibration 0.135) while the calibration job runs
-    *    after it and saw a quiet box;
+    *  - calibrationScan > 0.21 s: the fixed parquet-scan twin inflated
+    *    (idle band ~0.15–0.17 s at the driver's sf0.1). The CPU probe is
+    *    blind to page-cache/disk contention — BENCH_r15 self-labeled
+    *    clean at CPU calibration 0.181 while its scan calibration 0.234
+    *    carried the warm-box tell and q_dedup_apply read 4.3× its idle
+    *    time (VERDICT r15 item 1). Threshold is calibrated against the
+    *    sf0.1 lineitem table the driver benches on; smaller SFs scan
+    *    far under it (fail-safe direction), larger SFs aren't in the
+    *    harness;
+    *  - loadStart > 6 AND calibration > 0.2 s (or unmeasured): pre-sweep
+    *    1-min load — EXCULPATED by an idle-level calibration, because
+    *    the sample can be pure residue of a just-finished JVM (the r14
+    *    false positive: load 6.9, calibration 0.135) while the
+    *    calibration job runs after it and saw a quiet box. With no
+    *    calibration measured there is nothing to exculpate with, so the
+    *    load sample stands on its own (Verify's rule);
     *  - loadEnd > max(cores/2, threads+6): mid-sweep contention. The
     *    threshold sits above the sweep's own self-load even when the
     *    configured thread count oversubscribes the box (ADVICE r14 —
     *    cores/2 alone mislabeled clean runs wherever threads ≥ cores/2),
     *    while a same-width concurrent job pushes end load toward
     *    2× threads and still trips it. */
-  private[graft] def contendedLabel(calibrationSec: Double,
+  private[graft] def contendedLabel(calibrationSec: Option[Double],
+      calibrationScanSec: Option[Double],
       loadStart: Double, loadEnd: Double, cores: Int,
       threads: Int): (Boolean, String) = {
     val loadEndThreshold = math.max(cores / 2.0, threads + 6.0)
     val trippedBy = Seq(
-      if (calibrationSec > 0.25) Some("calibration") else None,
-      if (loadStart > 6.0 && calibrationSec > 0.2) Some("loadStart") else None,
+      if (calibrationSec.exists(_ > 0.25)) Some("calibration") else None,
+      if (calibrationScanSec.exists(_ > 0.21)) Some("calibrationScan") else None,
+      if (loadStart > 6.0 && calibrationSec.forall(_ > 0.2))
+        Some("loadStart") else None,
       if (loadEnd > loadEndThreshold) Some("loadEnd") else None).flatten
     (trippedBy.nonEmpty, trippedBy.mkString("|"))
   }
@@ -229,9 +246,9 @@ object Bench {
     // the signals — see [[contendedLabel]] for the threshold rationale):
     // the artifact must decode itself so an apparent regression can be
     // told from a contended box without re-running.
-    val (contended, contendedBy) = contendedLabel(calibrationSec,
-      loadStart, loadEnd, Runtime.getRuntime.availableProcessors(),
-      cpus.toInt)
+    val (contended, contendedBy) = contendedLabel(Some(calibrationSec),
+      Some(calibrationScanSec), loadStart, loadEnd,
+      Runtime.getRuntime.availableProcessors(), cpus.toInt)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""calibration_sec":$calibrationSec,"calibration_scan_sec":$calibrationScanSec,""" +
       s""""fixture_sec":$fixtureSec,"merge_sec":$mergeSec,"pairs_sec":$pairsSec,""" +
@@ -244,7 +261,7 @@ object Bench {
     // second ≤200-char line AFTER it so any tail window contains a
     // complete, parseable summary.
     val fails = results.count(_._2 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$fails,"calibration_sec":$calibrationSec%.3f,"contended":$contended,"contended_by":"$contendedBy","load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$fails,"calibration_sec":$calibrationSec%.3f,"calibration_scan_sec":$calibrationScanSec%.3f,"contended":$contended,"contended_by":"$contendedBy","load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1007,3 +1007,34 @@ object CorpusScaleBench {
     spark.stop()
   }
 }
+
+/** Fixture generator for driving [[graft.jobs.SemIndexJob]] at scale:
+  * writes the bench's deterministic synthetic embeddings
+  * ([[CorpusScaleBench.synVecGeo]]) for an id range to parquet, so the
+  * CLI surface can be exercised on exactly the corpus the
+  * `--semantic --daily` bench measures (same planted ground truth, same
+  * geometry knobs). Usage:
+  *   VectorGen <lo> <hi> <geometry> <outDir>
+  */
+object VectorGen {
+  def main(args: Array[String]): Unit = {
+    val Array(loS, hiS, geometry, outDir) = args.take(4)
+    val (lo, hi) = (loS.toLong, hiS.toLong)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val parts = math.max(cpus.toInt, ((hi - lo) / 30000L).toInt)
+    spark.range(lo, hi, 1, parts).as[Long]
+      .mapPartitions(_.map(i => (i, CorpusScaleBench.synVecGeo(i, geometry))))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(outDir)
+    println(s"""{"metric":"vector_gen","lo":$lo,"hi":$hi,"geometry":"$geometry","out":"$outDir"}""")
+    spark.stop()
+  }
+}

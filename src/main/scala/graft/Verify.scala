@@ -97,19 +97,20 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    // one-line summary with the contended self-label (Bench's rule: a
-    // local[4] verify's own load is ≤ ~4, so start > 6 or end past the
-    // run's own width + slack has only ever meant another heavy JVM on
-    // the box). The end threshold scales with the CONFIGURED thread
-    // count, not raw cores (ADVICE r14): SPARK_GRAFT_CPUS ≥ cores/2
-    // would otherwise self-trip on the run's own load.
+    // one-line summary with the contended self-label — THE shared rule
+    // (Bench.contendedLabel; VERDICT r15 item 3: the previous inline
+    // copy here had already drifted — no contended_by, no exculpation).
+    // Verify runs no calibration jobs, so both calibrations are None:
+    // the load signals stand un-exculpated, which is exactly the old
+    // local[4] rule (a verify's own load is ≤ ~width, so start > 6 or
+    // end past width + slack has only ever meant another heavy JVM).
     val loadEnd = loadAvg
-    val contended = loadStart > 6.0 ||
-      loadEnd > math.max(
-        Runtime.getRuntime.availableProcessors() / 2.0, cpus.toInt + 6.0)
+    val (contended, contendedBy) = Bench.contendedLabel(None, None,
+      loadStart, loadEnd, Runtime.getRuntime.availableProcessors(),
+      cpus.toInt)
     val nRun = SparkEntry.queries.count { case (name, _) =>
       only.isEmpty || only.contains(name) }
-    println(f"""{"metric":"verify","n_queries":$nRun,"n_errors":${errors.size},"contended":$contended,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"verify","n_queries":$nRun,"n_errors":${errors.size},"contended":$contended,"contended_by":"$contendedBy","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -221,6 +221,16 @@ case class VecPack(child: Expression) extends UnaryExpression {
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** Null ELEMENTS are rejected loudly (ADVICE r15): parquet-read
+    * embedding columns often carry containsNull = true in the schema
+    * with no actual nulls, so the type check admits them — but a real
+    * null element has no raw-bits representation and would silently
+    * pack as 0.0 where the transform(cast) path this replaces preserved
+    * the null. Embeddings are non-null by construction everywhere this
+    * runs; a null here is upstream corruption, not data. */
+  private def nullElement(i: Int): Nothing = throw new IllegalArgumentException(
+    s"vec_pack: null element at index $i (embedding arrays must be non-null)")
+
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
@@ -228,13 +238,19 @@ case class VecPack(child: Expression) extends UnaryExpression {
       val bb = java.nio.ByteBuffer.allocate(n * 4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var i = 0
-      while (i < n) { bb.putFloat(a.getFloat(i)); i += 1 }
+      while (i < n) {
+        if (a.isNullAt(i)) nullElement(i)
+        bb.putFloat(a.getFloat(i)); i += 1
+      }
       bb.array()
     } else {
       val bb = java.nio.ByteBuffer.allocate(n * 8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var i = 0
-      while (i < n) { bb.putDouble(a.getDouble(i)); i += 1 }
+      while (i < n) {
+        if (a.isNullAt(i)) nullElement(i)
+        bb.putDouble(a.getDouble(i)); i += 1
+      }
       bb.array()
     }
   }
@@ -250,7 +266,14 @@ case class VecPack(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |java.nio.ByteBuffer $bb = java.nio.ByteBuffer.allocate($n * $width)
          |  .order(java.nio.ByteOrder.LITTLE_ENDIAN);
-         |for (int $i = 0; $i < $n; $i++) { $bb.$put($a.$get($i)); }
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "vec_pack: null element at index " + $i +
+         |      " (embedding arrays must be non-null)");
+         |  }
+         |  $bb.$put($a.$get($i));
+         |}
          |${ev.value} = $bb.array();
        """.stripMargin
     })

@@ -15,40 +15,88 @@ import org.apache.spark.sql.functions._
   *   <indexDir>/sub         (cell, sub, m) — level-2 sub-centroids
   *   <standingDir>/piece_*  (vec_id, cluster, embedding) — assignment
   *                          pieces, one per ingested batch (+ bootstrap)
+  *   <standingDir>/_multi_membership — marker: some standing piece was
+  *                          written by a MULTI-membership assignment
+  *                          (probes > 1 or sub-margin > 1), so pair
+  *                          emission must dedup regardless of the
+  *                          CURRENT invocation's flags (ADVICE r15: a
+  *                          probed bootstrap followed by a flag-less day
+  *                          run used to emit duplicate pairs)
+  *   <standingDir>/_probe_baseline — the post-(re)train probe_rows/batch
+  *                          level `--auto-retrain` measures creep against
   *
   * Commands:
   *   train <embeddings> <indexDir>
   *     Train + FREEZE the two-level quantizer on the bootstrap corpus.
-  *   bootstrap <embeddings> <indexDir> <standingDir>
+  *   bootstrap <embeddings> <indexDir> <standingDir> [pairsOut]
   *     Assign the bootstrap corpus through the frozen index and write
-  *     piece_boot; emit its internal dup pairs to stdout count only.
+  *     piece_boot; with pairsOut, also write its internal dup pairs
+  *     (the chained-pair-set audit needs them — see `check`).
   *   day <freshEmbeddings> <indexDir> <standingDir> <pairsOut>
   *     One maintenance tick: assign the fresh batch, pair it against
   *     ONLY the standing members of the clusters it touches, write the
-  *     new pairs to <pairsOut>, append the batch as a new piece.
+  *     new pairs to <pairsOut>, append the batch as a new piece. Prints
+  *     probe_rows (the standing members the tick had to score against —
+  *     README's drift signal: it creeps BEFORE recall decays). With
+  *     `--auto-retrain[=pct]` (default 10), the measured retrain rule is
+  *     EXECUTED, not just prescribed: the first tick after a (re)train
+  *     records probe_rows/batch as the baseline; when a later tick's
+  *     ratio creeps ≥ pct% above it, the job retrains + refreezes the
+  *     index on the full standing corpus (today's batch included) and
+  *     reassigns everything into one piece — the rewrite doubles as
+  *     compaction, exactly the bench's `--retrain-every` procedure.
+  *     Day pairs found under superseded indexes make the single-frozen-
+  *     index full-batch equality inapplicable after the first retrain
+  *     (the bench's documented sym_diff = −1 regime); the claim becomes
+  *     the recall curve, which retraining is what restores.
   *   compact <standingDir>
   *     Rewrite all pieces into one (the probe-cost bound — README's
   *     measured +57 % drift at 20 uncompacted pieces).
+  *   check <allEmbeddings> <indexDir> <pairsDir> [pairsDir ...]
+  *     The sym_diff audit as an operable command: run the frozen
+  *     full-batch pipeline over <allEmbeddings> (same flags as the loop)
+  *     and compare against the union of the loop's pair outputs
+  *     (bootstrap pairsOut + every day's pairsOut). Prints sym_diff —
+  *     0 is the CorpusScaleBench invariant, valid only while the index
+  *     was never retrained mid-loop.
   *
   * Flags: --probes=N --margin=F (frozen-index level-1 boundary-margin
   * multiprobe) and --sub-margin=F (the level-2 runner-up rule) —
   * README's measured recall knobs; --tau=T (pair cosine threshold,
-  * default 0.9).
+  * default 0.9); --auto-retrain[=pct] (day only, above).
+  *
+  * Single-writer: commands assume no concurrent writer and no reader
+  * DURING compact/retrain (a crash mid-swap leaves the standing dir
+  * piece-less but every row recoverable from the staged/trashed dirs).
   *
   * Every command is deterministic given its inputs: the frozen index
   * assigns per-vector, so day-by-day ingestion reproduces the full-batch
   * pair set over the same index exactly (the CorpusScaleBench
   * `sym_diff 0` invariant; SemIndexJobSpec re-proves it through THIS
-  * CLI surface at spec scale). */
+  * CLI surface at spec scale, `check` re-proves it at any scale). */
 object SemIndexJob {
 
-  private def pieces(spark: SparkSession, standingDir: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(standingDir),
-      spark.sparkContext.hadoopConfiguration)
-    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(standingDir))
+  /** One day tick's outcome (the JSON line prints the same fields). */
+  final case class DayStats(newPairs: Long, probeRows: Long, freshN: Long,
+      retrained: Boolean)
+
+  private val MultiMarker = "_multi_membership"
+  private val BaselineFile = "_probe_baseline"
+
+  private def hfs(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def pieceDirs(spark: SparkSession, standingDir: String)
+      : Array[org.apache.hadoop.fs.Path] =
+    hfs(spark, standingDir).listStatus(hpath(standingDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("piece_"))
-      .map(_.getPath.toString)
+      .map(_.getPath)
+
+  private def pieces(spark: SparkSession, standingDir: String): DataFrame = {
+    val dirs = pieceDirs(spark, standingDir).map(_.toString)
     require(dirs.nonEmpty, s"no piece_* dirs under $standingDir")
     dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
@@ -58,6 +106,49 @@ object SemIndexJob {
       spark.read.parquet(s"$indexDir/coarse"),
       spark.read.parquet(s"$indexDir/sub"))
 
+  /** The one bit the pair-dedup decision needs across invocations
+    * (ADVICE r15): whether ANY standing piece was written by a
+    * multi-membership assignment. Persisted as a marker file so a later
+    * flag-less `day` still dedups; survives compact (it only rewrites
+    * piece_* dirs) and is reset by a retrain (which rewrites every piece
+    * under the then-current flags). */
+  private def standingMulti(spark: SparkSession, standingDir: String): Boolean =
+    hfs(spark, standingDir).exists(hpath(s"$standingDir/$MultiMarker"))
+
+  private def recordMembership(spark: SparkSession, standingDir: String,
+      multi: Boolean): Unit =
+    if (multi) {
+      val fs = hfs(spark, standingDir)
+      fs.mkdirs(hpath(standingDir))
+      val out = fs.create(hpath(s"$standingDir/$MultiMarker"), true)
+      out.close()
+    }
+
+  private def readBaseline(spark: SparkSession, standingDir: String)
+      : Option[Double] = {
+    val fs = hfs(spark, standingDir)
+    val p = hpath(s"$standingDir/$BaselineFile")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toDouble)
+      finally in.close()
+    }
+  }
+
+  private def writeBaseline(spark: SparkSession, standingDir: String,
+      ratio: Double): Unit = {
+    val fs = hfs(spark, standingDir)
+    val out = fs.create(hpath(s"$standingDir/$BaselineFile"), true)
+    try out.write(f"$ratio%.6f".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def clearBaseline(spark: SparkSession, standingDir: String): Unit =
+    hfs(spark, standingDir).delete(hpath(s"$standingDir/$BaselineFile"), false)
+
   def train(spark: SparkSession, emb: DataFrame, indexDir: String): Unit = {
     val ix = SimilarityOps.semIndexTrain(spark, emb, emb.count())
     ix.coarse.write.mode("overwrite").parquet(s"$indexDir/coarse")
@@ -66,16 +157,27 @@ object SemIndexJob {
 
   def bootstrap(spark: SparkSession, emb: DataFrame, indexDir: String,
       standingDir: String, probes: Int, margin: Double,
-      subMargin: Double = 0.0): Unit =
+      subMargin: Double = 0.0, pairsOut: Option[String] = None,
+      tau: Double = 0.9): Unit = {
     SimilarityOps
       .semIndexAssign(spark, emb, loadIndex(spark, indexDir), probes,
         margin, subMargin)
       .write.mode("overwrite").parquet(s"$standingDir/piece_boot")
+    recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
+    pairsOut.foreach { out =>
+      SimilarityOps.semDupPairsAssigned(spark,
+          spark.read.parquet(s"$standingDir/piece_boot"), tau,
+          multiAssigned = probes > 1 || subMargin > 1.0)
+        .write.mode("overwrite").parquet(out)
+    }
+  }
 
-  /** One maintenance tick; returns the number of new pairs found. */
+  /** One maintenance tick; returns pair count, probe bill, and whether
+    * the auto-retrain rule fired. */
   def day(spark: SparkSession, fresh: DataFrame, indexDir: String,
       standingDir: String, pairsOut: String, tau: Double,
-      probes: Int, margin: Double, subMargin: Double = 0.0): Long = {
+      probes: Int, margin: Double, subMargin: Double = 0.0,
+      autoRetrainPct: Option[Double] = None): DayStats = {
     val index = loadIndex(spark, indexDir)
     val freshA = SimilarityOps
       .semIndexAssign(spark, fresh, index, probes, margin, subMargin)
@@ -89,13 +191,17 @@ object SemIndexJob {
     // fresh batch, exactly the CorpusScaleBench daily emission. Unlike
     // the bench (contiguous id ranges), the CLI can't assume fresh ids
     // form a range, so the either-endpoint test is two broadcast left
-    // joins + an OR filter over ONE pair pass.
+    // joins + an OR filter over ONE pair pass. multiAssigned must honor
+    // the flags the STANDING pieces were written with, not just this
+    // invocation's (ADVICE r15) — the persisted marker carries that bit.
+    val multiAssigned = probes > 1 || subMargin > 1.0 ||
+      standingMulti(spark, standingDir)
     val freshIds = freshA.select(col("vec_id")).distinct()
     val fa = freshIds.select(col("vec_id").as("vec_a"), lit(1).as("ta"))
     val fb = freshIds.select(col("vec_id").as("vec_b"), lit(1).as("tb"))
     val dp = SimilarityOps
       .semDupPairsAssigned(spark, members.unionByName(freshA), tau,
-        multiAssigned = probes > 1 || subMargin > 1.0)
+        multiAssigned)
       .join(broadcast(fa), Seq("vec_a"), "left")
       .join(broadcast(fb), Seq("vec_b"), "left")
       .filter(col("ta").isNotNull || col("tb").isNotNull)
@@ -104,25 +210,121 @@ object SemIndexJob {
     val stamp = java.lang.Long.toHexString(System.nanoTime())
     freshA.write.mode("errorifexists")
       .parquet(s"$standingDir/piece_$stamp")
-    spark.read.parquet(pairsOut).count()
+    recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
+    val newPairs = spark.read.parquet(pairsOut).count()
+    // probe bill in rows — the drift signal --auto-retrain acts on.
+    // README's measured rule: probe_rows/batch creeps ≥ ~10 % above its
+    // post-(re)train level BEFORE recall decays (drift concentrates
+    // batches into few stale cells), so the trigger leads the damage.
+    val probeRows = members.count()
+    val freshN = freshA.count()
+    val ratio = probeRows.toDouble / math.max(1L, freshN)
+    val retrained = autoRetrainPct match {
+      case None => false
+      case Some(pct) =>
+        readBaseline(spark, standingDir) match {
+          case None =>
+            // first tick after a (re)train: this ratio IS the baseline
+            writeBaseline(spark, standingDir, ratio)
+            false
+          case Some(base) if ratio >= base * (1.0 + pct / 100.0) =>
+            retrain(spark, indexDir, standingDir, probes, margin, subMargin)
+            true
+          case Some(_) => false
+        }
+    }
+    DayStats(newPairs, probeRows, freshN, retrained)
+  }
+
+  /** Retrain + refreeze on the full standing corpus and reassign every
+    * standing vector through the new index into ONE piece — the rewrite
+    * doubles as compaction (the bench's `--retrain-every` procedure).
+    * Resets the probe baseline (the next day tick re-establishes it) and
+    * the membership marker (every piece is now written under the current
+    * flags). Stage-then-swap like [[compact]]: old pieces move to a
+    * trash dir before deletion, so a crash loses no rows. */
+  def retrain(spark: SparkSession, indexDir: String, standingDir: String,
+      probes: Int, margin: Double, subMargin: Double = 0.0): Unit = {
+    val standingVecs = pieces(spark, standingDir)
+      .select("vec_id", "embedding")
+    val cnt = standingVecs.count()
+    val ix = SimilarityOps.semIndexTrain(spark, standingVecs, cnt)
+    // stage the new index next to the old, swap after the reassignment
+    // has been fully written (the reassignment reads the OLD pieces but
+    // the NEW index frames, which are lineage-free after the round-trip)
+    ix.coarse.write.mode("overwrite").parquet(s"$indexDir/.coarse_stage")
+    ix.sub.write.mode("overwrite").parquet(s"$indexDir/.sub_stage")
+    val frozen = SimilarityOps.SemIndex(
+      spark.read.parquet(s"$indexDir/.coarse_stage"),
+      spark.read.parquet(s"$indexDir/.sub_stage"))
+    SimilarityOps
+      .semIndexAssign(spark, standingVecs, frozen, probes, margin, subMargin)
+      .write.mode("overwrite").parquet(s"$standingDir/.retrain_stage")
+    val fs = hfs(spark, standingDir)
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val trash = hpath(s"$standingDir/.retrain_old_$stamp")
+    fs.mkdirs(trash)
+    pieceDirs(spark, standingDir).foreach(p =>
+      fs.rename(p, new org.apache.hadoop.fs.Path(trash, p.getName)))
+    fs.rename(hpath(s"$standingDir/.retrain_stage"),
+      hpath(s"$standingDir/piece_retrained"))
+    fs.delete(trash, true)
+    fs.delete(hpath(s"$standingDir/$MultiMarker"), false)
+    recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
+    clearBaseline(spark, standingDir)
+    val ifs = hfs(spark, indexDir)
+    ifs.delete(hpath(s"$indexDir/coarse"), true)
+    ifs.delete(hpath(s"$indexDir/sub"), true)
+    ifs.rename(hpath(s"$indexDir/.coarse_stage"), hpath(s"$indexDir/coarse"))
+    ifs.rename(hpath(s"$indexDir/.sub_stage"), hpath(s"$indexDir/sub"))
   }
 
   def compact(spark: SparkSession, standingDir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(standingDir),
-      spark.sparkContext.hadoopConfiguration)
-    val old = fs.listStatus(new org.apache.hadoop.fs.Path(standingDir))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("piece_"))
-      .map(_.getPath)
+    val fs = hfs(spark, standingDir)
+    val old = pieceDirs(spark, standingDir)
     require(old.nonEmpty, s"nothing to compact under $standingDir")
     val merged = old.map(p => spark.read.parquet(p.toString))
       .reduce(_ unionByName _)
-    // stage + swap, the Sinks.compactDailyArchive discipline: readers
-    // race at most a directory rename, never a half-written piece
+    // stage, TRASH-rename, swap, then delete (ADVICE r15): old pieces
+    // move into a trash dir before anything is deleted, so a crash at
+    // any point loses no rows — the worst window leaves the standing dir
+    // piece-less (pieces() fails loudly) with every row recoverable from
+    // .compact_old_*/.compact_stage. Single-writer, no concurrent
+    // reader during the swap.
     merged.write.mode("overwrite").parquet(s"$standingDir/.compact_stage")
-    old.foreach(p => fs.delete(p, true))
-    fs.rename(new org.apache.hadoop.fs.Path(s"$standingDir/.compact_stage"),
-      new org.apache.hadoop.fs.Path(s"$standingDir/piece_compacted"))
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val trash = hpath(s"$standingDir/.compact_old_$stamp")
+    fs.mkdirs(trash)
+    old.foreach(p =>
+      fs.rename(p, new org.apache.hadoop.fs.Path(trash, p.getName)))
+    fs.rename(hpath(s"$standingDir/.compact_stage"),
+      hpath(s"$standingDir/piece_compacted"))
+    fs.delete(trash, true)
+  }
+
+  /** The sym_diff audit: frozen full-batch pairs over `emb` vs the union
+    * of the loop's emitted pair sets. Returns (fullPairs, chainedPairs,
+    * symDiff). */
+  def check(spark: SparkSession, emb: DataFrame, indexDir: String,
+      pairsDirs: Seq[String], tau: Double, probes: Int, margin: Double,
+      subMargin: Double = 0.0): (Long, Long, Long) = {
+    val index = loadIndex(spark, indexDir)
+    val fullA = SimilarityOps
+      .semIndexAssign(spark, emb, index, probes, margin, subMargin)
+    val full = SimilarityOps
+      .semDupPairsAssigned(spark, fullA, tau,
+        multiAssigned = probes > 1 || subMargin > 1.0)
+      .localCheckpoint(true)
+    val chained = pairsDirs.map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+      .dropDuplicates("vec_a", "vec_b")
+      .localCheckpoint(true)
+    val cols = Seq("vec_a", "vec_b", "cos")
+    val nFull = full.count()
+    val nChained = chained.count()
+    val miss = full.join(chained, cols, "left_anti").count()
+    val extra = chained.join(full, cols, "left_anti").count()
+    (nFull, nChained, miss + extra)
   }
 
   def main(args: Array[String]): Unit = {
@@ -142,24 +344,47 @@ object SemIndexJob {
       .getOrElse(Double.PositiveInfinity)
     val subMargin = opt("sub-margin").map(_.toDouble).getOrElse(0.0)
     val tau = opt("tau").map(_.toDouble).getOrElse(0.9)
+    val autoRetrain: Option[Double] =
+      if (args.contains("--auto-retrain")) Some(10.0)
+      else opt("auto-retrain").map(_.toDouble)
     val pos = args.filterNot(_.startsWith("--")).toSeq
+    val t0 = System.nanoTime()
+    def wall = (System.nanoTime() - t0) / 1e9
     pos match {
       case Seq("train", embPath, indexDir) =>
         train(spark, spark.read.parquet(embPath), indexDir)
+        println(f"""{"metric":"sem_index_train","wall_sec":$wall%.1f}""")
       case Seq("bootstrap", embPath, indexDir, standingDir) =>
         bootstrap(spark, spark.read.parquet(embPath), indexDir, standingDir,
           probes, margin, subMargin)
+        println(f"""{"metric":"sem_index_bootstrap","wall_sec":$wall%.1f}""")
+      case Seq("bootstrap", embPath, indexDir, standingDir, pairsOut) =>
+        bootstrap(spark, spark.read.parquet(embPath), indexDir, standingDir,
+          probes, margin, subMargin, Some(pairsOut), tau)
+        println(f"""{"metric":"sem_index_bootstrap","wall_sec":$wall%.1f}""")
       case Seq("day", freshPath, indexDir, standingDir, pairsOut) =>
-        val n = day(spark, spark.read.parquet(freshPath), indexDir,
-          standingDir, pairsOut, tau, probes, margin, subMargin)
-        println(s"""{"metric":"sem_index_day","new_pairs":$n}""")
+        val st = day(spark, spark.read.parquet(freshPath), indexDir,
+          standingDir, pairsOut, tau, probes, margin, subMargin, autoRetrain)
+        println(f"""{"metric":"sem_index_day","new_pairs":${st.newPairs},""" +
+          f""""probe_rows":${st.probeRows},"fresh_n":${st.freshN},""" +
+          f""""retrained":${st.retrained},"wall_sec":$wall%.1f}""")
       case Seq("compact", standingDir) =>
         compact(spark, standingDir)
+        println(f"""{"metric":"sem_index_compact","wall_sec":$wall%.1f}""")
+      case "check" +: embPath +: indexDir +: pairsDirs if pairsDirs.nonEmpty =>
+        val (nFull, nChained, symDiff) = check(spark,
+          spark.read.parquet(embPath), indexDir, pairsDirs, tau, probes,
+          margin, subMargin)
+        println(f"""{"metric":"sem_index_check","full_pairs":$nFull,""" +
+          f""""chained_pairs":$nChained,"sym_diff":$symDiff,""" +
+          f""""wall_sec":$wall%.1f}""")
       case other => sys.error(
         "usage: SemIndexJob train <emb> <indexDir> | " +
-          "bootstrap <emb> <indexDir> <standingDir> | " +
+          "bootstrap <emb> <indexDir> <standingDir> [pairsOut] | " +
           "day <fresh> <indexDir> <standingDir> <pairsOut> | " +
-          "compact <standingDir>  [--probes=N --margin=F --sub-margin=F --tau=T]" +
+          "compact <standingDir> | " +
+          "check <emb> <indexDir> <pairsDir...>  " +
+          "[--probes=N --margin=F --sub-margin=F --tau=T --auto-retrain[=pct]]" +
           s" (got: ${other.mkString(" ")})")
     }
     spark.stop()

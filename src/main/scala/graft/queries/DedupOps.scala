@@ -338,18 +338,25 @@ object DedupOps {
     * Dataset.localCheckpoint persists the materialized RDD OUTSIDE the
     * cache manager — df.unpersist can't reach it, which is how the CC
     * loops leaked one corpus-sized label frame per round until session
-    * end (ADVICE r14). The newly persisted RDD is identified by diffing
-    * sparkContext.getPersistentRDDs around the (eager) checkpoint; the
-    * suite runs tests sequentially in one forked JVM, so the diff is
-    * race-free in practice. */
+    * end (ADVICE r14). The checkpointed RDD is held DIRECTLY: it is the
+    * nearest persisted ancestor in `out.rdd`'s dependency chain (the
+    * checkpointed Dataset scans exactly that RDD, under a deserializing
+    * map). ADVICE r15: the previous global getPersistentRDDs set-diff
+    * swept up any RDD persisted CONCURRENTLY in the same context —
+    * fine in the sequential test JVM, wrong on the production path
+    * (CorpusBuild → semLosers) where release() could unpersist an
+    * unrelated live cache. */
   private[graft] def checkpointReleasable(df: DataFrame)
       : (DataFrame, () => Unit) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint()
-    val added = sc.getPersistentRDDs.keySet.toSeq.filterNot(before)
-    (out, () => added.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+    def persistedAncestor(r: org.apache.spark.rdd.RDD[_])
+        : Option[org.apache.spark.rdd.RDD[_]] =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        Some(r)
+      else r.dependencies.view.flatMap(d => persistedAncestor(d.rdd))
+        .headOption
+    val target = persistedAncestor(out.rdd)
+    (out, () => target.foreach(_.unpersist(false)))
   }
 
   /** Min-label propagation + pointer jumping: label(v) starts as vec_id,

@@ -967,11 +967,27 @@ object SimilarityOps {
     * full-batch equality is preserved because membership is still a pure
     * per-vector function of the frozen index. Defaults reproduce the
     * single-label r14 behavior exactly. */
-  /** Sub-table row gate for [[semIndexAssign]]'s broadcast-map fast path:
-    * k ≈ N/64 rows × ~550 B ≈ 550 MB of driver/executor heap at the gate
-    * — comfortably collectable to N ≈ 6·10⁷ vectors. Past it the
-    * assignment falls back to [[semIndexAssignJoined]]. */
-  private[graft] val SubMapMaxRows = 1000000L
+  /** Sub-table row gate for [[semIndexAssign]]'s broadcast-map fast
+    * path, derived from a HEAP BUDGET rather than a magic row count
+    * (VERDICT r15 item 7): each collected row costs ~550 B in the
+    * cell → centroid-block map (64 float64 = 512 B + tuple/array
+    * headers), and the gate admits 1/16 of the JVM's max heap — the
+    * same degrade-don't-OOM posture as [[graft.ops.Hints
+    * .broadcastIfSmall]] (there the session's broadcast threshold gates;
+    * here the structure is a collected Scala map, so the budget is tied
+    * to the heap that must hold it on the driver AND under the broadcast
+    * on every executor). On the 8 GiB test/bench heap this lands at
+    * ~970 k rows — the measured-safe r15 operating point (10⁶ rows ≈
+    * 550 MB) — while a small-heap deployment degrades to the joined
+    * fallback instead of OOMing at the gate edge, and a big-heap cluster
+    * admits proportionally larger indexes. Floor 10⁴ (below that the
+    * joined path is noise anyway), ceiling 2³¹⁻¹-safe. */
+  private[graft] val SubRowBytes = 550L
+  private[graft] def subMapMaxRows(maxHeapBytes: Long): Long =
+    math.min(Int.MaxValue.toLong - 1,
+      math.max(10000L, maxHeapBytes / 16 / SubRowBytes))
+  private[graft] def SubMapMaxRows: Long =
+    subMapMaxRows(Runtime.getRuntime.maxMemory)
 
   /** Per-index broadcast of the collected sub table (the map fast path).
     * WEAK keys: a replaced index (retrain) drops out and Spark's context
@@ -1622,11 +1638,15 @@ object SimilarityOps {
       val emb = Tables.embeddings(s, dir)
       val n = emb.count()
       val cut = n / 4
-      if (n > VerifyExactGate) {
-        // production: the frozen standing index itself (float path).
-        // semIndexTrain's hierarchical-regime require holds at every
-        // gated SF: the smallest is sf0.1 with N = 2000, bootstrap 1500,
-        // semK = 24 > FlatKCap.
+      if (n > VerifyExactGate && semK(n - cut) > FlatKCap) {
+        // production: the frozen standing index itself (float path) —
+        // but ONLY in the hierarchical regime its train require demands
+        // (ADVICE r15: bare n > gate crashed any corpus in
+        // (512, ~1365], where semK(bootstrap) ≤ FlatKCap; such corpora
+        // fall through to the exact chain below, which is also the
+        // oracle — so they stay hash-green). At every driver SF the
+        // production branch runs: the smallest gated SF is sf0.1 with
+        // N = 2000, bootstrap 1500, semK = 24 > FlatKCap.
         val boot = emb.select("vec_id", "embedding")
           .filter(col("vec_id") >= cut)
         val index = semIndexTrain(s, boot, n - cut)

@@ -18,6 +18,18 @@ class SemIndexJobSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
   }
 
+  private def listPieces(standingDir: String) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(standingDir), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(standingDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("piece_"))
+  }
+
+  private def exists(path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+
   test("CLI maintenance loop equals the frozen full-batch run (with compaction)") {
     val root = Files.createTempDirectory("graft-semjob").toString
     val indexDir = s"$root/index"
@@ -28,50 +40,128 @@ class SemIndexJobSpec extends AnyFunSuite {
     val bootLo = batch * days // 600
 
     SemIndexJob.train(spark, emb(bootLo, n), indexDir)
+    // bootstrap emits its internal pair set to parquet (the chained-set
+    // audit input — `check` consumes exactly these dirs)
     SemIndexJob.bootstrap(spark, emb(bootLo, n), indexDir, standingDir,
-      probes = 1, margin = Double.PositiveInfinity)
+      probes = 1, margin = Double.PositiveInfinity,
+      pairsOut = Some(s"$root/pairs_boot"), tau = 0.9)
     val bootPiece = spark.read.parquet(s"$standingDir/piece_boot")
     assert(bootPiece.count() == n - bootLo, "bootstrap piece lost vectors")
-    // materialized BEFORE the loop: the mid-loop compact deletes
-    // piece_boot (stage+swap), so a lazy read of it would dangle
-    val bootPairs = SimilarityOps
-      .semDupPairsAssigned(spark, bootPiece, 0.9, multiAssigned = false)
-      .localCheckpoint(true)
 
-    val dayPairs = (0 until days).map { d =>
+    val pairDirs = s"$root/pairs_boot" +: (0 until days).map { d =>
       val out = s"$root/pairs_d$d"
-      val found = SemIndexJob.day(spark,
+      val st = SemIndexJob.day(spark,
         emb(d * batch, (d + 1) * batch), indexDir, standingDir, out,
         tau = 0.9, probes = 1, margin = Double.PositiveInfinity)
-      assert(found > 0, s"day $d found no pairs — vacuous loop")
+      assert(st.newPairs > 0, s"day $d found no pairs — vacuous loop")
+      assert(st.probeRows > 0 && st.freshN == batch && !st.retrained)
       if (d == 1) SemIndexJob.compact(spark, standingDir)
-      spark.read.parquet(out)
+      out
     }
 
-    // chained = bootstrap-internal pairs ∪ every day's emission
-    val index = SimilarityOps.SemIndex(
-      spark.read.parquet(s"$indexDir/coarse"),
-      spark.read.parquet(s"$indexDir/sub"))
-    val chained = dayPairs.reduce(_ unionByName _).unionByName(bootPairs)
+    // the `check` command IS the sym_diff audit: full-batch through the
+    // same frozen index vs the union of the loop's emitted pair sets
+    val (nFull, nChained, symDiff) = SemIndexJob.check(spark, emb(0, n),
+      indexDir, pairDirs, tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity)
+    assert(nFull > 0 && nChained == nFull,
+      s"pair-set cardinality diverged: full $nFull vs chained $nChained")
+    assert(symDiff == 0,
+      s"CLI loop diverged from the full-batch run by $symDiff rows")
 
-    val fullA = SimilarityOps.semIndexAssign(spark, emb(0, n), index)
-    val full = SimilarityOps
-      .semDupPairsAssigned(spark, fullA, 0.9, multiAssigned = false)
-    assert(full.count() > 0)
-    val cols = Seq("vec_a", "vec_b", "cos")
-    assert(full.join(chained, cols, "left_anti").count() == 0,
-      "CLI loop missed pairs the full-batch run finds")
-    assert(chained.join(full, cols, "left_anti").count() == 0,
-      "CLI loop emitted pairs the full-batch run does not")
-
-    // the compact rewrote pieces into one; later days appended after it
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(standingDir), spark.sparkContext.hadoopConfiguration)
-    val pieceDirs = fs.listStatus(new org.apache.hadoop.fs.Path(standingDir))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("piece_"))
+    // the compact rewrote pieces into one; later days appended after it;
+    // no stage/trash residue outlives a clean compact
+    val pieceDirs = listPieces(standingDir)
     assert(pieceDirs.exists(_.getPath.getName == "piece_compacted"))
+    assert(!exists(s"$standingDir/.compact_stage"))
     val standing = pieceDirs.map(p => spark.read.parquet(p.getPath.toString))
       .reduce(_ unionByName _)
     assert(standing.count() == n, "standing pieces lost or duplicated vectors")
+  }
+
+  test("multi-membership standing pieces force pair dedup in a flag-less day (ADVICE r15)") {
+    // a probed bootstrap writes multi-membership rows; a later day run
+    // WITHOUT probe flags used to derive multiAssigned from its own
+    // flags only and emit duplicate (vec_a, vec_b) pairs. The persisted
+    // marker carries the bit across invocations.
+    val root = Files.createTempDirectory("graft-semjob-multi").toString
+    val indexDir = s"$root/index"
+    val standingDir = s"$root/standing"
+    val n = 2000L
+    SemIndexJob.train(spark, emb(400, n), indexDir)
+    SemIndexJob.bootstrap(spark, emb(400, n), indexDir, standingDir,
+      probes = 2, margin = 1.1)
+    assert(exists(s"$standingDir/_multi_membership"),
+      "probed bootstrap did not persist the multi-membership marker")
+    // sanity: the standing piece really is multi-membership (else the
+    // episode is vacuous)
+    assert(spark.read.parquet(s"$standingDir/piece_boot")
+      .groupBy("vec_id").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1)
+      .count() > 0, "probed bootstrap produced no multi-membership rows")
+    val st = SemIndexJob.day(spark, emb(0, 400), indexDir, standingDir,
+      s"$root/pairs_d0", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity)
+    assert(st.newPairs > 0)
+    val pairs = spark.read.parquet(s"$root/pairs_d0")
+    assert(pairs.count() ==
+      pairs.dropDuplicates("vec_a", "vec_b").count(),
+      "flag-less day emitted duplicate pairs over multi-membership standing rows")
+  }
+
+  test("--auto-retrain: baseline, trigger, retrain, reset (VERDICT r15 item 4)") {
+    // the measured retrain rule as an OPERABLE trigger: the first
+    // auto-retrain day records probe_rows/batch as the baseline; a later
+    // day whose ratio creeps past the threshold retrains + refreezes the
+    // index, collapses the pieces, and clears the baseline. pct = 0 here
+    // pins the MECHANISM (any non-decreasing creep fires — the standing
+    // corpus grows, so day 2's ratio exceeds day 1's); the ≥ ~10 %
+    // threshold's signal quality is the README's measured 1 M claim.
+    val root = Files.createTempDirectory("graft-semjob-rt").toString
+    val indexDir = s"$root/index"
+    val standingDir = s"$root/standing"
+    val n = 2000L
+    SemIndexJob.train(spark, emb(600, n), indexDir)
+    SemIndexJob.bootstrap(spark, emb(600, n), indexDir, standingDir,
+      probes = 1, margin = Double.PositiveInfinity)
+
+    val st1 = SemIndexJob.day(spark, emb(0, 200), indexDir, standingDir,
+      s"$root/pairs_d0", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity, autoRetrainPct = Some(0.0))
+    assert(!st1.retrained, "baseline day must not retrain")
+    assert(exists(s"$standingDir/_probe_baseline"),
+      "baseline day did not persist the probe baseline")
+
+    val st2 = SemIndexJob.day(spark, emb(200, 400), indexDir, standingDir,
+      s"$root/pairs_d1", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity, autoRetrainPct = Some(0.0))
+    assert(st2.retrained, "creeping ratio did not fire the retrain trigger")
+    // probe state reset: baseline cleared, pieces collapsed to the
+    // retrained rewrite, no stage/trash residue, index refrozen
+    assert(!exists(s"$standingDir/_probe_baseline"),
+      "retrain did not clear the probe baseline")
+    val pieceNames = listPieces(standingDir).map(_.getPath.getName).toSeq
+    assert(pieceNames == Seq("piece_retrained"),
+      s"retrain did not collapse pieces: $pieceNames")
+    assert(!exists(s"$standingDir/.retrain_stage") &&
+      !exists(s"$indexDir/.coarse_stage") && !exists(s"$indexDir/.sub_stage"))
+    // the retrained standing set still holds every vector exactly once
+    val standing = spark.read.parquet(s"$standingDir/piece_retrained")
+    assert(standing.count() == standing
+      .select("vec_id").distinct().count())
+    assert(standing.count() == n - 600 + 400,
+      "retrained piece lost or duplicated vectors")
+    // a high threshold does NOT fire: the next day re-baselines, then a
+    // stable ratio stays under +1000 %
+    val st3 = SemIndexJob.day(spark, emb(400, 600), indexDir, standingDir,
+      s"$root/pairs_d2", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity, autoRetrainPct = Some(1000.0))
+    assert(!st3.retrained)
+    assert(exists(s"$standingDir/_probe_baseline"),
+      "post-retrain day did not re-establish the baseline")
+    val st4 = SemIndexJob.day(spark, emb(5000, 5200), indexDir, standingDir,
+      s"$root/pairs_d3", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity, autoRetrainPct = Some(1000.0))
+    assert(!st4.retrained, "+1000 % threshold fired on a stable ratio")
   }
 }

@@ -177,6 +177,43 @@ class SemIndexSpec extends AnyFunSuite {
     assert(probed.groupBy("vec_id").count().filter(col("count") > 2).count() == 0)
   }
 
+  test("sub-map gate derives from the heap budget and degrades, never OOMs") {
+    // VERDICT r15 item 7: the broadcast-map fast path's row gate is a
+    // heap fraction (1/16 of max heap at ~550 B/row), not a magic count —
+    // a small-heap deployment falls to the joined path instead of
+    // OOMing at the gate edge
+    val g8 = SimilarityOps.subMapMaxRows(8L << 30)
+    assert(g8 > 900000L && g8 < 1100000L,
+      s"8 GiB heap gate $g8 left the measured-safe ~10^6 band")
+    // tiny heap: floor, not zero (and far under the 8 GiB gate)
+    assert(SimilarityOps.subMapMaxRows(64L << 20) == 10000L)
+    // monotone in the budget, Int-safe at any heap
+    assert(SimilarityOps.subMapMaxRows(256L << 30) >
+      SimilarityOps.subMapMaxRows(8L << 30))
+    assert(SimilarityOps.subMapMaxRows(Long.MaxValue) < Int.MaxValue.toLong)
+    // the live gate is the runtime-heap instantiation of the same rule
+    assert(SimilarityOps.SubMapMaxRows ==
+      SimilarityOps.subMapMaxRows(Runtime.getRuntime.maxMemory))
+  }
+
+  test("q_dedup_incremental_sem survives the (VerifyExactGate, hierarchical-require] gap") {
+    // ADVICE r15: with the bare n > 512 branch, any corpus in
+    // (512, ~1365] crashed on semIndexTrain's hierarchical-regime
+    // require (semK(bootstrap) ≤ FlatKCap there). Such corpora must fall
+    // through to the exact chain instead. n = 1000: semK(750) = 12 ≤ 16.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semgap").toString
+    spark.range(0, 1000)
+      .map(i => (i, CorpusScaleBench.synVec(i), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_dedup_incremental_sem")(spark, dir)
+    assert(out.count() > 0,
+      "gap-regime corpus produced no pairs — exact-chain fallback broken")
+    assert(out.columns.toSeq == Seq("vec_a", "vec_b", "cos"))
+  }
+
   test("incremental semantic daily loop (with compaction) equals the frozen full-batch run") {
     // semanticDailyRun REQUIREs sym_diff == 0 between bootstrap ∪ daily
     // pair sets and the full-batch pipeline over the same frozen index —

@@ -43,6 +43,38 @@ class VecPackSpec extends AnyFunSuite {
       s"double layout: ${bytesD.mkString(",")}")
   }
 
+  test("null elements are rejected loudly, not packed as 0.0") {
+    // ADVICE r15: the type check admits containsNull = true schemas
+    // (parquet embeddings carry it with no actual nulls), so a REAL null
+    // element must fail loudly in both eval paths rather than silently
+    // packing as whatever the null slot reads back
+    import spark.implicits._
+    // codegen path
+    val ex1 = intercept[Exception] {
+      Seq(Tuple1(Seq[java.lang.Float](1.0f, null, 3.0f))).toDF("v")
+        .select(vec_pack(col("v"))).collect()
+    }
+    assert(ex1.toString.contains("null element") ||
+      Option(ex1.getCause).exists(_.toString.contains("null element")),
+      s"unexpected failure: $ex1")
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val withNull = new GenericArrayData(Array[Any](1.0f, null, 3.0f))
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.functions.VecPack(
+        Literal(withNull, ArrayType(FloatType, containsNull = true)))
+        .eval(null)
+    }
+    assert(ex2.getMessage.contains("null element at index 1"))
+    // a containsNull = true schema with NO actual nulls still packs fine
+    val ok = Seq(Tuple1(Seq[java.lang.Float](1.0f, 2.0f))).toDF("v")
+      .select(vec_unpack_float(vec_pack(col("v")))).head()
+      .getSeq[Float](0)
+    assert(ok == Seq(1.0f, 2.0f))
+  }
+
   test("interpreted eval matches codegen") {
     // force the interpreted path via direct expression eval
     import org.apache.spark.sql.catalyst.expressions.Literal
