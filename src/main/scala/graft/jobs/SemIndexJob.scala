@@ -45,10 +45,17 @@ import org.apache.spark.sql.functions._
   *     index on the full standing corpus (today's batch included) and
   *     reassigns everything into one piece — the rewrite doubles as
   *     compaction, exactly the bench's `--retrain-every` procedure.
-  *     Day pairs found under superseded indexes make the single-frozen-
-  *     index full-batch equality inapplicable after the first retrain
-  *     (the bench's documented sym_diff = −1 regime); the claim becomes
-  *     the recall curve, which retraining is what restores.
+  *     The ratio creeps under BOTH drift (batches concentrate into
+  *     stale cells) and plain corpus growth (clusters fatten past the
+  *     k the bootstrap sized) — both are reasons to refresh a frozen
+  *     index, so the trigger firing on either is intended; pick pct
+  *     above the per-tick growth rate (batch/standing) if only drift
+  *     should fire it. Day pairs found under superseded indexes make
+  *     the single-frozen-index full-batch equality inapplicable after
+  *     the first retrain (the bench's documented sym_diff = −1 regime)
+  *     — run WITHOUT --auto-retrain when a `check` audit of the loop is
+  *     the goal; the claim under retrain is the recall curve, which
+  *     retraining is what restores.
   *   compact <standingDir>
   *     Rewrite all pieces into one (the probe-cost bound — README's
   *     measured +57 % drift at 20 uncompacted pieces).
@@ -216,8 +223,12 @@ object SemIndexJob {
     // README's measured rule: probe_rows/batch creeps ≥ ~10 % above its
     // post-(re)train level BEFORE recall decays (drift concentrates
     // batches into few stale cells), so the trigger leads the damage.
+    // freshN counts the batch's VECTORS (the input), not freshA's
+    // membership rows — under frontier probing the latter is ~2.8× and
+    // would understate the ratio; probe_rows stays in membership rows
+    // (the actual scoring bill)
+    val freshN = fresh.count()
     val probeRows = members.count()
-    val freshN = freshA.count()
     val ratio = probeRows.toDouble / math.max(1L, freshN)
     val retrained = autoRetrainPct match {
       case None => false
