@@ -1014,12 +1014,16 @@ object CorpusScaleBench {
   * CLI surface can be exercised on exactly the corpus the
   * `--semantic --daily` bench measures (same planted ground truth, same
   * geometry knobs). Usage:
-  *   VectorGen <lo> <hi> <geometry> <outDir>
-  */
+  *   VectorGen <lo> <hi> <geometry> <outDir> [--window=W]
+  * `--window=W` draws from [[CorpusScaleBench.synVecMogWindow]] window W
+  * (ignoring <geometry>) — the drift experiment's day-d batch generator,
+  * so the CLI auto-retrain trigger can be driven on REAL drift. */
 object VectorGen {
   def main(args: Array[String]): Unit = {
     val Array(loS, hiS, geometry, outDir) = args.take(4)
     val (lo, hi) = (loS.toLong, hiS.toLong)
+    val window: Option[Int] = args
+      .find(_.startsWith("--window=")).map(_.stripPrefix("--window=").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1031,10 +1035,13 @@ object VectorGen {
     import spark.implicits._
     val parts = math.max(cpus.toInt, ((hi - lo) / 30000L).toInt)
     spark.range(lo, hi, 1, parts).as[Long]
-      .mapPartitions(_.map(i => (i, CorpusScaleBench.synVecGeo(i, geometry))))
+      .mapPartitions(_.map(i => (i, window match {
+        case Some(w) => CorpusScaleBench.synVecMogWindow(i, w)
+        case None    => CorpusScaleBench.synVecGeo(i, geometry)
+      })))
       .toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(outDir)
-    println(s"""{"metric":"vector_gen","lo":$lo,"hi":$hi,"geometry":"$geometry","out":"$outDir"}""")
+    println(s"""{"metric":"vector_gen","lo":$lo,"hi":$hi,"geometry":"$geometry","window":${window.getOrElse(-1)},"out":"$outDir"}""")
     spark.stop()
   }
 }
