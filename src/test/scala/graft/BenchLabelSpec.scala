@@ -66,6 +66,23 @@ class BenchLabelSpec extends AnyFunSuite {
     assert(label(0.18, 1.0, 30.0, cores = 16, threads = 32) == (false, ""))
   }
 
+  test("canary self-check: r15's non-uniform inflation trips, warm-box tax stays silent") {
+    // the mode no probe carries: BENCH_r15's q_dedup_apply read 8.59 s
+    // (4.9× its clean floor) while its dedup siblings sat under 2× —
+    // mid-sweep I/O contention the before/after calibrations missed
+    val r15 = Map("q_dedup_apply" -> 8.59, "q_dedup_ngram_jaccard" -> 4.80,
+      "q_dedup_semantic" -> 3.06, "q_mempool_merge" -> 4.60)
+    assert(Bench.canaryOutliers(r15, 3.0) == Seq("q_dedup_apply"))
+    // uniform warm-box tax (+10 %) and run-to-run noise (±20 %) never
+    // reach even the 2.5× annotation threshold
+    assert(Bench.canaryOutliers(
+      Bench.CanaryFloorSec.view.mapValues(_ * 1.1).toMap, 2.5).isEmpty)
+    assert(Bench.canaryOutliers(
+      Bench.CanaryFloorSec.view.mapValues(_ * 1.2).toMap, 2.5).isEmpty)
+    // a failed (filtered-out) query is not an outlier
+    assert(Bench.canaryOutliers(Map.empty[String, Double], 3.0).isEmpty)
+  }
+
   test("Verify mode (no calibrations): load signals stand un-exculpated") {
     // Verify runs no calibration jobs — loadStart > 6 can't be talked
     // down by an idle CPU probe that was never measured (VERDICT r15
