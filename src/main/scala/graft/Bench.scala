@@ -278,9 +278,12 @@ object Bench {
       Some(calibrationScanSec), loadStart, loadEnd,
       Runtime.getRuntime.availableProcessors(), cpus.toInt)
     // the per-query self-check (the signal the probes can't carry):
-    // floors are sf0.1 measurements, so the canary signal only arms on
-    // the driver's bench dir
-    val canaryArmed = sfDir.contains("sf0.1")
+    // floors are sf0.1 measurements AT 32 threads, so the canary signal
+    // only arms on exactly that configuration — a substring match would
+    // arm them against e.g. an sf0.12 dir, and a narrower local[N]
+    // legitimately runs the heavies several× slower (review r16)
+    val canaryArmed =
+      new java.io.File(sfDir).getName == "sf0.1" && cpus.toInt == 32
     val timesOk = results.toMap.filter(_._2 >= 0)
     val nearTrips =
       if (canaryArmed) canaryOutliers(timesOk, 2.5) else Seq.empty
@@ -296,11 +299,14 @@ object Bench {
       s""""contended_by":"$contendedBy",""" +
       s""""canary_outliers":"${nearTrips.mkString("|")}",""" +
       s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
-    // The full line above is ~4 kB; the driver keeps only a fixed-size
+    // The full line above is ~4 kB; the driver keeps only a ~2000-char
     // tail of stdout, which truncated the LEADING "value" field in r10
     // (BENCH_r10.json parsed:null). Repeat the headline numbers in a
-    // second ≤200-char line AFTER it so any tail window contains a
-    // complete, parseable summary.
+    // second compact line AFTER it so any tail window contains a
+    // complete, parseable summary — ~215 chars clean, ~270 worst-case
+    // with every contended_by signal named (r16 added the scan
+    // calibration: the warm-box tell must reach the parsed artifact),
+    // still under an eighth of the tail window.
     val fails = results.count(_._2 < 0)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$fails,"calibration_sec":$calibrationSec%.3f,"calibration_scan_sec":$calibrationScanSec%.3f,"contended":$contended,"contended_by":"$contendedBy","load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()

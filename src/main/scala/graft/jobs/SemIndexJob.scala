@@ -97,10 +97,13 @@ object SemIndexJob {
   private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
 
   private def pieceDirs(spark: SparkSession, standingDir: String)
-      : Array[org.apache.hadoop.fs.Path] =
-    hfs(spark, standingDir).listStatus(hpath(standingDir))
+      : Array[org.apache.hadoop.fs.Path] = {
+    val fs = hfs(spark, standingDir)
+    if (!fs.exists(hpath(standingDir))) Array.empty
+    else fs.listStatus(hpath(standingDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("piece_"))
       .map(_.getPath)
+  }
 
   private def pieces(spark: SparkSession, standingDir: String): DataFrame = {
     val dirs = pieceDirs(spark, standingDir).map(_.toString)
@@ -131,45 +134,131 @@ object SemIndexJob {
       out.close()
     }
 
-  private def readBaseline(spark: SparkSession, standingDir: String)
-      : Option[Double] = {
-    val fs = hfs(spark, standingDir)
-    val p = hpath(s"$standingDir/$BaselineFile")
+  /** Hadoop rename signals failure by returning FALSE, not throwing —
+    * an unchecked rename in the stage-trash-swap protocol would corrupt
+    * it silently (review r16: a failed move-to-trash would leave the old
+    * piece in place NEXT TO the rewritten one, duplicating its vectors
+    * in every later tick). Every protocol rename goes through here. */
+  private def renameChecked(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+
+  /** Small-file write, temp + atomic rename: a crash mid-write must not
+    * leave a half-written (e.g. 0-byte) state file — a corrupt
+    * `_probe_baseline` would otherwise throw on every later tick, AFTER
+    * the tick already appended its piece, so retries duplicate the
+    * batch. */
+  private def writeSmall(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, content: String): Unit = {
+    val tmp = hpath(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(hpath(path), false)
+    renameChecked(fs, tmp, hpath(path))
+  }
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[String] = {
+    val p = hpath(path)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toDouble)
+        java.nio.charset.StandardCharsets.UTF_8).trim)
       finally in.close()
     }
   }
 
+  private def readBaseline(spark: SparkSession, standingDir: String)
+      : Option[Double] =
+    // toDoubleOption: unparseable content reads as "no baseline" (the
+    // next tick re-establishes it) instead of wedging every later tick
+    readSmall(hfs(spark, standingDir), s"$standingDir/$BaselineFile")
+      .flatMap(_.toDoubleOption)
+
   private def writeBaseline(spark: SparkSession, standingDir: String,
-      ratio: Double): Unit = {
-    val fs = hfs(spark, standingDir)
-    val out = fs.create(hpath(s"$standingDir/$BaselineFile"), true)
-    try out.write(f"$ratio%.6f".getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      ratio: Double): Unit =
+    writeSmall(hfs(spark, standingDir), s"$standingDir/$BaselineFile",
+      f"$ratio%.6f")
 
   private def clearBaseline(spark: SparkSession, standingDir: String): Unit =
     hfs(spark, standingDir).delete(hpath(s"$standingDir/$BaselineFile"), false)
+
+  /** Index-generation epoch (review r16): a retrain swaps TWO on-disk
+    * artifacts — the index and the standing pieces — and no swap order
+    * closes the crash window where one is new and the other old (pieces
+    * assigned under index A probed through index B silently mis-bucket:
+    * missed pairs, no error). So consistency is CHECKED, not assumed:
+    * `train`/`retrain` stamp the index with an epoch, every piece is
+    * tagged with the epoch it was assigned under (an `_epoch` file
+    * INSIDE the piece dir — underscore files are invisible to parquet
+    * readers and travel with the dir through renames), and `day`
+    * requires every standing piece's epoch to match the index's before
+    * probing. A crash inside any swap window now fails LOUD on the next
+    * tick instead of silently losing pairs. Epochs absent on either
+    * side (pre-epoch layouts) skip the check. */
+  private val EpochFile = "_epoch"
+
+  private def indexEpoch(spark: SparkSession, indexDir: String)
+      : Option[String] =
+    readSmall(hfs(spark, indexDir), s"$indexDir/$EpochFile")
+
+  private def tagPiece(spark: SparkSession, pieceDir: String,
+      epoch: Option[String]): Unit =
+    epoch.foreach(e =>
+      writeSmall(hfs(spark, pieceDir), s"$pieceDir/$EpochFile", e))
+
+  private def requireEpochConsistency(spark: SparkSession,
+      indexDir: String, standingDir: String): Unit = {
+    val idx = indexEpoch(spark, indexDir)
+    val fs = hfs(spark, standingDir)
+    pieceDirs(spark, standingDir).foreach { p =>
+      val pe = readSmall(fs, s"$p/$EpochFile")
+      require(idx.isEmpty || pe.isEmpty || pe == idx,
+        s"standing piece ${p.getName} was assigned under index epoch " +
+          s"${pe.get} but the index is epoch ${idx.get} — a crashed " +
+          "retrain left index and pieces inconsistent; re-run retrain " +
+          "(or restore the matching index) before the next day tick")
+    }
+  }
+
+  private def newEpoch(): String =
+    java.lang.Long.toHexString(System.nanoTime())
 
   def train(spark: SparkSession, emb: DataFrame, indexDir: String): Unit = {
     val ix = SimilarityOps.semIndexTrain(spark, emb, emb.count())
     ix.coarse.write.mode("overwrite").parquet(s"$indexDir/coarse")
     ix.sub.write.mode("overwrite").parquet(s"$indexDir/sub")
+    writeSmall(hfs(spark, indexDir), s"$indexDir/$EpochFile", newEpoch())
   }
 
   def bootstrap(spark: SparkSession, emb: DataFrame, indexDir: String,
       standingDir: String, probes: Int, margin: Double,
       subMargin: Double = 0.0, pairsOut: Option[String] = None,
       tau: Double = 0.9): Unit = {
+    // bootstrap STARTS a standing corpus: stale state from a previous
+    // loop in the same dir must not leak into the new one (review r16 —
+    // a surviving _probe_baseline would fire a spurious retrain on the
+    // new loop's first creep, and stale pieces would pollute it). The
+    // piece check is loud, not destructive: only piece_boot itself is
+    // overwritten.
+    val leftover = pieceDirs(spark, standingDir)
+      .filter(_.getName != "piece_boot")
+    require(leftover.isEmpty,
+      s"bootstrap into $standingDir would orphan existing pieces " +
+        s"${leftover.map(_.getName).mkString(", ")} — compact/clean the " +
+        "dir or use a fresh one")
+    clearBaseline(spark, standingDir)
+    hfs(spark, standingDir)
+      .delete(hpath(s"$standingDir/$MultiMarker"), false)
     SimilarityOps
       .semIndexAssign(spark, emb, loadIndex(spark, indexDir), probes,
         margin, subMargin)
       .write.mode("overwrite").parquet(s"$standingDir/piece_boot")
+    tagPiece(spark, s"$standingDir/piece_boot",
+      indexEpoch(spark, indexDir))
     recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
     pairsOut.foreach { out =>
       SimilarityOps.semDupPairsAssigned(spark,
@@ -185,6 +274,7 @@ object SemIndexJob {
       standingDir: String, pairsOut: String, tau: Double,
       probes: Int, margin: Double, subMargin: Double = 0.0,
       autoRetrainPct: Option[Double] = None): DayStats = {
+    requireEpochConsistency(spark, indexDir, standingDir)
     val index = loadIndex(spark, indexDir)
     val freshA = SimilarityOps
       .semIndexAssign(spark, fresh, index, probes, margin, subMargin)
@@ -214,19 +304,25 @@ object SemIndexJob {
       .filter(col("ta").isNotNull || col("tb").isNotNull)
       .select("vec_a", "vec_b", "cos")
     dp.write.mode("overwrite").parquet(pairsOut)
-    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val stamp = newEpoch()
     freshA.write.mode("errorifexists")
       .parquet(s"$standingDir/piece_$stamp")
+    tagPiece(spark, s"$standingDir/piece_$stamp",
+      indexEpoch(spark, indexDir))
     recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
     val newPairs = spark.read.parquet(pairsOut).count()
     // probe bill in rows — the drift signal --auto-retrain acts on.
     // README's measured rule: probe_rows/batch creeps ≥ ~10 % above its
     // post-(re)train level BEFORE recall decays (drift concentrates
     // batches into few stale cells), so the trigger leads the damage.
-    // freshN counts the batch's VECTORS (the input), not freshA's
-    // membership rows — under frontier probing the latter is ~2.8× and
-    // would understate the ratio; probe_rows stays in membership rows
-    // (the actual scoring bill)
+    // The count re-runs the standing semi-join (one executor-parallel
+    // pass, ~5–8 % of a 10 M tick) — the signal is a product of the
+    // tick, so the bill is accepted rather than threaded through the
+    // pair pass as accumulator plumbing. freshN counts the batch's
+    // VECTORS (the input), not freshA's membership rows — under
+    // frontier probing the latter is ~2.8× and would understate the
+    // ratio; probe_rows stays in membership rows (the actual scoring
+    // bill)
     val freshN = fresh.count()
     val probeRows = members.count()
     val ratio = probeRows.toDouble / math.max(1L, freshN)
@@ -252,13 +348,23 @@ object SemIndexJob {
     * doubles as compaction (the bench's `--retrain-every` procedure).
     * Resets the probe baseline (the next day tick re-establishes it) and
     * the membership marker (every piece is now written under the current
-    * flags). Stage-then-swap like [[compact]]: old pieces move to a
-    * trash dir before deletion, so a crash loses no rows. */
+    * flags).
+    *
+    * Crash posture (review r16): every artifact is STAGED before any
+    * live state moves, every protocol rename is return-checked, old
+    * pieces move to a trash dir before deletion (no row is ever
+    * unrecoverable), and the trash is deleted only after BOTH swaps
+    * completed. The index/pieces double swap has an unavoidable window
+    * where one side is new and the other old — the piece epoch tags +
+    * [[requireEpochConsistency]] make the next `day` fail LOUD there
+    * instead of silently probing mis-bucketed pieces. Single-writer, no
+    * concurrent reader during the swap. */
   def retrain(spark: SparkSession, indexDir: String, standingDir: String,
       probes: Int, margin: Double, subMargin: Double = 0.0): Unit = {
     val standingVecs = pieces(spark, standingDir)
       .select("vec_id", "embedding")
     val cnt = standingVecs.count()
+    val epoch = newEpoch()
     val ix = SimilarityOps.semIndexTrain(spark, standingVecs, cnt)
     // stage the new index next to the old, swap after the reassignment
     // has been fully written (the reassignment reads the OLD pieces but
@@ -271,44 +377,58 @@ object SemIndexJob {
     SimilarityOps
       .semIndexAssign(spark, standingVecs, frozen, probes, margin, subMargin)
       .write.mode("overwrite").parquet(s"$standingDir/.retrain_stage")
+    tagPiece(spark, s"$standingDir/.retrain_stage", Some(epoch))
+    // ---- everything below is the swap: staged state is complete ----
     val fs = hfs(spark, standingDir)
-    val stamp = java.lang.Long.toHexString(System.nanoTime())
-    val trash = hpath(s"$standingDir/.retrain_old_$stamp")
+    val trash = hpath(s"$standingDir/.retrain_old_$epoch")
     fs.mkdirs(trash)
     pieceDirs(spark, standingDir).foreach(p =>
-      fs.rename(p, new org.apache.hadoop.fs.Path(trash, p.getName)))
-    fs.rename(hpath(s"$standingDir/.retrain_stage"),
+      renameChecked(fs, p, new org.apache.hadoop.fs.Path(trash, p.getName)))
+    renameChecked(fs, hpath(s"$standingDir/.retrain_stage"),
       hpath(s"$standingDir/piece_retrained"))
+    val ifs = hfs(spark, indexDir)
+    ifs.delete(hpath(s"$indexDir/coarse"), true)
+    ifs.delete(hpath(s"$indexDir/sub"), true)
+    renameChecked(ifs, hpath(s"$indexDir/.coarse_stage"),
+      hpath(s"$indexDir/coarse"))
+    renameChecked(ifs, hpath(s"$indexDir/.sub_stage"),
+      hpath(s"$indexDir/sub"))
+    writeSmall(ifs, s"$indexDir/$EpochFile", epoch)
+    // both swaps landed — only now is the old state disposable
     fs.delete(trash, true)
     fs.delete(hpath(s"$standingDir/$MultiMarker"), false)
     recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
     clearBaseline(spark, standingDir)
-    val ifs = hfs(spark, indexDir)
-    ifs.delete(hpath(s"$indexDir/coarse"), true)
-    ifs.delete(hpath(s"$indexDir/sub"), true)
-    ifs.rename(hpath(s"$indexDir/.coarse_stage"), hpath(s"$indexDir/coarse"))
-    ifs.rename(hpath(s"$indexDir/.sub_stage"), hpath(s"$indexDir/sub"))
   }
 
   def compact(spark: SparkSession, standingDir: String): Unit = {
     val fs = hfs(spark, standingDir)
     val old = pieceDirs(spark, standingDir)
     require(old.nonEmpty, s"nothing to compact under $standingDir")
+    // the merged piece keeps the pieces' (single, by requireEpoch-
+    // checked day ticks) index epoch — compact changes layout, not
+    // assignment generation
+    val epochs = old.flatMap(p => readSmall(fs, s"$p/$EpochFile")).distinct
+    require(epochs.length <= 1,
+      s"pieces under $standingDir carry mixed index epochs " +
+        s"${epochs.mkString(", ")} — run retrain, not compact")
     val merged = old.map(p => spark.read.parquet(p.toString))
       .reduce(_ unionByName _)
     // stage, TRASH-rename, swap, then delete (ADVICE r15): old pieces
-    // move into a trash dir before anything is deleted, so a crash at
-    // any point loses no rows — the worst window leaves the standing dir
-    // piece-less (pieces() fails loudly) with every row recoverable from
-    // .compact_old_*/.compact_stage. Single-writer, no concurrent
-    // reader during the swap.
+    // move into a trash dir before anything is deleted — renames
+    // return-checked — so a crash at any point loses no rows; the worst
+    // window leaves the standing dir piece-less (pieces() fails loudly)
+    // with every row recoverable from .compact_old_*/.compact_stage.
+    // Single-writer, no concurrent reader during the swap.
     merged.write.mode("overwrite").parquet(s"$standingDir/.compact_stage")
-    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    epochs.headOption.foreach(e =>
+      tagPiece(spark, s"$standingDir/.compact_stage", Some(e)))
+    val stamp = newEpoch()
     val trash = hpath(s"$standingDir/.compact_old_$stamp")
     fs.mkdirs(trash)
     old.foreach(p =>
-      fs.rename(p, new org.apache.hadoop.fs.Path(trash, p.getName)))
-    fs.rename(hpath(s"$standingDir/.compact_stage"),
+      renameChecked(fs, p, new org.apache.hadoop.fs.Path(trash, p.getName)))
+    renameChecked(fs, hpath(s"$standingDir/.compact_stage"),
       hpath(s"$standingDir/piece_compacted"))
     fs.delete(trash, true)
   }

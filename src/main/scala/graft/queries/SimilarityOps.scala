@@ -989,6 +989,19 @@ object SimilarityOps {
   private[graft] def SubMapMaxRows: Long =
     subMapMaxRows(Runtime.getRuntime.maxMemory)
 
+  /** Session-aware gate: the collected map lives on the DRIVER heap and
+    * a deserialized copy lands on every EXECUTOR via the broadcast, so
+    * the budget is the smaller of the two (review r16: gating on the
+    * driver's Runtime.maxMemory alone would admit a broadcast that OOMs
+    * small executors on a real cluster — on local[N] both heaps are
+    * this JVM and the min is a no-op). */
+  private[graft] def subMapMaxRowsFor(s: SparkSession): Long = {
+    val execBytes = s.sparkContext.getConf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+    subMapMaxRows(execBytes.fold(Runtime.getRuntime.maxMemory)(
+      math.min(Runtime.getRuntime.maxMemory, _)))
+  }
+
   /** Per-index broadcast of the collected sub table (the map fast path).
     * WEAK keys: a replaced index (retrain) drops out and Spark's context
     * cleaner reclaims the orphaned broadcast. */
@@ -1028,13 +1041,14 @@ object SimilarityOps {
     // predecessor — and its broadcast — become collectable); in the
     // over-gate regime the bounded wasted collect is noise against the
     // giant index's own build cost.
+    val subGate = subMapMaxRowsFor(s)
     val bc = if (!floatEmb) null else subMapCache.synchronized {
       val cached = subMapCache.get(index)
       if (cached != null) cached
       else {
         val rows = index.sub.select(col("cell"), col("sub"), col("m"))
-          .limit(SubMapMaxRows.toInt + 1).collect()
-        if (rows.length > SubMapMaxRows) null
+          .limit(subGate.toInt + 1).collect()
+        if (rows.length > subGate) null
         else {
           val subMap: Map[Long, Array[(Int, Array[Double])]] = rows
             .groupBy(_.getLong(0))

@@ -109,6 +109,34 @@ class SemIndexJobSpec extends AnyFunSuite {
       "flag-less day emitted duplicate pairs over multi-membership standing rows")
   }
 
+  test("a crashed retrain's index/piece epoch mismatch fails the next day tick loudly") {
+    // the double-swap (index + pieces) has an unavoidable crash window
+    // where one side is new and the other old; pieces probed through the
+    // wrong index silently mis-bucket, so `day` must REFUSE on the
+    // persisted epoch tags instead (review r16)
+    val root = Files.createTempDirectory("graft-semjob-epoch").toString
+    val indexDir = s"$root/index"
+    val standingDir = s"$root/standing"
+    SemIndexJob.train(spark, emb(400, 2000), indexDir)
+    SemIndexJob.bootstrap(spark, emb(400, 2000), indexDir, standingDir,
+      probes = 1, margin = Double.PositiveInfinity)
+    // simulate the window: the piece carries a different index epoch
+    // than the live index (as if the piece swap landed and the index
+    // swap did not)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(standingDir), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$standingDir/piece_boot/_epoch"), true)
+    out.write("deadbeef".getBytes); out.close()
+    val ex = intercept[IllegalArgumentException] {
+      SemIndexJob.day(spark, emb(0, 400), indexDir, standingDir,
+        s"$root/pairs", tau = 0.9, probes = 1,
+        margin = Double.PositiveInfinity)
+    }
+    assert(ex.getMessage.contains("inconsistent"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("--auto-retrain: baseline, trigger, retrain, reset (VERDICT r15 item 4)") {
     // the measured retrain rule as an OPERABLE trigger: the first
     // auto-retrain day records probe_rows/batch as the baseline; a later

@@ -191,8 +191,12 @@ class SemIndexSpec extends AnyFunSuite {
     assert(SimilarityOps.subMapMaxRows(256L << 30) >
       SimilarityOps.subMapMaxRows(8L << 30))
     assert(SimilarityOps.subMapMaxRows(Long.MaxValue) < Int.MaxValue.toLong)
-    // the live gate is the runtime-heap instantiation of the same rule
+    // the live gate is the runtime-heap instantiation of the same rule;
+    // the session-aware variant mins in spark.executor.memory (a no-op
+    // on local[N], where no executor conf is set)
     assert(SimilarityOps.SubMapMaxRows ==
+      SimilarityOps.subMapMaxRows(Runtime.getRuntime.maxMemory))
+    assert(SimilarityOps.subMapMaxRowsFor(spark) ==
       SimilarityOps.subMapMaxRows(Runtime.getRuntime.maxMemory))
   }
 
