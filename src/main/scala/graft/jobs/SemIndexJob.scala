@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   *                          run used to emit duplicate pairs)
   *   <standingDir>/_probe_baseline — the post-(re)train probe_rows/batch
   *                          level `--auto-retrain` measures creep against
+  *   <indexDir>/_epoch and <standingDir>/piece_* /_epoch — index
+  *                          generation tags (review r16): every piece
+  *                          records the index epoch it was assigned
+  *                          under, and `day` REQUIRES all piece epochs
+  *                          to match the index's, so a crash inside a
+  *                          retrain's index/pieces double swap fails
+  *                          loud on the next tick instead of silently
+  *                          probing mis-bucketed pieces (underscore
+  *                          files are invisible to parquet readers)
   *
   * Commands:
   *   train <embeddings> <indexDir>
