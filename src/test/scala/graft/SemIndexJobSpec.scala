@@ -69,6 +69,15 @@ class SemIndexJobSpec extends AnyFunSuite {
     assert(symDiff == 0,
       s"CLI loop diverged from the full-batch run by $symDiff rows")
 
+    // the audit must DETECT a broken loop, not just bless an intact one:
+    // dropping one day's pair set from the union must surface as a
+    // positive sym_diff (guards against a vacuously-zero compare)
+    val (_, _, tampered) = SemIndexJob.check(spark, emb(0, n),
+      indexDir, pairDirs.filterNot(_.endsWith("pairs_d1")), tau = 0.9,
+      probes = 1, margin = Double.PositiveInfinity)
+    assert(tampered > 0,
+      "check read sym_diff 0 with a day's pairs missing — the audit is vacuous")
+
     // the compact rewrote pieces into one; later days appended after it;
     // no stage/trash residue outlives a clean compact
     val pieceDirs = listPieces(standingDir)
