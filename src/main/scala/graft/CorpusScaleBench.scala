@@ -524,8 +524,15 @@ object CorpusScaleBench {
         // the piece list collapses to 1 (the drift analog of
         // --compact-every, with the training bill on top)
         val (frozen, rsec) = stage(s"day $d retrain+reassign") {
+          // one row per VECTOR: pieces hold one row per membership, and
+          // probed flags would otherwise multiply seam vectors through
+          // the retrain's cells join (the SemIndexJob.retrain fix,
+          // review r16 second pass — pair SETS stayed correct because
+          // multiAssigned dedup collapses duplicate emissions, but rows,
+          // probe bills and semK were membership-inflated)
           val standingVecs = pieces.map(_.select("vec_id", "embedding"))
             .reduce(_ unionByName _)
+            .dropDuplicates("vec_id")
           val cnt = standingVecs.count()
           val ix = SimilarityOps.semIndexTrain(spark, standingVecs, cnt)
           ix.coarse.write.mode("overwrite").parquet(s"$dir/coarse_d$d")

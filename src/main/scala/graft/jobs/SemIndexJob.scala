@@ -189,8 +189,12 @@ object SemIndexJob {
 
   private def writeBaseline(spark: SparkSession, standingDir: String,
       ratio: Double): Unit =
+    // Locale.ROOT: a comma-decimal default locale would write "12,3456"
+    // which toDoubleOption reads as None — the baseline must round-trip
+    // on any JVM (review r16 second pass)
     writeSmall(hfs(spark, standingDir), s"$standingDir/$BaselineFile",
-      f"$ratio%.6f")
+      String.format(java.util.Locale.ROOT, "%.6f",
+        java.lang.Double.valueOf(ratio)))
 
   private def clearBaseline(spark: SparkSession, standingDir: String): Unit =
     hfs(spark, standingDir).delete(hpath(s"$standingDir/$BaselineFile"), false)
@@ -218,6 +222,28 @@ object SemIndexJob {
       epoch: Option[String]): Unit =
     epoch.foreach(e =>
       writeSmall(hfs(spark, pieceDir), s"$pieceDir/$EpochFile", e))
+
+  /** A leftover `.retrain_old_*` / `.compact_old_*` trash dir means a
+    * swap crashed AFTER some pieces left the standing set but BEFORE
+    * the protocol completed — the surviving pieces can be a same-epoch
+    * SUBSET the epoch check cannot see (review r16 second pass), so
+    * every command refuses until the operator restores the trashed
+    * pieces or confirms the rewrite completed and deletes the residue.
+    * This is what makes the mid-rename-loop crash window LOUD. */
+  private def requireNoTrash(spark: SparkSession, standingDir: String): Unit = {
+    val fs = hfs(spark, standingDir)
+    if (fs.exists(hpath(standingDir))) {
+      val residue = fs.listStatus(hpath(standingDir))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith(".retrain_old_") ||
+          n.startsWith(".compact_old_"))
+      require(residue.isEmpty,
+        s"$standingDir carries crash residue ${residue.mkString(", ")} — " +
+          "a retrain/compact did not complete its swap; restore the " +
+          "trashed pieces (or delete the residue after confirming the " +
+          "rewritten piece is complete) before continuing")
+    }
+  }
 
   private def requireEpochConsistency(spark: SparkSession,
       indexDir: String, standingDir: String): Unit = {
@@ -253,6 +279,7 @@ object SemIndexJob {
     // new loop's first creep, and stale pieces would pollute it). The
     // piece check is loud, not destructive: only piece_boot itself is
     // overwritten.
+    requireNoTrash(spark, standingDir)
     val leftover = pieceDirs(spark, standingDir)
       .filter(_.getName != "piece_boot")
     require(leftover.isEmpty,
@@ -260,7 +287,13 @@ object SemIndexJob {
         s"${leftover.map(_.getName).mkString(", ")} — compact/clean the " +
         "dir or use a fresh one")
     clearBaseline(spark, standingDir)
-    hfs(spark, standingDir)
+    val multi = probes > 1 || subMargin > 1.0
+    // marker BEFORE the piece lands (review r16 second pass): a crash
+    // between the two must err toward marker-present — a spurious
+    // marker costs one extra pair-dedup shuffle, a missing one emits
+    // duplicate pairs silently
+    if (multi) recordMembership(spark, standingDir, multi)
+    else hfs(spark, standingDir)
       .delete(hpath(s"$standingDir/$MultiMarker"), false)
     SimilarityOps
       .semIndexAssign(spark, emb, loadIndex(spark, indexDir), probes,
@@ -268,7 +301,6 @@ object SemIndexJob {
       .write.mode("overwrite").parquet(s"$standingDir/piece_boot")
     tagPiece(spark, s"$standingDir/piece_boot",
       indexEpoch(spark, indexDir))
-    recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
     pairsOut.foreach { out =>
       SimilarityOps.semDupPairsAssigned(spark,
           spark.read.parquet(s"$standingDir/piece_boot"), tau,
@@ -278,11 +310,19 @@ object SemIndexJob {
   }
 
   /** One maintenance tick; returns pair count, probe bill, and whether
-    * the auto-retrain rule fired. */
+    * the auto-retrain rule fired. `batchId` (review r16 second pass)
+    * makes the tick retry-safe: the appended piece is named
+    * `piece_batch_<id>` with errorifexists semantics, so re-running a
+    * tick that already landed fails LOUD on the existing piece instead
+    * of silently duplicating the batch (without a batchId the piece is
+    * stamp-named and a blind retry of a crashed-after-append tick WILL
+    * duplicate — pass `--batch-id` in any retrying orchestration). */
   def day(spark: SparkSession, fresh: DataFrame, indexDir: String,
       standingDir: String, pairsOut: String, tau: Double,
       probes: Int, margin: Double, subMargin: Double = 0.0,
-      autoRetrainPct: Option[Double] = None): DayStats = {
+      autoRetrainPct: Option[Double] = None,
+      batchId: Option[String] = None): DayStats = {
+    requireNoTrash(spark, standingDir)
     requireEpochConsistency(spark, indexDir, standingDir)
     val index = loadIndex(spark, indexDir)
     val freshA = SimilarityOps
@@ -313,12 +353,15 @@ object SemIndexJob {
       .filter(col("ta").isNotNull || col("tb").isNotNull)
       .select("vec_a", "vec_b", "cos")
     dp.write.mode("overwrite").parquet(pairsOut)
-    val stamp = newEpoch()
-    freshA.write.mode("errorifexists")
-      .parquet(s"$standingDir/piece_$stamp")
-    tagPiece(spark, s"$standingDir/piece_$stamp",
-      indexEpoch(spark, indexDir))
+    // marker BEFORE the piece lands — marker-present is the fail-safe
+    // direction (review r16 second pass)
     recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
+    val pieceName = batchId.map(b => s"piece_batch_$b")
+      .getOrElse(s"piece_${newEpoch()}")
+    freshA.write.mode("errorifexists")
+      .parquet(s"$standingDir/$pieceName")
+    tagPiece(spark, s"$standingDir/$pieceName",
+      indexEpoch(spark, indexDir))
     val newPairs = spark.read.parquet(pairsOut).count()
     // probe bill in rows — the drift signal --auto-retrain acts on.
     // README's measured rule: probe_rows/batch creeps ≥ ~10 % above its
@@ -370,8 +413,17 @@ object SemIndexJob {
     * concurrent reader during the swap. */
   def retrain(spark: SparkSession, indexDir: String, standingDir: String,
       probes: Int, margin: Double, subMargin: Double = 0.0): Unit = {
+    requireNoTrash(spark, standingDir)
+    // pieces hold one row PER MEMBERSHIP — under probing flags a seam
+    // vector carries several (vec_id, cluster) rows, and feeding them
+    // into train/assign undeduped would multiply the vector through the
+    // cells join (m memberships → up to m·probes duplicate rows in
+    // piece_retrained, an inflated semK, and duplicate pair emissions
+    // once a single-flag retrain clears the marker — review r16 second
+    // pass). One row per vector is the training corpus.
     val standingVecs = pieces(spark, standingDir)
       .select("vec_id", "embedding")
+      .dropDuplicates("vec_id")
     val cnt = standingVecs.count()
     val epoch = newEpoch()
     val ix = SimilarityOps.semIndexTrain(spark, standingVecs, cnt)
@@ -403,14 +455,19 @@ object SemIndexJob {
     renameChecked(ifs, hpath(s"$indexDir/.sub_stage"),
       hpath(s"$indexDir/sub"))
     writeSmall(ifs, s"$indexDir/$EpochFile", epoch)
-    // both swaps landed — only now is the old state disposable
+    // both swaps landed — only now is the old state disposable. Marker
+    // handling errs toward marker-present (review r16 second pass):
+    // record-if-multi happens before the delete-if-single, so no crash
+    // window leaves multi-membership pieces unmarked.
     fs.delete(trash, true)
-    fs.delete(hpath(s"$standingDir/$MultiMarker"), false)
-    recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
+    val multi = probes > 1 || subMargin > 1.0
+    if (multi) recordMembership(spark, standingDir, multi)
+    else fs.delete(hpath(s"$standingDir/$MultiMarker"), false)
     clearBaseline(spark, standingDir)
   }
 
   def compact(spark: SparkSession, standingDir: String): Unit = {
+    requireNoTrash(spark, standingDir)
     val fs = hfs(spark, standingDir)
     val old = pieceDirs(spark, standingDir)
     require(old.nonEmpty, s"nothing to compact under $standingDir")
@@ -487,6 +544,7 @@ object SemIndexJob {
     val autoRetrain: Option[Double] =
       if (args.contains("--auto-retrain")) Some(10.0)
       else opt("auto-retrain").map(_.toDouble)
+    val batchId = opt("batch-id")
     val pos = args.filterNot(_.startsWith("--")).toSeq
     val t0 = System.nanoTime()
     def wall = (System.nanoTime() - t0) / 1e9
@@ -504,7 +562,8 @@ object SemIndexJob {
         println(f"""{"metric":"sem_index_bootstrap","wall_sec":$wall%.1f}""")
       case Seq("day", freshPath, indexDir, standingDir, pairsOut) =>
         val st = day(spark, spark.read.parquet(freshPath), indexDir,
-          standingDir, pairsOut, tau, probes, margin, subMargin, autoRetrain)
+          standingDir, pairsOut, tau, probes, margin, subMargin, autoRetrain,
+          batchId)
         println(f"""{"metric":"sem_index_day","new_pairs":${st.newPairs},""" +
           f""""probe_rows":${st.probeRows},"fresh_n":${st.freshN},""" +
           f""""retrained":${st.retrained},"wall_sec":$wall%.1f}""")
@@ -524,7 +583,8 @@ object SemIndexJob {
           "day <fresh> <indexDir> <standingDir> <pairsOut> | " +
           "compact <standingDir> | " +
           "check <emb> <indexDir> <pairsDir...>  " +
-          "[--probes=N --margin=F --sub-margin=F --tau=T --auto-retrain[=pct]]" +
+          "[--probes=N --margin=F --sub-margin=F --tau=T " +
+          "--auto-retrain[=pct] --batch-id=ID]" +
           s" (got: ${other.mkString(" ")})")
     }
     spark.stop()

@@ -996,8 +996,15 @@ object SimilarityOps {
     * small executors on a real cluster — on local[N] both heaps are
     * this JVM and the min is a no-op). */
   private[graft] def subMapMaxRowsFor(s: SparkSession): Long = {
-    val execBytes = s.sparkContext.getConf.getOption("spark.executor.memory")
-      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+    // getSizeAsMb, not byteStringAsBytes: Spark itself reads
+    // spark.executor.memory with MiB default units, so a suffix-less
+    // "4096" means 4096 MiB — parsing it as bytes would collapse the
+    // gate to the floor and silently strand every assignment on the
+    // joined path (review r16 second pass)
+    val execBytes = s.sparkContext.getConf
+      .getOption("spark.executor.memory")
+      .map(_ => s.sparkContext.getConf
+        .getSizeAsMb("spark.executor.memory") * (1L << 20))
     subMapMaxRows(execBytes.fold(Runtime.getRuntime.maxMemory)(
       math.min(Runtime.getRuntime.maxMemory, _)))
   }

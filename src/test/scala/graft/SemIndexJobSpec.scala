@@ -146,6 +146,81 @@ class SemIndexJobSpec extends AnyFunSuite {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("retrain dedups membership rows to one row per vector") {
+    // pieces hold one row per MEMBERSHIP; a probed bootstrap writes
+    // multi rows for seam vectors, and a retrain must train/reassign
+    // each VECTOR once (review r16 second pass: undeduped rows
+    // multiplied through the cells join and inflated semK)
+    val root = Files.createTempDirectory("graft-semjob-rtdedup").toString
+    val indexDir = s"$root/index"
+    val standingDir = s"$root/standing"
+    val n = 2000L
+    SemIndexJob.train(spark, emb(0, n), indexDir)
+    SemIndexJob.bootstrap(spark, emb(0, n), indexDir, standingDir,
+      probes = 2, margin = 1.1)
+    val bootRows = spark.read.parquet(s"$standingDir/piece_boot").count()
+    assert(bootRows > n, "probed bootstrap produced no multi-membership rows")
+    SemIndexJob.retrain(spark, indexDir, standingDir,
+      probes = 1, margin = Double.PositiveInfinity)
+    val retrained = spark.read.parquet(s"$standingDir/piece_retrained")
+    assert(retrained.count() == n,
+      s"retrained piece carries ${retrained.count()} rows for $n vectors")
+    assert(retrained.select("vec_id").distinct().count() == n)
+    // single-flag retrain rewrote every piece single-membership — the
+    // multi marker must be gone
+    assert(!exists(s"$standingDir/_multi_membership"))
+  }
+
+  test("crash residue (trash dirs) refuses every command loudly") {
+    val root = Files.createTempDirectory("graft-semjob-trash").toString
+    val indexDir = s"$root/index"
+    val standingDir = s"$root/standing"
+    SemIndexJob.train(spark, emb(0, 2000), indexDir)
+    SemIndexJob.bootstrap(spark, emb(0, 2000), indexDir, standingDir,
+      probes = 1, margin = Double.PositiveInfinity)
+    // simulate a crashed swap: the trash dir survived
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(standingDir), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$standingDir/.retrain_old_deadbeef"))
+    val ex = intercept[IllegalArgumentException] {
+      SemIndexJob.day(spark, emb(2000, 2200), indexDir, standingDir,
+        s"$root/pairs", tau = 0.9, probes = 1,
+        margin = Double.PositiveInfinity)
+    }
+    assert(ex.getMessage.contains("crash residue"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      SemIndexJob.compact(spark, standingDir)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$standingDir/.retrain_old_deadbeef"), true)
+    // residue cleared → the tick proceeds
+    val st = SemIndexJob.day(spark, emb(2000, 2200), indexDir, standingDir,
+      s"$root/pairs", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity)
+    assert(st.freshN == 200)
+  }
+
+  test("a batch-id day tick refuses to ingest the same batch twice") {
+    val root = Files.createTempDirectory("graft-semjob-batchid").toString
+    val indexDir = s"$root/index"
+    val standingDir = s"$root/standing"
+    SemIndexJob.train(spark, emb(400, 2000), indexDir)
+    SemIndexJob.bootstrap(spark, emb(400, 2000), indexDir, standingDir,
+      probes = 1, margin = Double.PositiveInfinity)
+    val st = SemIndexJob.day(spark, emb(0, 400), indexDir, standingDir,
+      s"$root/pairs_a", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity, batchId = Some("2026-08-15"))
+    assert(st.newPairs > 0)
+    assert(exists(s"$standingDir/piece_batch_2026-08-15"))
+    // a blind retry of the landed tick must fail loud, not duplicate
+    intercept[Exception] {
+      SemIndexJob.day(spark, emb(0, 400), indexDir, standingDir,
+        s"$root/pairs_b", tau = 0.9, probes = 1,
+        margin = Double.PositiveInfinity, batchId = Some("2026-08-15"))
+    }
+  }
+
   test("--auto-retrain: baseline, trigger, retrain, reset (VERDICT r15 item 4)") {
     // the measured retrain rule as an OPERABLE trigger: the first
     // auto-retrain day records probe_rows/batch as the baseline; a later
