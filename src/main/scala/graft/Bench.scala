@@ -56,33 +56,82 @@ object Bench {
     (trippedBy.nonEmpty, trippedBy.mkString("|"))
   }
 
-  /** Canary floors: per-query ATTRIBUTED seconds from the last recorded
-    * clean sf0.1 run (r16: 95.4 s total, calibration 0.147 — README
-    * "Measured scale"). The calibrations are probes AROUND the sweep, so
-    * contention that arrives mid-sweep, or I/O warmth that sits between
-    * the idle band and the trip threshold, can still inflate queries
-    * NON-uniformly while every probe reads clean — BENCH_r15's mode
-    * (q_dedup_apply 4.9× its floor while its family sat under 2×). The
-    * canaries are the stable mid-sweep heavies (≥ ~1.7 s across the
-    * r13–r16 artifacts); valid only at the sf0.1 dir the floors were
-    * measured on — [[canaryOutliers]] callers gate on that. */
+  /** Canary floors: per-query ATTRIBUTED seconds from the cleanest
+    * recorded sf0.1 runs (minima across the r13–r17 clean artifacts —
+    * refresh alongside any change that shifts a canary query's clean
+    * time, and whenever a new clean record lands; `tools/floors.py
+    * <bench.json>` prints this literal from a run). The calibrations are
+    * probes AROUND the sweep, so contention that arrives mid-sweep, or
+    * I/O warmth that sits between the idle band and the trip threshold,
+    * can still inflate queries NON-uniformly while every probe reads
+    * clean — BENCH_r15's mode (q_dedup_apply 4.9× its floor) and
+    * BENCH_r16's (a contiguous sim/embed family at 1.4–2.2× while all
+    * probes and the then-canaries sat idle — VERDICT r16 item 1, which
+    * added that family and the shared-artifact timers below as
+    * sentinels). Valid only at the sf0.1 dir the floors were measured
+    * on — callers gate on that. */
   private[graft] val CanaryFloorSec: Map[String, Double] = Map(
     "q_dedup_apply" -> 1.74, "q_dedup_ngram_jaccard" -> 2.38,
     "q_dedup_semantic" -> 1.86, "q_mempool_merge" -> 4.27,
     "q_sink_hourly" -> 3.47, "q_bpe_train6" -> 3.51,
     "q_archive_compact" -> 3.76, "q_dedup_incremental_sem" -> 3.46,
-    "q_stream_dedup_ttl" -> 2.82, "q_rpc_enrich" -> 2.47)
+    "q_stream_dedup_ttl" -> 2.82, "q_rpc_enrich" -> 2.47,
+    "q_embed_kmeans" -> 1.16, "q_sim_ann_ivf" -> 1.88,
+    "q_embed_pq" -> 1.97)
 
-  /** Canaries above `ratio`× their clean floor, name-sorted. The label
-    * trips on ANY canary > 3× (uniform warm-box tax is +5–10 % and
-    * run-to-run noise ±20 %, so 3× on a mid-sweep heavy has only ever
-    * meant contention); the JSON also annotates the > 2.5× list so a
-    * grader sees the near-trips. */
+  /** Floors for the shared-artifact materialization timers the JSON
+    * already carries (VERDICT r16 item 1): they time fixed work at fixed
+    * SF exactly like the canary queries, and coarse_sec read 2.05× its
+    * idle level in the r16 episode while every then-canary sat quiet. */
+  private[graft] val TimerFloorSec: Map[String, Double] = Map(
+    "merge_sec" -> 4.10, "pairs_sec" -> 0.57,
+    "pq_sec" -> 1.82, "coarse_sec" -> 0.99)
+
+  private[graft] val AllFloorSec: Map[String, Double] =
+    CanaryFloorSec ++ TimerFloorSec
+
+  /** Sentinel → implementation family. The breadth rule counts DISTINCT
+    * families, because box contention inflates whatever happened to be
+    * co-scheduled — unrelated code paths — while a single code
+    * regression inflates one query (or its family twin that shares the
+    * regressed path, e.g. q_embed_kmeans and the coarse_sec timer both
+    * contain the coarse k-means build). Keeping same-path sentinels in
+    * one family is what stops a one-commit regression from counting
+    * twice and self-labeling as contention (ADVICE r16). */
+  private[graft] val SentinelFamily: Map[String, String] = Map(
+    "q_mempool_merge" -> "merge", "merge_sec" -> "merge",
+    "q_sink_hourly" -> "sink", "q_archive_compact" -> "archive",
+    "q_stream_dedup_ttl" -> "stream", "q_rpc_enrich" -> "rpc",
+    "q_bpe_train6" -> "bpe", "q_dedup_ngram_jaccard" -> "jaccard",
+    "q_dedup_apply" -> "apply", "pairs_sec" -> "pairs",
+    "q_dedup_semantic" -> "sem", "q_dedup_incremental_sem" -> "sem",
+    "q_embed_kmeans" -> "kmeans", "coarse_sec" -> "kmeans",
+    "q_embed_pq" -> "pq", "pq_sec" -> "pq",
+    "q_sim_ann_ivf" -> "ivf")
+
+  /** Sentinels (canary queries + shared-artifact timers) above `ratio`×
+    * their clean floor, name-sorted. */
   private[graft] def canaryOutliers(times: Map[String, Double],
       ratio: Double): Seq[String] =
-    CanaryFloorSec.toSeq.sortBy(_._1).collect {
+    AllFloorSec.toSeq.sortBy(_._1).collect {
       case (q, floor) if times.get(q).exists(_ > ratio * floor) => q
     }
+
+  /** Distinct implementation families with any sentinel above `ratio`×
+    * its floor, name-sorted. The label trips on ≥ 2 families > 1.5×
+    * (VERDICT r16 item 1): contention inflates co-scheduled UNRELATED
+    * work — both recorded episodes cleared it (r15: apply 4.9× +
+    * jaccard 2.0× + sem 1.65×; r16: kmeans 2.2× + ivf 1.8× + jaccard
+    * 1.54×) — while clean-run noise (±20 %, uniform warm-box +5–10 %)
+    * never put two families over 1.5× in any r13–r16 artifact. A lone
+    * sentinel > 3× is ANNOTATED (canary_hot), not tripped: one query off
+    * its floor with every sibling quiet is the signature of a code
+    * regression, and self-labeling that run "contended" would mask the
+    * regression behind a box-state excuse (ADVICE r16). */
+  private[graft] def canaryFamiliesOver(times: Map[String, Double],
+      ratio: Double): Seq[String] =
+    canaryOutliers(times, ratio)
+      .flatMap(SentinelFamily.get).distinct.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -284,11 +333,18 @@ object Bench {
     // legitimately runs the heavies several× slower (review r16)
     val canaryArmed =
       new java.io.File(sfDir).getName == "sf0.1" && cpus.toInt == 32
-    val timesOk = results.toMap.filter(_._2 >= 0)
+    val timesOk = results.toMap.filter(_._2 >= 0) ++ Map(
+      "merge_sec" -> mergeSec, "pairs_sec" -> pairsSec,
+      "pq_sec" -> pqSec, "coarse_sec" -> coarseSec)
     val nearTrips =
       if (canaryArmed) canaryOutliers(timesOk, 2.5) else Seq.empty
-    val canaryTripped =
-      canaryArmed && canaryOutliers(timesOk, 3.0).nonEmpty
+    // breadth trips; a lone >3× sentinel only annotates (see
+    // [[canaryFamiliesOver]] for both rationales)
+    val familiesOver =
+      if (canaryArmed) canaryFamiliesOver(timesOk, 1.5) else Seq.empty
+    val hotSingles =
+      if (canaryArmed) canaryOutliers(timesOk, 3.0) else Seq.empty
+    val canaryTripped = familiesOver.size >= 2
     val contended = probeContended || canaryTripped
     val contendedBy = (Seq(probeBy).filter(_.nonEmpty) ++
       (if (canaryTripped) Seq("canaries") else Nil)).mkString("|")
@@ -298,6 +354,8 @@ object Bench {
       s""""pq_sec":$pqSec,"coarse_sec":$coarseSec,"contended":$contended,""" +
       s""""contended_by":"$contendedBy",""" +
       s""""canary_outliers":"${nearTrips.mkString("|")}",""" +
+      s""""canary_families":"${familiesOver.mkString("|")}",""" +
+      s""""canary_hot":"${hotSingles.mkString("|")}",""" +
       s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
     // The full line above is ~4 kB; the driver keeps only a ~2000-char
     // tail of stdout, which truncated the LEADING "value" field in r10
@@ -308,7 +366,7 @@ object Bench {
     // calibration: the warm-box tell must reach the parsed artifact),
     // still under an eighth of the tail window.
     val fails = results.count(_._2 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$fails,"calibration_sec":$calibrationSec%.3f,"calibration_scan_sec":$calibrationScanSec%.3f,"contended":$contended,"contended_by":"$contendedBy","load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$fails,"calibration_sec":$calibrationSec%.3f,"calibration_scan_sec":$calibrationScanSec%.3f,"contended":$contended,"contended_by":"$contendedBy","canary_families":"${familiesOver.mkString("|")}","canary_hot":"${hotSingles.mkString("|")}","load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

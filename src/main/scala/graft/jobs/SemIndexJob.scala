@@ -74,7 +74,10 @@ import org.apache.spark.sql.functions._
   *     and compare against the union of the loop's pair outputs
   *     (bootstrap pairsOut + every day's pairsOut). Prints sym_diff —
   *     0 is the CorpusScaleBench invariant, valid only while the index
-  *     was never retrained mid-loop.
+  *     was never retrained mid-loop; pair dirs carry the emitting
+  *     index's epoch and `check` REFUSES a mixed-epoch or superseded
+  *     chain instead of printing a sym_diff whose premise is violated
+  *     (VERDICT r16 item 2).
   *
   * Flags: --probes=N --margin=F (frozen-index level-1 boundary-margin
   * multiprobe) and --sub-margin=F (the level-2 runner-up rule) —
@@ -153,19 +156,23 @@ object SemIndexJob {
       dst: org.apache.hadoop.fs.Path): Unit =
     require(fs.rename(src, dst), s"rename $src -> $dst failed")
 
-  /** Small-file write, temp + atomic rename: a crash mid-write must not
+  /** Small-file write, temp + atomic REPLACE: a crash mid-write must not
     * leave a half-written (e.g. 0-byte) state file — a corrupt
     * `_probe_baseline` would otherwise throw on every later tick, AFTER
     * the tick already appended its piece, so retries duplicate the
-    * batch. */
+    * batch. The replace goes through FileContext.rename(OVERWRITE)
+    * rather than delete-then-rename (ADVICE r16): the old protocol had a
+    * window where the target was absent, and for the index `_epoch`
+    * written at the end of retrain an absent file silently DISABLES the
+    * epoch consistency check instead of failing loud. */
   private def writeSmall(fs: org.apache.hadoop.fs.FileSystem,
       path: String, content: String): Unit = {
     val tmp = hpath(path + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(hpath(path), false)
-    renameChecked(fs, tmp, hpath(path))
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, hpath(path), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
@@ -251,7 +258,19 @@ object SemIndexJob {
     val fs = hfs(spark, standingDir)
     pieceDirs(spark, standingDir).foreach { p =>
       val pe = readSmall(fs, s"$p/$EpochFile")
-      require(idx.isEmpty || pe.isEmpty || pe == idx,
+      // untagged piece + tagged index is an ERROR, not a skip (ADVICE
+      // r16): every writer tags inside its staging dir before the piece
+      // is published (tag-then-publish), so current code cannot produce
+      // an untagged piece — one can only mean a pre-epoch layout, whose
+      // assignment generation is unverifiable against this index. A
+      // fail-open skip here would permanently exempt it.
+      require(idx.isEmpty || pe.nonEmpty,
+        s"standing piece ${p.getName} carries no epoch tag but the " +
+          s"index is epoch ${idx.get} — its assignment generation " +
+          "cannot be verified; run retrain (which rewrites and tags " +
+          "every piece) or tag it manually after confirming it was " +
+          "assigned under this index")
+      require(idx.isEmpty || pe == idx,
         s"standing piece ${p.getName} was assigned under index epoch " +
           s"${pe.get} but the index is epoch ${idx.get} — a crashed " +
           "retrain left index and pieces inconsistent; re-run retrain " +
@@ -261,6 +280,36 @@ object SemIndexJob {
 
   private def newEpoch(): String =
     java.lang.Long.toHexString(System.nanoTime())
+
+  /** Default batch id for a CLI `day` tick (ADVICE r16): without
+    * `--batch-id` the appended piece used to be nanoTime-stamped, so a
+    * blind retry of a tick that crashed AFTER its piece landed silently
+    * ingested the batch twice. The default id is a digest of the fresh
+    * input's identity — its path plus the (name, length) of every data
+    * file under it — so a retry of the same input collides on the piece
+    * name and fails loud, while a genuinely new batch (new path, or new
+    * files at a reused staging path) derives a new id. A reused staging
+    * path whose new batch happens to match the old one file-for-file in
+    * names and lengths also collides (loud, not silent — pass an
+    * explicit `--batch-id` there). */
+  private[graft] def deriveBatchId(spark: SparkSession,
+      path: String): String = {
+    val fs = hfs(spark, path)
+    val st = fs.getFileStatus(hpath(path))
+    val entries =
+      if (st.isDirectory)
+        fs.listStatus(hpath(path))
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .map(s => s"${s.getPath.getName}:${s.getLen}").sorted
+      else Array(s"${st.getPath.getName}:${st.getLen}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    entries.foreach { e =>
+      md.update(0.toByte)
+      md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    "auto_" + md.digest().take(8).map("%02x".format(_)).mkString
+  }
 
   def train(spark: SparkSession, emb: DataFrame, indexDir: String): Unit = {
     val ix = SimilarityOps.semIndexTrain(spark, emb, emb.count())
@@ -295,28 +344,41 @@ object SemIndexJob {
     if (multi) recordMembership(spark, standingDir, multi)
     else hfs(spark, standingDir)
       .delete(hpath(s"$standingDir/$MultiMarker"), false)
+    // tag-then-publish (ADVICE r16): the epoch tag is written into the
+    // STAGING dir and the piece renamed into place after, so no crash
+    // window can leave a PUBLISHED piece untagged (an untagged piece was
+    // permanently exempt from requireEpochConsistency, which now treats
+    // it as an error instead)
+    val epoch = indexEpoch(spark, indexDir)
+    val stage = s"$standingDir/.boot_stage"
     SimilarityOps
       .semIndexAssign(spark, emb, loadIndex(spark, indexDir), probes,
         margin, subMargin)
-      .write.mode("overwrite").parquet(s"$standingDir/piece_boot")
-    tagPiece(spark, s"$standingDir/piece_boot",
-      indexEpoch(spark, indexDir))
+      .write.mode("overwrite").parquet(stage)
+    tagPiece(spark, stage, epoch)
+    val fs = hfs(spark, standingDir)
+    fs.delete(hpath(s"$standingDir/piece_boot"), true)
+    renameChecked(fs, hpath(stage), hpath(s"$standingDir/piece_boot"))
     pairsOut.foreach { out =>
       SimilarityOps.semDupPairsAssigned(spark,
           spark.read.parquet(s"$standingDir/piece_boot"), tau,
           multiAssigned = probes > 1 || subMargin > 1.0)
         .write.mode("overwrite").parquet(out)
+      // pair outputs carry the epoch they were emitted under — `check`
+      // refuses a pair chain that spans a retrain (VERDICT r16 item 2)
+      tagPiece(spark, out, epoch)
     }
   }
 
   /** One maintenance tick; returns pair count, probe bill, and whether
     * the auto-retrain rule fired. `batchId` (review r16 second pass)
     * makes the tick retry-safe: the appended piece is named
-    * `piece_batch_<id>` with errorifexists semantics, so re-running a
-    * tick that already landed fails LOUD on the existing piece instead
-    * of silently duplicating the batch (without a batchId the piece is
-    * stamp-named and a blind retry of a crashed-after-append tick WILL
-    * duplicate — pass `--batch-id` in any retrying orchestration). */
+    * `piece_batch_<id>`, published only if absent, so re-running a tick
+    * that already landed fails LOUD on the existing piece instead of
+    * silently duplicating the batch. The CLI always passes one —
+    * explicit `--batch-id` or [[deriveBatchId]]'s input-identity digest
+    * (ADVICE r16); a LIBRARY caller passing None gets a stamp-named
+    * piece and must handle retries itself. */
   def day(spark: SparkSession, fresh: DataFrame, indexDir: String,
       standingDir: String, pairsOut: String, tau: Double,
       probes: Int, margin: Double, subMargin: Double = 0.0,
@@ -324,6 +386,10 @@ object SemIndexJob {
       batchId: Option[String] = None): DayStats = {
     requireNoTrash(spark, standingDir)
     requireEpochConsistency(spark, indexDir, standingDir)
+    // read the epoch ONCE, before any work: pairs and piece written by
+    // this tick are both artifacts of THIS index generation (a retrain
+    // fired at the end of the tick must not retroactively re-label them)
+    val epoch = indexEpoch(spark, indexDir)
     val index = loadIndex(spark, indexDir)
     val freshA = SimilarityOps
       .semIndexAssign(spark, fresh, index, probes, margin, subMargin)
@@ -353,15 +419,28 @@ object SemIndexJob {
       .filter(col("ta").isNotNull || col("tb").isNotNull)
       .select("vec_a", "vec_b", "cos")
     dp.write.mode("overwrite").parquet(pairsOut)
+    // the pair set is an artifact of this index generation — stamp it so
+    // `check` can refuse a chain that spans a retrain (VERDICT r16 item 2)
+    tagPiece(spark, pairsOut, epoch)
     // marker BEFORE the piece lands — marker-present is the fail-safe
     // direction (review r16 second pass)
     recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
     val pieceName = batchId.map(b => s"piece_batch_$b")
       .getOrElse(s"piece_${newEpoch()}")
-    freshA.write.mode("errorifexists")
-      .parquet(s"$standingDir/$pieceName")
-    tagPiece(spark, s"$standingDir/$pieceName",
-      indexEpoch(spark, indexDir))
+    // tag-then-publish (ADVICE r16): write + tag in a staging dir, then
+    // one rename publishes an always-tagged piece; the pre-publish
+    // existence check keeps the errorifexists retry-loudness (a crash
+    // BEFORE the rename leaves only stage residue, and the retry
+    // legitimately succeeds; a crash AFTER it fails loud here)
+    val stage = s"$standingDir/.ingest_stage"
+    freshA.write.mode("overwrite").parquet(stage)
+    tagPiece(spark, stage, epoch)
+    val sfs = hfs(spark, standingDir)
+    require(!sfs.exists(hpath(s"$standingDir/$pieceName")),
+      s"$standingDir/$pieceName already exists — this batch already " +
+        "landed (a retried tick must not ingest it twice); pass a fresh " +
+        "--batch-id if this is genuinely a new batch")
+    renameChecked(sfs, hpath(stage), hpath(s"$standingDir/$pieceName"))
     val newPairs = spark.read.parquet(pairsOut).count()
     // probe bill in rows — the drift signal --auto-retrain acts on.
     // README's measured rule: probe_rows/batch creeps ≥ ~10 % above its
@@ -501,10 +580,34 @@ object SemIndexJob {
 
   /** The sym_diff audit: frozen full-batch pairs over `emb` vs the union
     * of the loop's emitted pair sets. Returns (fullPairs, chainedPairs,
-    * symDiff). */
+    * symDiff).
+    *
+    * Every pair dir carries the `_epoch` of the index it was emitted
+    * under (VERDICT r16 item 2): the audit's premise is a SINGLE frozen
+    * index across the whole loop, and a chain that spans a retrain used
+    * to print a bare, misleading nonzero sym_diff. `check` now refuses
+    * mixed-epoch pair sets, and pair sets emitted under a superseded
+    * index, instead of reporting a number whose premise is violated.
+    * Untagged dirs (pre-epoch layouts) skip the check. */
   def check(spark: SparkSession, emb: DataFrame, indexDir: String,
       pairsDirs: Seq[String], tau: Double, probes: Int, margin: Double,
       subMargin: Double = 0.0): (Long, Long, Long) = {
+    val idxEpoch = indexEpoch(spark, indexDir)
+    val tagged = pairsDirs.flatMap(d =>
+      readSmall(hfs(spark, d), s"$d/$EpochFile").map(d -> _))
+    val distinctEpochs = tagged.map(_._2).distinct
+    require(distinctEpochs.length <= 1,
+      s"pair dirs span index epochs ${distinctEpochs.mkString(", ")} (" +
+        tagged.map { case (d, e) => s"$d=$e" }.mkString(", ") +
+        ") — the loop retrained mid-chain, so the single-frozen-index " +
+        "full-batch equality does not apply; audit each epoch's pair " +
+        "dirs separately against the index that emitted them")
+    distinctEpochs.headOption.foreach(e =>
+      require(idxEpoch.forall(_ == e),
+        s"pair dirs were emitted under index epoch $e but the index is " +
+          s"epoch ${idxEpoch.get} — the index was retrained after these " +
+          "pairs, so a sym_diff against it is meaningless; restore the " +
+          "emitting index or re-run the loop under the current one"))
     val index = loadIndex(spark, indexDir)
     val fullA = SimilarityOps
       .semIndexAssign(spark, emb, index, probes, margin, subMargin)
@@ -561,12 +664,17 @@ object SemIndexJob {
           probes, margin, subMargin, Some(pairsOut), tau)
         println(f"""{"metric":"sem_index_bootstrap","wall_sec":$wall%.1f}""")
       case Seq("day", freshPath, indexDir, standingDir, pairsOut) =>
+        // no --batch-id → derive one from the input's identity, so even
+        // un-flagged orchestrations get loud (not silent-duplicating)
+        // tick retries (ADVICE r16)
+        val bid = batchId.getOrElse(deriveBatchId(spark, freshPath))
         val st = day(spark, spark.read.parquet(freshPath), indexDir,
           standingDir, pairsOut, tau, probes, margin, subMargin, autoRetrain,
-          batchId)
+          Some(bid))
         println(f"""{"metric":"sem_index_day","new_pairs":${st.newPairs},""" +
           f""""probe_rows":${st.probeRows},"fresh_n":${st.freshN},""" +
-          f""""retrained":${st.retrained},"wall_sec":$wall%.1f}""")
+          f""""retrained":${st.retrained},"batch_id":"$bid",""" +
+          f""""wall_sec":$wall%.1f}""")
       case Seq("compact", standingDir) =>
         compact(spark, standingDir)
         println(f"""{"metric":"sem_index_compact","wall_sec":$wall%.1f}""")

@@ -994,7 +994,23 @@ object SimilarityOps {
     * the budget is the smaller of the two (review r16: gating on the
     * driver's Runtime.maxMemory alone would admit a broadcast that OOMs
     * small executors on a real cluster — on local[N] both heaps are
-    * this JVM and the min is a no-op). */
+    * this JVM and the min is a no-op).
+    *
+    * Pure core, so the non-local branch is spec-testable without a
+    * cluster: when `spark.executor.memory` is UNSET on a non-local
+    * master, executors run at Spark's own 1 GiB default — falling back
+    * to the driver's heap there would admit a broadcast that OOMs
+    * default-sized executors under a large driver, the exact mode this
+    * gate exists to prevent (ADVICE r16). On local[N] the executor IS
+    * this JVM, so the driver heap is the true budget. */
+  private[graft] def subMapBudgetBytes(execMemBytes: Option[Long],
+      isLocal: Boolean, driverMaxBytes: Long): Long = {
+    val SparkExecutorDefaultBytes = 1L << 30 // Spark's executor-memory default (1g)
+    val exec = execMemBytes.getOrElse(
+      if (isLocal) driverMaxBytes else SparkExecutorDefaultBytes)
+    math.min(driverMaxBytes, exec)
+  }
+
   private[graft] def subMapMaxRowsFor(s: SparkSession): Long = {
     // getSizeAsMb, not byteStringAsBytes: Spark itself reads
     // spark.executor.memory with MiB default units, so a suffix-less
@@ -1005,8 +1021,8 @@ object SimilarityOps {
       .getOption("spark.executor.memory")
       .map(_ => s.sparkContext.getConf
         .getSizeAsMb("spark.executor.memory") * (1L << 20))
-    subMapMaxRows(execBytes.fold(Runtime.getRuntime.maxMemory)(
-      math.min(Runtime.getRuntime.maxMemory, _)))
+    subMapMaxRows(subMapBudgetBytes(execBytes, s.sparkContext.isLocal,
+      Runtime.getRuntime.maxMemory))
   }
 
   /** Per-index broadcast of the collected sub table (the map fast path).

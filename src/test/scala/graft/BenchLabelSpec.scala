@@ -66,21 +66,54 @@ class BenchLabelSpec extends AnyFunSuite {
     assert(label(0.18, 1.0, 30.0, cores = 16, threads = 32) == (false, ""))
   }
 
-  test("canary self-check: r15's non-uniform inflation trips, warm-box tax stays silent") {
-    // the mode no probe carries: BENCH_r15's q_dedup_apply read 8.59 s
-    // (4.9× its clean floor) while its dedup siblings sat under 2× —
-    // mid-sweep I/O contention the before/after calibrations missed
+  test("canary breadth rule: both recorded mid-sweep episodes trip, noise stays silent") {
+    // the mode no probe carries — mid-sweep contention between the
+    // before/after calibrations. Trip rule: ≥ 2 DISTINCT families with
+    // any sentinel > 1.5× (VERDICT r16 item 1).
+    // BENCH_r15: q_dedup_apply 4.9× its floor, jaccard 2.0×, sem 1.65×
     val r15 = Map("q_dedup_apply" -> 8.59, "q_dedup_ngram_jaccard" -> 4.80,
       "q_dedup_semantic" -> 3.06, "q_mempool_merge" -> 4.60)
     assert(Bench.canaryOutliers(r15, 3.0) == Seq("q_dedup_apply"))
-    // uniform warm-box tax (+10 %) and run-to-run noise (±20 %) never
-    // reach even the 2.5× annotation threshold
+    assert(Bench.canaryFamiliesOver(r15, 1.5) ==
+      Seq("apply", "jaccard", "sem"))
+    // BENCH_r16: a contiguous sim/embed family at 1.5–2.2× while every
+    // then-canary AND both calibrations sat idle — the episode the old
+    // any-canary-3× rule missed (no sentinel cleared 3×). The new
+    // sentinels (kmeans family incl. the coarse_sec timer, ivf) plus
+    // jaccard put three families over 1.5×.
+    val r16 = Map("q_embed_kmeans" -> 2.322, "coarse_sec" -> 2.137,
+      "q_sim_ann_ivf" -> 3.384, "q_dedup_ngram_jaccard" -> 3.673,
+      "q_dedup_apply" -> 1.719, "merge_sec" -> 4.105,
+      "pairs_sec" -> 0.589, "pq_sec" -> 1.837, "q_embed_pq" -> 1.999)
+    assert(Bench.canaryFamiliesOver(r16, 1.5) ==
+      Seq("ivf", "jaccard", "kmeans"))
+    assert(Bench.canaryFamiliesOver(r16, 1.5).size >= 2, "r16 must trip")
+    // a LONE hot sentinel (one query 4× its floor, every sibling and
+    // family twin quiet) is the signature of a code REGRESSION — it must
+    // NOT reach the 2-family trip (ADVICE r16: self-labeling it
+    // contended would mask the regression); it surfaces via the
+    // canary_hot annotation instead
+    val regression = Map("q_dedup_apply" -> 7.0,
+      "q_dedup_ngram_jaccard" -> 2.4, "q_embed_kmeans" -> 1.2,
+      "coarse_sec" -> 1.0, "merge_sec" -> 4.1)
+    assert(Bench.canaryFamiliesOver(regression, 1.5) == Seq("apply"))
+    assert(Bench.canaryOutliers(regression, 3.0) == Seq("q_dedup_apply"))
+    // a same-path twin pair (q_embed_kmeans + coarse_sec both carry the
+    // coarse k-means build) counts as ONE family — a one-commit
+    // regression there can't fake contention breadth
+    val twinRegression = Map("q_embed_kmeans" -> 2.5, "coarse_sec" -> 2.2)
+    assert(Bench.canaryFamiliesOver(twinRegression, 1.5) == Seq("kmeans"))
+    // uniform warm-box tax (+10–20 %) never reaches even the 1.5×
+    // breadth threshold, let alone the 2.5× annotation
+    assert(Bench.canaryFamiliesOver(
+      Bench.AllFloorSec.view.mapValues(_ * 1.2).toMap, 1.5).isEmpty)
     assert(Bench.canaryOutliers(
-      Bench.CanaryFloorSec.view.mapValues(_ * 1.1).toMap, 2.5).isEmpty)
-    assert(Bench.canaryOutliers(
-      Bench.CanaryFloorSec.view.mapValues(_ * 1.2).toMap, 2.5).isEmpty)
+      Bench.AllFloorSec.view.mapValues(_ * 1.2).toMap, 2.5).isEmpty)
     // a failed (filtered-out) query is not an outlier
     assert(Bench.canaryOutliers(Map.empty[String, Double], 3.0).isEmpty)
+    // every sentinel with a floor belongs to a family (a floor without a
+    // family silently drops out of the breadth count)
+    assert((Bench.AllFloorSec.keySet -- Bench.SentinelFamily.keySet).isEmpty)
   }
 
   test("Verify mode (no calibrations): load signals stand un-exculpated") {

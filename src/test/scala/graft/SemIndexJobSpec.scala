@@ -146,6 +146,98 @@ class SemIndexJobSpec extends AnyFunSuite {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("an untagged piece under a tagged index fails loud, not fail-open (ADVICE r16)") {
+    // tag-then-publish means current code can never publish an untagged
+    // piece — one can only be a pre-epoch layout whose assignment
+    // generation is unverifiable. The old pe.isEmpty skip permanently
+    // exempted it from the epoch check.
+    val root = Files.createTempDirectory("graft-semjob-untagged").toString
+    val indexDir = s"$root/index"
+    val standingDir = s"$root/standing"
+    SemIndexJob.train(spark, emb(400, 2000), indexDir)
+    SemIndexJob.bootstrap(spark, emb(400, 2000), indexDir, standingDir,
+      probes = 1, margin = Double.PositiveInfinity)
+    assert(exists(s"$standingDir/piece_boot/_epoch"),
+      "bootstrap published an untagged piece — tag-then-publish broken")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(standingDir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$standingDir/piece_boot/_epoch"), false)
+    val ex = intercept[IllegalArgumentException] {
+      SemIndexJob.day(spark, emb(0, 400), indexDir, standingDir,
+        s"$root/pairs", tau = 0.9, probes = 1,
+        margin = Double.PositiveInfinity)
+    }
+    assert(ex.getMessage.contains("no epoch tag"), ex.getMessage)
+  }
+
+  test("check refuses pair chains that span a retrain (VERDICT r16 item 2)") {
+    // pair dirs carry the epoch of the index that emitted them; a chain
+    // mixing epochs (or audited against a superseded index) used to
+    // print a bare, misleading nonzero sym_diff — the premise (ONE
+    // frozen index across the loop) is violated and the tool must say
+    // so instead of reporting a number.
+    val root = Files.createTempDirectory("graft-semjob-pairepoch").toString
+    val indexDir = s"$root/index"
+    val standingDir = s"$root/standing"
+    SemIndexJob.train(spark, emb(400, 2000), indexDir)
+    SemIndexJob.bootstrap(spark, emb(400, 2000), indexDir, standingDir,
+      probes = 1, margin = Double.PositiveInfinity,
+      pairsOut = Some(s"$root/pairs_boot"))
+    SemIndexJob.day(spark, emb(0, 200), indexDir, standingDir,
+      s"$root/pairs_d0", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity)
+    SemIndexJob.retrain(spark, indexDir, standingDir,
+      probes = 1, margin = Double.PositiveInfinity)
+    SemIndexJob.day(spark, emb(200, 400), indexDir, standingDir,
+      s"$root/pairs_d1", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity)
+    // mixed epochs across the chain → refuse
+    val exMixed = intercept[IllegalArgumentException] {
+      SemIndexJob.check(spark, emb(0, 2000), indexDir,
+        Seq(s"$root/pairs_boot", s"$root/pairs_d0", s"$root/pairs_d1"),
+        tau = 0.9, probes = 1, margin = Double.PositiveInfinity)
+    }
+    assert(exMixed.getMessage.contains("span index epochs"),
+      exMixed.getMessage)
+    // single pre-retrain epoch, but the index moved on → refuse too
+    val exStale = intercept[IllegalArgumentException] {
+      SemIndexJob.check(spark, emb(0, 2000), indexDir,
+        Seq(s"$root/pairs_boot", s"$root/pairs_d0"),
+        tau = 0.9, probes = 1, margin = Double.PositiveInfinity)
+    }
+    assert(exStale.getMessage.contains("retrained after these pairs"),
+      exStale.getMessage)
+    // post-retrain pairs against the post-retrain index still audit fine
+    // (bounded: only d1's emission, so chained ⊂ full is expected — the
+    // point is that check RUNS, not that the subset is complete)
+    val (nFull, _, _) = SemIndexJob.check(spark, emb(0, 400), indexDir,
+      Seq(s"$root/pairs_d1"), tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity)
+    assert(nFull > 0)
+  }
+
+  test("CLI default batch id derives from the input's identity (ADVICE r16)") {
+    // same input → same id (a blind retry collides loud on the piece
+    // name); different input files → different id (a reused staging
+    // path with a NEW batch still ingests)
+    val root = Files.createTempDirectory("graft-semjob-autoid").toString
+    emb(0, 100).write.mode("overwrite").parquet(s"$root/batch_a")
+    val id1 = SemIndexJob.deriveBatchId(spark, s"$root/batch_a")
+    val id2 = SemIndexJob.deriveBatchId(spark, s"$root/batch_a")
+    assert(id1 == id2, "batch id is not deterministic for the same input")
+    assert(id1.startsWith("auto_") && !id1.contains("/"),
+      s"unsafe piece-name fragment: $id1")
+    emb(100, 300).write.mode("overwrite").parquet(s"$root/batch_b")
+    assert(SemIndexJob.deriveBatchId(spark, s"$root/batch_b") != id1,
+      "distinct inputs derived the same batch id")
+    // rewriting the SAME path with different content changes the id
+    // (the listing digest covers file names + lengths)
+    emb(0, 500).write.mode("overwrite").parquet(s"$root/batch_a")
+    assert(SemIndexJob.deriveBatchId(spark, s"$root/batch_a") != id1,
+      "a reused staging path with new content derived the old id")
+  }
+
   test("retrain dedups membership rows to one row per vector") {
     // pieces hold one row per MEMBERSHIP; a probed bootstrap writes
     // multi rows for seam vectors, and a retrain must train/reassign

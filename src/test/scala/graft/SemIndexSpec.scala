@@ -198,6 +198,22 @@ class SemIndexSpec extends AnyFunSuite {
       SimilarityOps.subMapMaxRows(Runtime.getRuntime.maxMemory))
     assert(SimilarityOps.subMapMaxRowsFor(spark) ==
       SimilarityOps.subMapMaxRows(Runtime.getRuntime.maxMemory))
+    // budget resolution (ADVICE r16): on a NON-local master with
+    // spark.executor.memory unset, executors run at Spark's 1 GiB
+    // default — the budget must be that default, not the (possibly
+    // huge) driver heap, or the gate admits a broadcast that OOMs
+    // default-sized executors
+    assert(SimilarityOps.subMapBudgetBytes(None, isLocal = false,
+      driverMaxBytes = 64L << 30) == (1L << 30))
+    // on local[N] the executor IS the driver JVM — its heap is the budget
+    assert(SimilarityOps.subMapBudgetBytes(None, isLocal = true,
+      driverMaxBytes = 8L << 30) == (8L << 30))
+    // an explicit executor conf wins on a cluster, still capped by the
+    // driver heap that must hold the collected map first
+    assert(SimilarityOps.subMapBudgetBytes(Some(4L << 30), isLocal = false,
+      driverMaxBytes = 8L << 30) == (4L << 30))
+    assert(SimilarityOps.subMapBudgetBytes(Some(16L << 30), isLocal = false,
+      driverMaxBytes = 8L << 30) == (8L << 30))
   }
 
   test("q_dedup_incremental_sem survives the (VerifyExactGate, hierarchical-require] gap") {
