@@ -95,9 +95,15 @@ import org.apache.spark.sql.functions._
   * CLI surface at spec scale, `check` re-proves it at any scale). */
 object SemIndexJob {
 
-  /** One day tick's outcome (the JSON line prints the same fields). */
+  /** One day tick's outcome (the JSON line prints the same fields).
+    * `creepPct` is the ratio-vs-baseline the auto-retrain trigger acts
+    * on, as a percentage over the post-(re)train baseline (VERDICT r16
+    * item 6: probe_rows alone doesn't let an operator watching the log
+    * see how close the rule is to firing). None when no baseline exists
+    * and none was established this tick; 0.0 on the tick that
+    * establishes it. */
   final case class DayStats(newPairs: Long, probeRows: Long, freshN: Long,
-      retrained: Boolean)
+      retrained: Boolean, creepPct: Option[Double])
 
   private val MultiMarker = "_multi_membership"
   private val BaselineFile = "_probe_baseline"
@@ -457,10 +463,14 @@ object SemIndexJob {
     val freshN = fresh.count()
     val probeRows = members.count()
     val ratio = probeRows.toDouble / math.max(1L, freshN)
+    // read once: the trigger decision and the reported creep must see the
+    // SAME baseline (a retrain below rewrites it, and the creep that
+    // fired the trigger is the number worth logging, not the reset one)
+    val baseline = readBaseline(spark, standingDir)
     val retrained = autoRetrainPct match {
       case None => false
       case Some(pct) =>
-        readBaseline(spark, standingDir) match {
+        baseline match {
           case None =>
             // first tick after a (re)train: this ratio IS the baseline
             writeBaseline(spark, standingDir, ratio)
@@ -471,7 +481,13 @@ object SemIndexJob {
           case Some(_) => false
         }
     }
-    DayStats(newPairs, probeRows, freshN, retrained)
+    // the ratio-vs-baseline the trigger acts on, surfaced every tick
+    // (VERDICT r16 item 6). 0.0 on the baseline-establishing tick by
+    // construction; still reported (read-only) when --auto-retrain is
+    // off but a baseline file exists from an earlier armed loop.
+    val creepPct = baseline.map(b => (ratio / b - 1.0) * 100.0)
+      .orElse(if (autoRetrainPct.isDefined) Some(0.0) else None)
+    DayStats(newPairs, probeRows, freshN, retrained, creepPct)
   }
 
   /** Retrain + refreeze on the full standing corpus and reassign every
@@ -671,10 +687,14 @@ object SemIndexJob {
         val st = day(spark, spark.read.parquet(freshPath), indexDir,
           standingDir, pairsOut, tau, probes, margin, subMargin, autoRetrain,
           Some(bid))
+        val creep = st.creepPct
+          .map(c => String.format(java.util.Locale.ROOT, "%.1f",
+            java.lang.Double.valueOf(c)))
+          .getOrElse("null")
         println(f"""{"metric":"sem_index_day","new_pairs":${st.newPairs},""" +
           f""""probe_rows":${st.probeRows},"fresh_n":${st.freshN},""" +
-          f""""retrained":${st.retrained},"batch_id":"$bid",""" +
-          f""""wall_sec":$wall%.1f}""")
+          f""""retrained":${st.retrained},"creep_pct":$creep,""" +
+          f""""batch_id":"$bid","wall_sec":$wall%.1f}""")
       case Seq("compact", standingDir) =>
         compact(spark, standingDir)
         println(f"""{"metric":"sem_index_compact","wall_sec":$wall%.1f}""")

@@ -55,6 +55,9 @@ class SemIndexJobSpec extends AnyFunSuite {
         tau = 0.9, probes = 1, margin = Double.PositiveInfinity)
       assert(st.newPairs > 0, s"day $d found no pairs — vacuous loop")
       assert(st.probeRows > 0 && st.freshN == batch && !st.retrained)
+      // unarmed loop, no baseline on disk → no creep to report
+      assert(st.creepPct.isEmpty,
+        s"day $d reported creep_pct ${st.creepPct} without a baseline")
       if (d == 1) SemIndexJob.compact(spark, standingDir)
       out
     }
@@ -335,11 +338,20 @@ class SemIndexJobSpec extends AnyFunSuite {
     assert(!st1.retrained, "baseline day must not retrain")
     assert(exists(s"$standingDir/_probe_baseline"),
       "baseline day did not persist the probe baseline")
+    assert(st1.creepPct.contains(0.0),
+      "the baseline-establishing tick must report creep_pct 0.0 " +
+        s"(VERDICT r16 item 6), got ${st1.creepPct}")
 
     val st2 = SemIndexJob.day(spark, emb(200, 400), indexDir, standingDir,
       s"$root/pairs_d1", tau = 0.9, probes = 1,
       margin = Double.PositiveInfinity, autoRetrainPct = Some(0.0))
     assert(st2.retrained, "creeping ratio did not fire the retrain trigger")
+    // the logged creep is the number the trigger ACTED on — positive
+    // here (the standing corpus grew), measured against the pre-retrain
+    // baseline, not the reset one
+    assert(st2.creepPct.exists(_ > 0.0),
+      s"firing tick must report the positive creep it acted on, " +
+        s"got ${st2.creepPct}")
     // probe state reset: baseline cleared, pieces collapsed to the
     // retrained rewrite, no stage/trash residue, index refrozen
     assert(!exists(s"$standingDir/_probe_baseline"),
