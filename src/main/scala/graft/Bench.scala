@@ -71,12 +71,12 @@ object Bench {
     * sentinels). Valid only at the sf0.1 dir the floors were measured
     * on — callers gate on that. */
   private[graft] val CanaryFloorSec: Map[String, Double] = Map(
-    "q_dedup_apply" -> 1.74, "q_dedup_ngram_jaccard" -> 2.38,
-    "q_dedup_semantic" -> 1.86, "q_mempool_merge" -> 4.27,
-    "q_sink_hourly" -> 3.47, "q_bpe_train6" -> 3.51,
-    "q_archive_compact" -> 3.76, "q_dedup_incremental_sem" -> 3.46,
+    "q_dedup_apply" -> 1.69, "q_dedup_ngram_jaccard" -> 2.28,
+    "q_dedup_semantic" -> 1.86, "q_mempool_merge" -> 3.83,
+    "q_sink_hourly" -> 3.28, "q_bpe_train6" -> 3.39,
+    "q_archive_compact" -> 3.21, "q_dedup_incremental_sem" -> 3.12,
     "q_stream_dedup_ttl" -> 2.82, "q_rpc_enrich" -> 2.47,
-    "q_embed_kmeans" -> 1.16, "q_sim_ann_ivf" -> 1.88,
+    "q_embed_kmeans" -> 1.16, "q_sim_ann_ivf" -> 1.84,
     "q_embed_pq" -> 1.97)
 
   /** Floors for the shared-artifact materialization timers the JSON

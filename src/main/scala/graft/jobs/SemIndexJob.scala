@@ -392,6 +392,21 @@ object SemIndexJob {
       batchId: Option[String] = None): DayStats = {
     requireNoTrash(spark, standingDir)
     requireEpochConsistency(spark, indexDir, standingDir)
+    // refuse an already-landed batch BEFORE touching any output (review
+    // r17): the publish-time collision check alone fires only after the
+    // retry has already OVERWRITTEN pairsOut — and the retry computes
+    // those pairs against a standing set that now contains the batch's
+    // own piece, so the first attempt's correct pair output would be
+    // replaced by a polluted one on the way to the loud failure
+    val pieceName = batchId.map(b => s"piece_batch_$b")
+      .getOrElse(s"piece_${newEpoch()}")
+    val sfs = hfs(spark, standingDir)
+    def requireUnlanded(): Unit =
+      require(!sfs.exists(hpath(s"$standingDir/$pieceName")),
+        s"$standingDir/$pieceName already exists — this batch already " +
+          "landed (a retried tick must not ingest it twice); pass a fresh " +
+          "--batch-id if this is genuinely a new batch")
+    requireUnlanded()
     // read the epoch ONCE, before any work: pairs and piece written by
     // this tick are both artifacts of THIS index generation (a retrain
     // fired at the end of the tick must not retroactively re-label them)
@@ -431,21 +446,16 @@ object SemIndexJob {
     // marker BEFORE the piece lands — marker-present is the fail-safe
     // direction (review r16 second pass)
     recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
-    val pieceName = batchId.map(b => s"piece_batch_$b")
-      .getOrElse(s"piece_${newEpoch()}")
     // tag-then-publish (ADVICE r16): write + tag in a staging dir, then
-    // one rename publishes an always-tagged piece; the pre-publish
-    // existence check keeps the errorifexists retry-loudness (a crash
-    // BEFORE the rename leaves only stage residue, and the retry
-    // legitimately succeeds; a crash AFTER it fails loud here)
+    // one rename publishes an always-tagged piece; a crash BEFORE the
+    // rename leaves only stage residue and the retry legitimately
+    // succeeds. The existence check is re-asserted at publish time (not
+    // just at tick start) because a Hadoop rename onto an EXISTING dir
+    // target silently moves the stage INSIDE it instead of failing.
     val stage = s"$standingDir/.ingest_stage"
     freshA.write.mode("overwrite").parquet(stage)
     tagPiece(spark, stage, epoch)
-    val sfs = hfs(spark, standingDir)
-    require(!sfs.exists(hpath(s"$standingDir/$pieceName")),
-      s"$standingDir/$pieceName already exists — this batch already " +
-        "landed (a retried tick must not ingest it twice); pass a fresh " +
-        "--batch-id if this is genuinely a new batch")
+    requireUnlanded()
     renameChecked(sfs, hpath(stage), hpath(s"$standingDir/$pieceName"))
     val newPairs = spark.read.parquet(pairsOut).count()
     // probe bill in rows — the drift signal --auto-retrain acts on.

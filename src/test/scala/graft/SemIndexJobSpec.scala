@@ -308,12 +308,21 @@ class SemIndexJobSpec extends AnyFunSuite {
       margin = Double.PositiveInfinity, batchId = Some("2026-08-15"))
     assert(st.newPairs > 0)
     assert(exists(s"$standingDir/piece_batch_2026-08-15"))
-    // a blind retry of the landed tick must fail loud, not duplicate
+    // a blind retry of the landed tick must fail loud, not duplicate —
+    // and must refuse BEFORE touching any output (review r17): a retry
+    // that recomputed pairs would do so against a standing set that now
+    // contains the batch's own piece, replacing the first attempt's
+    // correct pair output with a polluted one on the way to the failure.
+    // Retry into the SAME pairsOut as the landed tick; it must survive
+    // byte-identically.
+    val pairsBefore = spark.read.parquet(s"$root/pairs_a").collect().toSet
     intercept[Exception] {
       SemIndexJob.day(spark, emb(0, 400), indexDir, standingDir,
-        s"$root/pairs_b", tau = 0.9, probes = 1,
+        s"$root/pairs_a", tau = 0.9, probes = 1,
         margin = Double.PositiveInfinity, batchId = Some("2026-08-15"))
     }
+    assert(spark.read.parquet(s"$root/pairs_a").collect().toSet ==
+      pairsBefore, "retried tick rewrote the landed tick's pair output")
   }
 
   test("--auto-retrain: baseline, trigger, retrain, reset (VERDICT r15 item 4)") {
