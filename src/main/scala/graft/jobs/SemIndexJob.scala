@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   *                          run used to emit duplicate pairs)
   *   <standingDir>/_probe_baseline — the post-(re)train probe_rows/batch
   *                          level `--auto-retrain` measures creep against
+  *   <standingDir>/_landed_batch_<id> — ingestion ledger: one marker per
+  *                          landed batch id, surviving retrain/compact
+  *                          (which erase the piece NAMES), so a blind
+  *                          retry of a landed tick refuses loud at any
+  *                          later point in the loop's history
   *   <indexDir>/_epoch and <standingDir>/piece_* /_epoch — index
   *                          generation tags (review r16): every piece
   *                          records the index epoch it was assigned
@@ -68,6 +73,12 @@ import org.apache.spark.sql.functions._
   *   compact <standingDir>
   *     Rewrite all pieces into one (the probe-cost bound — README's
   *     measured +57 % drift at 20 uncompacted pieces).
+  *   retrain <indexDir> <standingDir>
+  *     Retrain + refreeze the index on the full standing corpus and
+  *     reassign everything into one piece — the fixed-schedule posture
+  *     (README's `--retrain-every` arm) as an operable verb, for
+  *     orchestrators that refresh on a calendar instead of arming
+  *     `--auto-retrain`'s creep rule. Doubles as compaction.
   *   check <allEmbeddings> <indexDir> <pairsDir> [pairsDir ...]
   *     The sym_diff audit as an operable command: run the frozen
   *     full-batch pipeline over <allEmbeddings> (same flags as the loop)
@@ -107,6 +118,20 @@ object SemIndexJob {
 
   private val MultiMarker = "_multi_membership"
   private val BaselineFile = "_probe_baseline"
+
+  /** Landed-batch ledger (review r17): the day tick's retry refusal used
+    * to rest on the `piece_batch_<id>` NAME existing — but retrain and
+    * compact collapse every piece into one, ERASING those names, so a
+    * blind retry of a landed tick after either rewrite re-ingested the
+    * batch silently (duplicate vectors in the standing set, inflated
+    * probe bills). Each published batch piece therefore also writes a
+    * `_landed_batch_<id>` marker that the rewrites leave in place —
+    * retrain/compact change layout, not ingestion history — and
+    * [[day]]'s refusal checks BOTH. Only `bootstrap` clears the ledger
+    * (it starts a new standing corpus). Written AFTER the piece rename:
+    * a crash between the two leaves the piece name itself to collide
+    * loud, so no ordering window re-opens the hazard. */
+  private val LedgerPrefix = "_landed_"
 
   private def hfs(spark: SparkSession, dir: String) =
     org.apache.hadoop.fs.FileSystem.get(
@@ -342,6 +367,14 @@ object SemIndexJob {
         s"${leftover.map(_.getName).mkString(", ")} — compact/clean the " +
         "dir or use a fresh one")
     clearBaseline(spark, standingDir)
+    // a NEW standing corpus starts with an empty ingestion history: stale
+    // ledger markers from a previous loop in the same dir would falsely
+    // refuse the new loop's batches on id reuse (review r17)
+    val bfs = hfs(spark, standingDir)
+    if (bfs.exists(hpath(standingDir)))
+      bfs.listStatus(hpath(standingDir))
+        .filter(_.getPath.getName.startsWith(LedgerPrefix))
+        .foreach(s => bfs.delete(s.getPath, false))
     val multi = probes > 1 || subMargin > 1.0
     // marker BEFORE the piece lands (review r16 second pass): a crash
     // between the two must err toward marker-present — a spurious
@@ -401,11 +434,20 @@ object SemIndexJob {
     val pieceName = batchId.map(b => s"piece_batch_$b")
       .getOrElse(s"piece_${newEpoch()}")
     val sfs = hfs(spark, standingDir)
-    def requireUnlanded(): Unit =
+    def requireUnlanded(): Unit = {
       require(!sfs.exists(hpath(s"$standingDir/$pieceName")),
         s"$standingDir/$pieceName already exists — this batch already " +
           "landed (a retried tick must not ingest it twice); pass a fresh " +
           "--batch-id if this is genuinely a new batch")
+      // the ledger outlives the piece NAME (retrain/compact collapse
+      // pieces into one), so a retry after either rewrite still refuses
+      batchId.foreach(b =>
+        require(!sfs.exists(hpath(s"$standingDir/${LedgerPrefix}batch_$b")),
+          s"batch $b already landed in $standingDir (its piece was since " +
+            "compacted/retrained into the merged piece — the ledger " +
+            s"marker ${LedgerPrefix}batch_$b records it); pass a fresh " +
+            "--batch-id if this is genuinely a new batch"))
+    }
     requireUnlanded()
     // read the epoch ONCE, before any work: pairs and piece written by
     // this tick are both artifacts of THIS index generation (a retrain
@@ -457,6 +499,9 @@ object SemIndexJob {
     tagPiece(spark, stage, epoch)
     requireUnlanded()
     renameChecked(sfs, hpath(stage), hpath(s"$standingDir/$pieceName"))
+    batchId.foreach(b =>
+      writeSmall(sfs, s"$standingDir/${LedgerPrefix}batch_$b",
+        epoch.getOrElse("")))
     val newPairs = spark.read.parquet(pairsOut).count()
     // probe bill in rows — the drift signal --auto-retrain acts on.
     // README's measured rule: probe_rows/batch creeps ≥ ~10 % above its
@@ -708,6 +753,13 @@ object SemIndexJob {
       case Seq("compact", standingDir) =>
         compact(spark, standingDir)
         println(f"""{"metric":"sem_index_compact","wall_sec":$wall%.1f}""")
+      case Seq("retrain", indexDir, standingDir) =>
+        // the fixed-schedule posture (README's --retrain-every bench arm)
+        // as an operable verb: --auto-retrain EXECUTES the creep rule,
+        // but an orchestrator running a scheduled refresh needs the
+        // retrain itself (which doubles as compaction) without a day tick
+        retrain(spark, indexDir, standingDir, probes, margin, subMargin)
+        println(f"""{"metric":"sem_index_retrain","wall_sec":$wall%.1f}""")
       case "check" +: embPath +: indexDir +: pairsDirs if pairsDirs.nonEmpty =>
         val (nFull, nChained, symDiff) = check(spark,
           spark.read.parquet(embPath), indexDir, pairsDirs, tau, probes,
@@ -719,7 +771,7 @@ object SemIndexJob {
         "usage: SemIndexJob train <emb> <indexDir> | " +
           "bootstrap <emb> <indexDir> <standingDir> [pairsOut] | " +
           "day <fresh> <indexDir> <standingDir> <pairsOut> | " +
-          "compact <standingDir> | " +
+          "compact <standingDir> | retrain <indexDir> <standingDir> | " +
           "check <emb> <indexDir> <pairsDir...>  " +
           "[--probes=N --margin=F --sub-margin=F --tau=T " +
           "--auto-retrain[=pct] --batch-id=ID]" +

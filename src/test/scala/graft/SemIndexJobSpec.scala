@@ -323,6 +323,39 @@ class SemIndexJobSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(s"$root/pairs_a").collect().toSet ==
       pairsBefore, "retried tick rewrote the landed tick's pair output")
+    // the refusal must survive the piece NAME being erased (review r17):
+    // compact collapses piece_batch_* into piece_compacted, and retrain
+    // does the same — the name-collision check alone would then let a
+    // blind retry re-ingest the batch silently. The _landed_batch ledger
+    // carries the refusal across the rewrite.
+    SemIndexJob.compact(spark, standingDir)
+    assert(!exists(s"$standingDir/piece_batch_2026-08-15"))
+    val exPost = intercept[IllegalArgumentException] {
+      SemIndexJob.day(spark, emb(0, 400), indexDir, standingDir,
+        s"$root/pairs_b", tau = 0.9, probes = 1,
+        margin = Double.PositiveInfinity, batchId = Some("2026-08-15"))
+    }
+    assert(exPost.getMessage.contains("already landed"), exPost.getMessage)
+    // a genuinely new batch still lands
+    val st2 = SemIndexJob.day(spark, emb(2000, 2400), indexDir, standingDir,
+      s"$root/pairs_c", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity, batchId = Some("2026-08-16"))
+    assert(st2.freshN == 400)
+    // ...and a NEW bootstrap into the dir resets the ingestion history:
+    // the ledger is a property of the standing corpus, not the path
+    // (bootstrap refuses while pieces remain — clean them first, the
+    // documented operator action for reusing a dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(standingDir), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(standingDir))
+      .filter(_.getPath.getName.startsWith("piece_"))
+      .foreach(s => fs.delete(s.getPath, true))
+    SemIndexJob.bootstrap(spark, emb(400, 2000), indexDir, standingDir,
+      probes = 1, margin = Double.PositiveInfinity)
+    val st3 = SemIndexJob.day(spark, emb(0, 400), indexDir, standingDir,
+      s"$root/pairs_d", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity, batchId = Some("2026-08-15"))
+    assert(st3.freshN == 400)
   }
 
   test("--auto-retrain: baseline, trigger, retrain, reset (VERDICT r15 item 4)") {
