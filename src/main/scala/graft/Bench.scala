@@ -97,14 +97,22 @@ object Bench {
     * regressed path, e.g. q_embed_kmeans and the coarse_sec timer both
     * contain the coarse k-means build). Keeping same-path sentinels in
     * one family is what stops a one-commit regression from counting
-    * twice and self-labeling as contention (ADVICE r16). */
+    * twice and self-labeling as contention (ADVICE r16). A family is
+    * the full CONSUMER SET of a shared artifact, not just its build-path
+    * twins (review r17 second pass): a regression that grows the shared
+    * near-dup pair set inflates pairs_sec AND q_dedup_apply (which
+    * processes it), and a coarse-k-means regression reaches
+    * q_dedup_semantic alongside coarse_sec/q_embed_kmeans — grouped
+    * apart, either one-commit regression would cross the 2-family trip
+    * and self-label as contention. q_dedup_incremental_sem builds its
+    * own frozen index (no shared artifact), so it stands alone. */
   private[graft] val SentinelFamily: Map[String, String] = Map(
     "q_mempool_merge" -> "merge", "merge_sec" -> "merge",
     "q_sink_hourly" -> "sink", "q_archive_compact" -> "archive",
     "q_stream_dedup_ttl" -> "stream", "q_rpc_enrich" -> "rpc",
     "q_bpe_train6" -> "bpe", "q_dedup_ngram_jaccard" -> "jaccard",
-    "q_dedup_apply" -> "apply", "pairs_sec" -> "pairs",
-    "q_dedup_semantic" -> "sem", "q_dedup_incremental_sem" -> "sem",
+    "q_dedup_apply" -> "pairs", "pairs_sec" -> "pairs",
+    "q_dedup_semantic" -> "kmeans", "q_dedup_incremental_sem" -> "semindex",
     "q_embed_kmeans" -> "kmeans", "coarse_sec" -> "kmeans",
     "q_embed_pq" -> "pq", "pq_sec" -> "pq",
     "q_sim_ann_ivf" -> "ivf")

@@ -130,8 +130,23 @@ object SemIndexJob {
     * [[day]]'s refusal checks BOTH. Only `bootstrap` clears the ledger
     * (it starts a new standing corpus). Written AFTER the piece rename:
     * a crash between the two leaves the piece name itself to collide
-    * loud, so no ordering window re-opens the hazard. */
+    * loud — and because that window leaves a batch piece WITHOUT a
+    * marker, compact/retrain BACKFILL a marker for every
+    * `piece_batch_*` name they are about to erase (review r17 second
+    * pass: without the backfill, crash-after-rename followed by a
+    * rewrite re-opened the silent double-ingestion the ledger closes). */
   private val LedgerPrefix = "_landed_"
+
+  /** Backfill ledger markers for batch pieces a rewrite is about to
+    * collapse — the marker, not the piece name, carries the retry
+    * refusal from then on. */
+  private def backfillLedger(fs: org.apache.hadoop.fs.FileSystem,
+      standingDir: String,
+      old: Array[org.apache.hadoop.fs.Path]): Unit =
+    old.map(_.getName).filter(_.startsWith("piece_batch_")).foreach { n =>
+      val marker = s"$standingDir/$LedgerPrefix${n.stripPrefix("piece_")}"
+      if (!fs.exists(hpath(marker))) writeSmall(fs, marker, "")
+    }
 
   private def hfs(spark: SparkSession, dir: String) =
     org.apache.hadoop.fs.FileSystem.get(
@@ -248,8 +263,10 @@ object SemIndexJob {
     * readers and travel with the dir through renames), and `day`
     * requires every standing piece's epoch to match the index's before
     * probing. A crash inside any swap window now fails LOUD on the next
-    * tick instead of silently losing pairs. Epochs absent on either
-    * side (pre-epoch layouts) skip the check. */
+    * tick instead of silently losing pairs. Only epochs absent on BOTH
+    * sides (a fully pre-epoch layout) skip the check — one tagged side
+    * over an untagged other is unverifiable and refuses in either
+    * direction (ADVICE r16 / review r17). */
   private val EpochFile = "_epoch"
 
   private def indexEpoch(spark: SparkSession, indexDir: String)
@@ -260,6 +277,22 @@ object SemIndexJob {
       epoch: Option[String]): Unit =
     epoch.foreach(e =>
       writeSmall(hfs(spark, pieceDir), s"$pieceDir/$EpochFile", e))
+
+  /** Write `df` + its epoch tag into a staging dir, then one rename
+    * publishes an always-tagged output — the same tag-then-publish
+    * protocol pieces use, for the pair dirs (review r17 second pass:
+    * a post-publish tag left a crash window producing a complete-looking
+    * untagged pair dir that `check`'s refusal fail-open skips). The
+    * target is replaced wholesale; callers own retry semantics. */
+  private def publishTagged(spark: SparkSession, out: String,
+      epoch: Option[String])(df: => DataFrame): Unit = {
+    val stage = out + ".stage"
+    df.write.mode("overwrite").parquet(stage)
+    tagPiece(spark, stage, epoch)
+    val fs = hfs(spark, out)
+    fs.delete(hpath(out), true)
+    renameChecked(fs, hpath(stage), hpath(out))
+  }
 
   /** A leftover `.retrain_old_*` / `.compact_old_*` trash dir means a
     * swap crashed AFTER some pieces left the standing set but BEFORE
@@ -301,6 +334,14 @@ object SemIndexJob {
           "cannot be verified; run retrain (which rewrites and tags " +
           "every piece) or tag it manually after confirming it was " +
           "assigned under this index")
+      // the mirror-image fail-open (review r17 second pass): an UNTAGGED
+      // index over tagged pieces is the restored-pre-epoch-backup case —
+      // the pieces' generation is unverifiable against it, same as above
+      require(idx.nonEmpty || pe.isEmpty,
+        s"standing piece ${p.getName} is tagged epoch ${pe.get} but the " +
+          "index carries no epoch — a pre-epoch index was restored over " +
+          "an epoch-tagged standing set; restore the index that matches " +
+          "the pieces' epoch (or retrain) before the next day tick")
       require(idx.isEmpty || pe == idx,
         s"standing piece ${p.getName} was assigned under index epoch " +
           s"${pe.get} but the index is epoch ${idx.get} — a crashed " +
@@ -326,15 +367,23 @@ object SemIndexJob {
   private[graft] def deriveBatchId(spark: SparkSession,
       path: String): String = {
     val fs = hfs(spark, path)
-    val st = fs.getFileStatus(hpath(path))
+    // digest the QUALIFIED path, not the raw argument (review r17 second
+    // pass): a retry spelled /data/b1/ or file:///data/b1 names the same
+    // files as /data/b1 but a raw-string digest would derive a fresh id
+    // and silently re-ingest — the exact hazard this digest exists to
+    // close. makeQualified normalizes scheme, authority, relative
+    // resolution, and trailing slashes.
+    val qualified = fs.makeQualified(hpath(path))
+    val st = fs.getFileStatus(qualified)
     val entries =
       if (st.isDirectory)
-        fs.listStatus(hpath(path))
+        fs.listStatus(qualified)
           .filterNot(_.getPath.getName.startsWith("_"))
           .map(s => s"${s.getPath.getName}:${s.getLen}").sorted
       else Array(s"${st.getPath.getName}:${st.getLen}")
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(qualified.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     entries.foreach { e =>
       md.update(0.toByte)
       md.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -399,13 +448,17 @@ object SemIndexJob {
     fs.delete(hpath(s"$standingDir/piece_boot"), true)
     renameChecked(fs, hpath(stage), hpath(s"$standingDir/piece_boot"))
     pairsOut.foreach { out =>
-      SimilarityOps.semDupPairsAssigned(spark,
+      // pair outputs carry the epoch they were emitted under — `check`
+      // refuses a pair chain that spans a retrain (VERDICT r16 item 2).
+      // Tag-then-publish like the pieces (review r17 second pass): a
+      // crash between a direct write and a post-hoc tag would leave a
+      // complete-looking UNTAGGED pair dir that check's epoch refusal
+      // fail-open skips, re-admitting the bare mixed-epoch sym_diff.
+      publishTagged(spark, out, epoch) {
+        SimilarityOps.semDupPairsAssigned(spark,
           spark.read.parquet(s"$standingDir/piece_boot"), tau,
           multiAssigned = probes > 1 || subMargin > 1.0)
-        .write.mode("overwrite").parquet(out)
-      // pair outputs carry the epoch they were emitted under — `check`
-      // refuses a pair chain that spans a retrain (VERDICT r16 item 2)
-      tagPiece(spark, out, epoch)
+      }
     }
   }
 
@@ -481,10 +534,11 @@ object SemIndexJob {
       .join(broadcast(fb), Seq("vec_b"), "left")
       .filter(col("ta").isNotNull || col("tb").isNotNull)
       .select("vec_a", "vec_b", "cos")
-    dp.write.mode("overwrite").parquet(pairsOut)
-    // the pair set is an artifact of this index generation — stamp it so
-    // `check` can refuse a chain that spans a retrain (VERDICT r16 item 2)
-    tagPiece(spark, pairsOut, epoch)
+    // the pair set is an artifact of this index generation — stamped so
+    // `check` can refuse a chain that spans a retrain (VERDICT r16
+    // item 2), tag-then-publish so no crash window leaves a published
+    // pair dir untagged (review r17 second pass)
+    publishTagged(spark, pairsOut, epoch)(dp)
     // marker BEFORE the piece lands — marker-present is the fail-safe
     // direction (review r16 second pass)
     recordMembership(spark, standingDir, probes > 1 || subMargin > 1.0)
@@ -591,6 +645,7 @@ object SemIndexJob {
     tagPiece(spark, s"$standingDir/.retrain_stage", Some(epoch))
     // ---- everything below is the swap: staged state is complete ----
     val fs = hfs(spark, standingDir)
+    backfillLedger(fs, standingDir, pieceDirs(spark, standingDir))
     val trash = hpath(s"$standingDir/.retrain_old_$epoch")
     fs.mkdirs(trash)
     pieceDirs(spark, standingDir).foreach(p =>
@@ -639,6 +694,7 @@ object SemIndexJob {
     merged.write.mode("overwrite").parquet(s"$standingDir/.compact_stage")
     epochs.headOption.foreach(e =>
       tagPiece(spark, s"$standingDir/.compact_stage", Some(e)))
+    backfillLedger(fs, standingDir, old)
     val stamp = newEpoch()
     val trash = hpath(s"$standingDir/.compact_old_$stamp")
     fs.mkdirs(trash)
@@ -673,12 +729,21 @@ object SemIndexJob {
         ") — the loop retrained mid-chain, so the single-frozen-index " +
         "full-batch equality does not apply; audit each epoch's pair " +
         "dirs separately against the index that emitted them")
-    distinctEpochs.headOption.foreach(e =>
-      require(idxEpoch.forall(_ == e),
+    distinctEpochs.headOption.foreach { e =>
+      // an UNTAGGED index under tagged pair dirs is the restored
+      // pre-epoch-backup case — it cannot be the index that emitted
+      // these pairs (tagging derives from the index's own epoch), so
+      // the audit's premise is unverifiable (review r17 second pass)
+      require(idxEpoch.nonEmpty,
+        s"pair dirs were emitted under index epoch $e but the index " +
+          "carries no epoch — a pre-epoch index was restored over the " +
+          "loop's layout; restore the emitting index before auditing")
+      require(idxEpoch.contains(e),
         s"pair dirs were emitted under index epoch $e but the index is " +
           s"epoch ${idxEpoch.get} — the index was retrained after these " +
           "pairs, so a sym_diff against it is meaningless; restore the " +
-          "emitting index or re-run the loop under the current one"))
+          "emitting index or re-run the loop under the current one")
+    }
     val index = loadIndex(spark, indexDir)
     val fullA = SimilarityOps
       .semIndexAssign(spark, emb, index, probes, margin, subMargin)

@@ -75,7 +75,7 @@ class BenchLabelSpec extends AnyFunSuite {
       "q_dedup_semantic" -> 3.06, "q_mempool_merge" -> 4.60)
     assert(Bench.canaryOutliers(r15, 3.0) == Seq("q_dedup_apply"))
     assert(Bench.canaryFamiliesOver(r15, 1.5) ==
-      Seq("apply", "jaccard", "sem"))
+      Seq("jaccard", "kmeans", "pairs"))
     // BENCH_r16: a contiguous sim/embed family at 1.5–2.2× while every
     // then-canary AND both calibrations sat idle — the episode the old
     // any-canary-3× rule missed (no sentinel cleared 3×). The new
@@ -96,13 +96,22 @@ class BenchLabelSpec extends AnyFunSuite {
     val regression = Map("q_dedup_apply" -> 7.0,
       "q_dedup_ngram_jaccard" -> 2.4, "q_embed_kmeans" -> 1.2,
       "coarse_sec" -> 1.0, "merge_sec" -> 4.1)
-    assert(Bench.canaryFamiliesOver(regression, 1.5) == Seq("apply"))
+    assert(Bench.canaryFamiliesOver(regression, 1.5) == Seq("pairs"))
     assert(Bench.canaryOutliers(regression, 3.0) == Seq("q_dedup_apply"))
     // a same-path twin pair (q_embed_kmeans + coarse_sec both carry the
     // coarse k-means build) counts as ONE family — a one-commit
     // regression there can't fake contention breadth
     val twinRegression = Map("q_embed_kmeans" -> 2.5, "coarse_sec" -> 2.2)
     assert(Bench.canaryFamiliesOver(twinRegression, 1.5) == Seq("kmeans"))
+    // families are the full CONSUMER set of a shared artifact, not just
+    // build-path twins (review r17): a regression that grows the shared
+    // pair set inflates its timer AND its consumer, a coarse-k-means
+    // regression reaches q_dedup_semantic — each must still count ONE
+    assert(Bench.canaryFamiliesOver(
+      Map("pairs_sec" -> 1.2, "q_dedup_apply" -> 3.5), 1.5) == Seq("pairs"))
+    assert(Bench.canaryFamiliesOver(
+      Map("coarse_sec" -> 2.1, "q_embed_kmeans" -> 2.4,
+        "q_dedup_semantic" -> 3.2), 1.5) == Seq("kmeans"))
     // uniform warm-box tax (+10–20 %) never reaches even the 1.5×
     // breadth threshold, let alone the 2.5× annotation
     assert(Bench.canaryFamiliesOver(

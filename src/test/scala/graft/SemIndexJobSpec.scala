@@ -172,6 +172,20 @@ class SemIndexJobSpec extends AnyFunSuite {
         margin = Double.PositiveInfinity)
     }
     assert(ex.getMessage.contains("no epoch tag"), ex.getMessage)
+    // the MIRROR fail-open (review r17): a pre-epoch index backup
+    // restored over tagged pieces — the tagged side proves an epoch
+    // regime existed, so the untagged index is unverifiable too
+    val tag = fs.create(new org.apache.hadoop.fs.Path(
+      s"$standingDir/piece_boot/_epoch"), true)
+    tag.write("deadbeef".getBytes); tag.close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/_epoch"), false)
+    val exIdx = intercept[IllegalArgumentException] {
+      SemIndexJob.day(spark, emb(0, 400), indexDir, standingDir,
+        s"$root/pairs", tau = 0.9, probes = 1,
+        margin = Double.PositiveInfinity)
+    }
+    assert(exIdx.getMessage.contains("index carries no epoch"),
+      exIdx.getMessage)
   }
 
   test("check refuses pair chains that span a retrain (VERDICT r16 item 2)") {
@@ -218,6 +232,19 @@ class SemIndexJobSpec extends AnyFunSuite {
       Seq(s"$root/pairs_d1"), tau = 0.9, probes = 1,
       margin = Double.PositiveInfinity)
     assert(nFull > 0)
+    // a pre-epoch index restored over tagged pair dirs (review r17):
+    // it cannot be the emitting index, so the audit refuses rather than
+    // passing the vacuous forall
+    val ifs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    ifs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/_epoch"), false)
+    val exNoIdx = intercept[IllegalArgumentException] {
+      SemIndexJob.check(spark, emb(0, 400), indexDir,
+        Seq(s"$root/pairs_d1"),
+        tau = 0.9, probes = 1, margin = Double.PositiveInfinity)
+    }
+    assert(exNoIdx.getMessage.contains("index carries no epoch"),
+      exNoIdx.getMessage)
   }
 
   test("CLI default batch id derives from the input's identity (ADVICE r16)") {
@@ -237,8 +264,17 @@ class SemIndexJobSpec extends AnyFunSuite {
     // rewriting the SAME path with different content changes the id
     // (the listing digest covers file names + lengths)
     emb(0, 500).write.mode("overwrite").parquet(s"$root/batch_a")
-    assert(SemIndexJob.deriveBatchId(spark, s"$root/batch_a") != id1,
+    val id3 = SemIndexJob.deriveBatchId(spark, s"$root/batch_a")
+    assert(id3 != id1,
       "a reused staging path with new content derived the old id")
+    // equivalent SPELLINGS of the same path derive the same id (review
+    // r17: a raw-string digest made a trailing-slash or file:-qualified
+    // retry look like a new batch — the silent re-ingestion the digest
+    // exists to close)
+    assert(SemIndexJob.deriveBatchId(spark, s"$root/batch_a/") == id3,
+      "trailing slash changed the derived batch id")
+    assert(SemIndexJob.deriveBatchId(spark, s"file:$root/batch_a") == id3,
+      "scheme qualification changed the derived batch id")
   }
 
   test("retrain dedups membership rows to one row per vector") {
@@ -341,6 +377,26 @@ class SemIndexJobSpec extends AnyFunSuite {
       s"$root/pairs_c", tau = 0.9, probes = 1,
       margin = Double.PositiveInfinity, batchId = Some("2026-08-16"))
     assert(st2.freshN == 400)
+    // the crash window BETWEEN the piece rename and the marker write
+    // (review r17 second pass): the piece name alone carries the refusal
+    // there — so a rewrite that erases the name must BACKFILL the marker
+    // for every piece_batch_* it collapses, or a post-rewrite retry
+    // silently re-ingests. Simulate: drop 2026-08-16's marker (as the
+    // crash would), compact, retry — still refused.
+    val lfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(standingDir), spark.sparkContext.hadoopConfiguration)
+    lfs.delete(new org.apache.hadoop.fs.Path(
+      s"$standingDir/_landed_batch_2026-08-16"), false)
+    SemIndexJob.compact(spark, standingDir)
+    assert(exists(s"$standingDir/_landed_batch_2026-08-16"),
+      "compact did not backfill the ledger for the piece it erased")
+    val exBackfill = intercept[IllegalArgumentException] {
+      SemIndexJob.day(spark, emb(2000, 2400), indexDir, standingDir,
+        s"$root/pairs_c2", tau = 0.9, probes = 1,
+        margin = Double.PositiveInfinity, batchId = Some("2026-08-16"))
+    }
+    assert(exBackfill.getMessage.contains("already landed"),
+      exBackfill.getMessage)
     // ...and a NEW bootstrap into the dir resets the ingestion history:
     // the ledger is a property of the standing corpus, not the path
     // (bootstrap refuses while pieces remain — clean them first, the

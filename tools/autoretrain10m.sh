@@ -7,7 +7,7 @@
 # cold JVM, like a production daily tick. Flags mirror the combined
 # bench posture (probes=2 margin=1.02 tau=0.9). Per-day planted recall
 # is computed from the emitted pair parquet by tools/recall.py.
-set -u
+set -u -o pipefail
 export SPARK_GRAFT_CPUS=32   # match the r16 10 M CLI drive (cold JVMs, 32 threads)
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
@@ -16,8 +16,12 @@ ROOT="${1:-/tmp/semcli10m}"
 FLAGS="--probes=2 --margin=1.02 --tau=0.9"
 
 j() {
-  echo "=== $1 (start $(date -u +%H:%M:%S)) ==="; shift
-  java $JVM $OPENS -cp "$CP" "$@" 2>&1 | grep '"metric"'
+  echo "=== $1 (start $(date -u +%H:%M:%S)) ==="; local tag="$1"; shift
+  # fail the whole campaign loudly on the first failed step: a swallowed
+  # train/bootstrap failure would cascade stale-state day ticks for an
+  # hour and emit numbers that look measured (review r17 second pass)
+  java $JVM $OPENS -cp "$CP" "$@" 2>&1 | grep '"metric"' || {
+    echo "=== $tag FAILED (exit $?) — aborting campaign ==="; exit 1; }
 }
 
 mkdir -p "$ROOT"
