@@ -282,6 +282,12 @@ object Bench {
       (Set("q_dedup_embedding_cos", "q_dedup_clusters", "q_dedup_clusters_star",
         "q_dedup_apply"),
         () => queries.DedupOps.releasePairs(spark, sfDir)),
+      (Set("q_dedup_clusters", "q_dedup_apply"),
+        () => queries.DedupOps.releaseCcLabels(spark, sfDir, star = false)),
+      (Set("q_dedup_clusters_star"),
+        () => queries.DedupOps.releaseCcLabels(spark, sfDir, star = true)),
+      (Set("q_dedup_ngram_jaccard"),
+        () => queries.DedupOps.releaseJaccardPerDoc(spark, sfDir)),
       (Set("q_embed_pq", "q_sim_ann_pq", "q_sim_ann_ivfpq"),
         () => queries.SimilarityOps.releasePqIndex(spark, sfDir)),
       (Set("q_embed_kmeans", "q_dedup_semantic", "q_sim_ann_ivfpq"),

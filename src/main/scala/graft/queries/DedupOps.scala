@@ -83,22 +83,36 @@ object DedupOps {
     simhashFpMemo.remove((System.identityHashCode(s), dir))
       .foreach(_.unpersist(false))
 
-  /** MinHash+LSH near-dup pairs over any (doc_id, text) frame — shared by
-    * q_dedup_minhash (over the planted corpus) and CorpusScaleBench
-    * (over million-doc synthetic corpora). Returns (doc_a, doc_b,
-    * jaccard_r ≥ 0.6), candidates banded and exact-verified. */
   /** Cached (doc_id, sh[, extra…]) shingle-array table — the one branch
     * point the signature pass and both verify joins read. Memoized on the
-    * semantic hash of the input plan so repeated calls over the same docs
-    * frame (pairs + index + incremental variants within one Verify/Bench
+    * input plan's identity so repeated calls over the same docs frame
+    * (pairs + index + incremental variants within one Verify/Bench
     * session) share ONE cache instead of pinning a fresh copy each; the
-    * session-end sweep (or an explicit release) unpersists it once. */
+    * session-end sweep (or an explicit release) unpersists it once.
+    * The key pairs the 32-bit semanticHash with an md5 of the
+    * canonicalized plan (review r17): this key controls CACHE IDENTITY —
+    * a bare-Int collision between two of the many distinct frames a
+    * daily-ingest loop accumulates would silently serve the wrong
+    * corpus's shingles to minhashVerify, wrong pairs and no error. */
   private val minhashBaseMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  private def minhashBaseKey(s: SparkSession, docs: DataFrame): (Int, String) = {
+    val analyzed = docs.queryExecution.analyzed
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val planMd5 = md.digest(analyzed.canonicalized.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    (System.identityHashCode(s), s"${analyzed.semanticHash()}_$planMd5")
+  }
+
+  /** MinHash+LSH near-dup pairs over any (doc_id, text) frame — shared by
+    * q_dedup_minhash (over the planted corpus) and CorpusScaleBench
+    * (over million-doc synthetic corpora); candidates banded and
+    * exact-verified. */
   private[graft] def minhashBase(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val key = (System.identityHashCode(s), docs.queryExecution.analyzed.semanticHash())
+    val key = minhashBaseKey(s, docs)
     SessionCaches.memoize(minhashBaseMemo, key, {
       SessionCaches.onRelease(s, s"dedup.minhash.base:${key._2}")(() =>
         minhashBaseMemo.remove(key).foreach(_.unpersist(false)))
@@ -123,10 +137,9 @@ object DedupOps {
     * heap's old generation — through the unrelated stages that follow
     * (measured r12: the 1 M-doc winnow pass ran 1.8× its linear cost
     * with the stale cache resident). */
-  private[graft] def releaseMinhashBase(s: SparkSession, docs: DataFrame): Unit = {
-    val key = (System.identityHashCode(s), docs.queryExecution.analyzed.semanticHash())
-    SessionCaches.release(s, s"dedup.minhash.base:${key._2}")
-  }
+  private[graft] def releaseMinhashBase(s: SparkSession, docs: DataFrame): Unit =
+    SessionCaches.release(s,
+      s"dedup.minhash.base:${minhashBaseKey(s, docs)._2}")
 
   /** Release EVERY memoized shingle base for `s` — for callers that
     * create bases on frames they never see (minhashPairsAgainstIndex
@@ -472,8 +485,107 @@ object DedupOps {
     CcResult(labels, rounds, release)
   }
 
-  /** docs ∪ deterministic near-dup copies (last two words dropped,
-    * doc_id + 1,000,000) so recall is testable at any SF. */
+  /** Memoized connected-component labels over the shared near-dup pair
+    * set — q_dedup_clusters and q_dedup_apply consume the min-label
+    * variant, q_dedup_clusters_star the star-contraction one. A CC run
+    * ends holding its final round's localCheckpoint blocks (OUTSIDE the
+    * cache manager — df.unpersist can't reach them), so query lambdas
+    * returning bare `.labels` leaked one label frame per RUN until
+    * session end (review r17: the ADVICE-r14 leak class re-introduced at
+    * the query boundary). Memoizing the CcResult gives repeated runs one
+    * shared frame, and the release path frees it — Bench after each
+    * variant's last consumer, the session sweep otherwise. */
+  private val ccLabelsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), CcResult]
+
+  private def ccLabels(s: SparkSession, dir: String,
+      star: Boolean): DataFrame = {
+    val variant = if (star) "star" else "minlabel"
+    val key = (System.identityHashCode(s), dir, variant)
+    SessionCaches.memoize(ccLabelsMemo, key, {
+      SessionCaches.onRelease(s, s"dedup.cc.labels:$variant:$dir")(() =>
+        ccLabelsMemo.remove(key).foreach(_.release()))
+      val nodes = Tables.embeddings(s, dir).select("vec_id")
+      if (star)
+        starComponents(pairsCache(s, dir)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")), nodes)
+      else {
+        val pairs = pairsCache(s, dir).select("vec_a", "vec_b")
+        minLabelComponents(
+          pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+            .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"))),
+          nodes)
+      }
+    }).labels
+  }
+
+  /** Free one variant's memoized CC label frame (idempotent) — Bench
+    * calls min-label after q_dedup_apply and star after
+    * q_dedup_clusters_star, each variant's last consumer. */
+  def releaseCcLabels(s: SparkSession, dir: String, star: Boolean): Unit =
+    SessionCaches.release(s,
+      s"dedup.cc.labels:${if (star) "star" else "minlabel"}:$dir")
+
+  /** Memoized canonical int-coded shingle sets for q_dedup_ngram_jaccard
+    * (review r17: docSh/dict/perDoc were cached per RUN with no release
+    * path — corpus-sized frames pinned until application end, the exact
+    * stale-resident-cache class the r12 note measures at 1.8×). The
+    * build materializes perDoc ONCE, eagerly drops the two build-only
+    * caches (the packed-codepoint shingle arrays and the charset³ dict —
+    * dead weight once perDoc exists), and memoizes perDoc with a release
+    * hook (Bench after q_dedup_ngram_jaccard, its only consumer; the
+    * session sweep otherwise).
+    *
+    * Tokenize ONCE — straight to SORTED DISTINCT packed-codepoint codes
+    * (codegen char_ngram_codes): no per-window string allocation, no
+    * boxed-hash array_distinct (the string tokenize dominated the whole
+    * pipeline before, r8). Global document frequency per shingle code
+    * broadcasts at ANY corpus size (charset³-bounded), and a dense
+    * df-ascending id (sid) replaces the shingle everywhere downstream
+    * (VERDICT r6 item 5) — packed-codepoint long order equals the old
+    * string order, so even the tie-break is unchanged. perDoc itself is
+    * int-coded arrays ~4 bytes/shingle, megabytes at any verify SF. */
+  private val jaccardPerDocMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def jaccardPerDoc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val t = 0.7
+    val key = (System.identityHashCode(s), dir)
+    SessionCaches.memoize(jaccardPerDocMemo, key, {
+      SessionCaches.onRelease(s, s"dedup.jaccard.perdoc:$dir")(() =>
+        jaccardPerDocMemo.remove(key).foreach(_.unpersist(false)))
+      val docSh = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          graft.functions.TextNgrams.char_ngram_codes(
+            col("text"), lit(3)).as("shs")).cache()
+      val sh2 = docSh.select(col("doc_id"), col("lang"), col("source"),
+        explode(col("shs")).as("s"))
+      val dfreq = sh2.groupBy("s").agg(count(lit(1)).as("df"))
+      // (a driver-side literal map + transform lookup was tried and
+      // measured SLOWER: higher-order lambdas run interpreted, the same
+      // 17× trap the vec_dot scaladoc records)
+      val dict = dfreq.select(col("s"),
+        row_number().over(Window.orderBy(col("df"), col("s"))).as("sid"))
+        .cache()
+      val perDoc = sh2.join(broadcast(dict), Seq("s"))
+        .groupBy("doc_id", "lang", "source")
+        .agg(array_sort(collect_list(col("sid"))).as("sh"))
+        .withColumn("n", size(col("sh")))
+        .withColumn("plen", (col("n") - ceil(col("n") * t) + 1).cast("int"))
+        .cache()
+      perDoc.count()
+      docSh.unpersist(false)
+      dict.unpersist(false)
+      perDoc
+    })
+  }
+
+  /** Free the memoized jaccard shingle-set table (idempotent). */
+  def releaseJaccardPerDoc(s: SparkSession, dir: String): Unit =
+    SessionCaches.release(s, s"dedup.jaccard.perdoc:$dir")
+
   /** Winnowing selected-fingerprint set (doc_id, mh, np): the window-min
     * chain shared by q_dedup_winnow and the LlmOpsSpec overlap check. */
   private[graft] def winnowSelected(s: SparkSession, dir: String): DataFrame =
@@ -699,7 +811,7 @@ object DedupOps {
       "blocked n-gram Jaccard near-dup (char 3-grams, exact, prefix-filtered)",
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, lang, source, substr(text, i, 3) AS s
-        |  FROM documents, generate_series(1, 600) t(i) WHERE i <= length(text) - 2),
+        |  FROM documents, generate_series(1, 1200) t(i) WHERE i <= length(text) - 2),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -709,51 +821,8 @@ object DedupOps {
         |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard_r
         |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
         |WHERE i * 1.0 / (x.n + y.n - i) >= 0.7""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      graft.functions.GraftFunctions.register(s)
       val t = 0.7 // = 7/10 — the integer bounds below use the exact rational
-      val docs = Tables.documents(s, dir)
-      // tokenize ONCE — straight to SORTED DISTINCT packed-codepoint
-      // codes (codegen char_ngram_codes): no per-window string
-      // allocation, no boxed-hash array_distinct; the string tokenize
-      // dominated the whole pipeline before (r8). Cached narrow: ~8
-      // bytes/shingle, corpus-sized, not the ~600× exploded row set the
-      // r1 note warns against caching. Both passes below (global df, int
-      // coding) explode from it instead of re-tokenizing.
-      val docSh = docs.select(col("doc_id"), col("lang"), col("source"),
-        graft.functions.TextNgrams.char_ngram_codes(
-          col("text"), lit(3)).as("shs")).cache()
-      val sh2 = docSh.select(col("doc_id"), col("lang"), col("source"),
-        explode(col("shs")).as("s"))
-      // global document frequency per shingle code: the char-3-gram
-      // domain is bounded by charset³, so this side broadcasts at ANY
-      // corpus size — the big shingle-row side never shuffles for the DF
-      // lookup. VERDICT r6 item 5: a dense df-ascending id (sid) replaces
-      // the shingle everywhere downstream, so sorting by sid alone IS the
-      // (df, shingle) canonical order — packed-codepoint long order
-      // equals the old string order, so even the tie-break is unchanged.
-      // The charset³-bounded global window (377 rows here) is dict-sized,
-      // not corpus-sized.
-      val dfreq = sh2.groupBy("s").agg(count(lit(1)).as("df"))
-      // dict is charset³-bounded (377 rows here) — its global window is
-      // dict-sized, and caching it keeps the perDoc build from replaying
-      // the dfreq chain. (A driver-side literal map + transform lookup
-      // was tried and measured SLOWER: higher-order lambdas run
-      // interpreted, the same 17× trap the vec_dot scaladoc records.)
-      val dict = dfreq.select(col("s"),
-        row_number().over(Window.orderBy(col("df"), col("s"))).as("sid"))
-        .cache()
-      // ONE doc-keyed aggregate builds everything both branches need: the
-      // canonical int shingle array (replacing the old row_number window
-      // over all shingle rows AND the separate verify-set aggregate).
-      // Cached: int-coded arrays are ~4 bytes/shingle with no string
-      // payload — megabytes at any verify SF, safe to park.
-      val perDoc = sh2.join(broadcast(dict), Seq("s"))
-        .groupBy("doc_id", "lang", "source")
-        .agg(array_sort(collect_list(col("sid"))).as("sh"))
-        .withColumn("n", size(col("sh")))
-        .withColumn("plen", (col("n") - ceil(col("n") * t) + 1).cast("int"))
-        .cache()
+      val perDoc = jaccardPerDoc(s, dir)
       // only the PREFIX slice (each doc's rarest ~30 %) enters the
       // self-join, with its 0-based position for the filter below
       val prefix = perDoc.select(col("doc_id"), col("n"), col("lang"),
@@ -898,10 +967,7 @@ object DedupOps {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v)
         |SELECT v AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY v""".stripMargin) { (s, dir) =>
-      val pairs = pairsCache(s, dir).select("vec_a", "vec_b")
-      val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-        .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-      minLabelComponents(edges, Tables.embeddings(s, dir).select("vec_id")).labels
+      ccLabels(s, dir, star = false)
     },
 
     // The same clustering via large-star/small-star contraction — the
@@ -934,9 +1000,7 @@ object DedupOps {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v)
         |SELECT v AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY v""".stripMargin) { (s, dir) =>
-      val pairs = pairsCache(s, dir)
-        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      starComponents(pairs, Tables.embeddings(s, dir).select("vec_id")).labels
+      ccLabels(s, dir, star = true)
     },
 
     // End-to-end dedup APPLY (differential-tested): what a corpus run
@@ -978,10 +1042,7 @@ object DedupOps {
         |WHERE d.doc_id NOT IN
         |  (SELECT vec_id FROM labels WHERE vec_id <> cluster_id)
         |GROUP BY d.lang""".stripMargin) { (s, dir) =>
-      val pairs = pairsCache(s, dir).select("vec_a", "vec_b")
-      val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-        .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-      val labels = minLabelComponents(edges, Tables.embeddings(s, dir).select("vec_id")).labels
+      val labels = ccLabels(s, dir, star = false)
       // Drop the LOSERS (non-canonical cluster members) rather than
       // keeping the keepers: keepers ≈ the whole corpus (every singleton
       // is its own canonical), while losers scale with the DUPLICATE

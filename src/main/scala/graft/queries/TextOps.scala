@@ -193,26 +193,40 @@ object TextOps {
       .select(regexp_replace(col("w"), "(.)", S + "$1" + S).as("t"))
       .cache()
     var words = base
-    val learned = (1 to rounds).map { step =>
-      // pair extraction rides the native codegen word_ngrams over the
-      // single-space form (tokens cannot contain spaces)
-      val sym = call_function("replace",
-        trim(col("t"), S), lit(S + S), lit(" "))
-      val top = words
-        .select(explode(graft.functions.TextNgrams.word_ngrams(sym, lit(2))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair")).limit(1)
-        .collect()(0) // 1-row aggregate, driver-scale by construction
-      val pair = top.getString(0)
-      val n = top.getLong(1)
-      val Array(a, b) = pair.split(" ", 2)
-      words = words.select(call_function("replace", col("t"),
-        lit(S + a + S + S + b + S), lit(S + a + b + S)).as("t"))
-      if (step % checkpointEvery == 0 && step < rounds)
-        words =
-          if (s.sparkContext.getCheckpointDir.isDefined) words.checkpoint()
-          else words.localCheckpoint()
-      (step, pair, a + b, n)
+    var exhausted = false
+    val learned = (1 to rounds).flatMap { step =>
+      if (exhausted) None
+      else {
+        // pair extraction rides the native codegen word_ngrams over the
+        // single-space form (tokens cannot contain spaces)
+        val sym = call_function("replace",
+          trim(col("t"), S), lit(S + S), lit(" "))
+        val tops = words
+          .select(explode(graft.functions.TextNgrams.word_ngrams(sym, lit(2))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .collect() // ≤ 1 row, driver-scale by construction
+        if (tops.isEmpty) {
+          // no pair left to merge (every word collapsed to one symbol) —
+          // stop with the rules learned so far, matching the DuckDB
+          // twin's empty-CTE degradation instead of crashing on (0)
+          // (review r17)
+          exhausted = true
+          None
+        } else {
+          val top = tops(0)
+          val pair = top.getString(0)
+          val n = top.getLong(1)
+          val Array(a, b) = pair.split(" ", 2)
+          words = words.select(call_function("replace", col("t"),
+            lit(S + a + S + S + b + S), lit(S + a + b + S)).as("t"))
+          if (step % checkpointEvery == 0 && step < rounds)
+            words =
+              if (s.sparkContext.getCheckpointDir.isDefined) words.checkpoint()
+              else words.localCheckpoint()
+          Some((step, pair, a + b, n))
+        }
+      }
     }
     base.unpersist()
     (learned, words)
@@ -1421,7 +1435,7 @@ object TextOps {
         |ch AS (
         |  SELECT doc_id, i AS idx,
         |    array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS chunk
-        |  FROM d, generate_series(0, 40) t(i) WHERE i*5 < len(ws)),
+        |  FROM d, generate_series(0, 120) t(i) WHERE i*5 < len(ws)),
         |dup AS (
         |  SELECT chunk, 1 AS dd FROM ch GROUP BY chunk
         |  HAVING COUNT(DISTINCT doc_id) >= 2),
