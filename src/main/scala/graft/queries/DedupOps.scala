@@ -889,7 +889,7 @@ object DedupOps {
          |d AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ')) AS t
          |      FROM docs),
          |g AS (SELECT doc_id, i, md5(substr(t, i, 5)) AS h
-         |      FROM d, generate_series(1, 700) s(i) WHERE i <= length(t) - 4),
+         |      FROM d, generate_series(1, 1200) s(i) WHERE i <= length(t) - 4),
          |wmin AS (
          |  SELECT doc_id, i,
          |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
