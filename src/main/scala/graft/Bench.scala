@@ -71,7 +71,14 @@ object Bench {
     * sentinels). Valid only at the sf0.1 dir the floors were measured
     * on — callers gate on that. */
   private[graft] val CanaryFloorSec: Map[String, Double] = Map(
-    "q_dedup_apply" -> 1.69, "q_dedup_ngram_jaccard" -> 2.28,
+    // apply re-floored r17: the CC-label memo removed its own CC re-run
+    // (labels now built once under q_dedup_clusters), so its clean time
+    // fell 1.7 → ~0.3 s; a stale-high floor would never trip (the
+    // ADVICE-r16 staleness mode). 0.30 = the 0.40 s reading on a
+    // self-labeled ~25 %-slow box, deflated — a slightly-low floor only
+    // makes this sentinel more sensitive, and the breadth rule still
+    // needs a second family to trip.
+    "q_dedup_apply" -> 0.30, "q_dedup_ngram_jaccard" -> 2.28,
     "q_dedup_semantic" -> 1.86, "q_mempool_merge" -> 3.83,
     "q_sink_hourly" -> 3.28, "q_bpe_train6" -> 3.39,
     "q_archive_compact" -> 3.21, "q_dedup_incremental_sem" -> 3.12,

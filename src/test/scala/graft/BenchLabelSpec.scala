@@ -81,9 +81,13 @@ class BenchLabelSpec extends AnyFunSuite {
     // any-canary-3× rule missed (no sentinel cleared 3×). The new
     // sentinels (kmeans family incl. the coarse_sec timer, ivf) plus
     // jaccard put three families over 1.5×.
+    // q_dedup_apply's artifact value (1.719 s, ratio 1.02 against the
+    // then-floor 1.69) predates the r17 CC-label memo that cut its clean
+    // time to ~0.3 s — the episode pins RATIOS, so the entry is restated
+    // at the same 1.02× of the post-memo floor
     val r16 = Map("q_embed_kmeans" -> 2.322, "coarse_sec" -> 2.137,
       "q_sim_ann_ivf" -> 3.384, "q_dedup_ngram_jaccard" -> 3.673,
-      "q_dedup_apply" -> 1.719, "merge_sec" -> 4.105,
+      "q_dedup_apply" -> 0.306, "merge_sec" -> 4.105,
       "pairs_sec" -> 0.589, "pq_sec" -> 1.837, "q_embed_pq" -> 1.999)
     assert(Bench.canaryFamiliesOver(r16, 1.5) ==
       Seq("ivf", "jaccard", "kmeans"))
