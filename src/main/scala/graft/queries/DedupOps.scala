@@ -477,6 +477,9 @@ object DedupOps {
       edges = ss
       rounds += 1
     }
+    // free the final round's blocks before throwing — a non-converged
+    // abort must not leak what the caller can never release (review r17)
+    if (!converged) release()
     require(converged, s"star contraction did not converge within $rounds rounds")
     // at the fixpoint every edge points a node at its component minimum
     val labels = nodes
