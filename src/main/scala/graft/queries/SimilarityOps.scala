@@ -48,7 +48,26 @@ object SimilarityOps {
     * keeps q_dedup_semantic hash-checkable against DuckDB. */
   val SemTargetCluster = 64.0
 
-  def semK(n: Long): Int = math.max(8, math.ceil(n / SemTargetCluster).toInt)
+  /** Composite cluster-id layout: cluster = (cell << SubBits) + sub.
+    * ONE constant shared by train (both the in-query blocking and the
+    * standing index) and BOTH assign paths (review r17: the 40 was
+    * duplicated as two local vals and two literals — a change to one
+    * would mis-layout ids with no require firing, and the daily
+    * sym_diff can't see it because both sides mis-assign identically). */
+  private[graft] val SubBits = 40
+
+  def semK(n: Long): Int = {
+    val k = math.ceil(n / SemTargetCluster).toLong
+    // loud, not saturated (review r17): Double→Int silently clamps at
+    // Int.MaxValue, which would FREEZE k past n ≈ 1.4e11 — per-cluster
+    // population then grows with N and the in-cluster all-pairs cosine
+    // degrades to O(N²/k) with no error. A corpus that big needs a
+    // sharded index layout, and the tool must say so.
+    require(k <= Int.MaxValue,
+      s"semK($n) = $k overflows Int — the ⌈N/64⌉ single-index sizing " +
+        "stops here; shard the corpus across indexes")
+    math.max(8, k.toInt)
+  }
 
   /** Twin-gate threshold shared by q_embed_rp and q_sim_ann_ivf: at
     * N ≤ this, the exact-decimal oracle-twin chain runs (the verify SFs
@@ -133,6 +152,11 @@ object SimilarityOps {
         vec_dot(col("embedding"), col("embedding"))
           - lit(2.0) * vec_dot(col("embedding"), col("m"))
           + vec_dot(col("m"), col("m")))
+      // SKINNY before the window (review r17): the group-limit sort must
+      // carry (vec_id, c, d2) only — with the embedding + centroid
+      // arrays aboard, the N×k1 scored expansion is the exact
+      // allocation shape the r15 note below records OOMing at 10 M
+      .select(col("vec_id"), col("c"), col("d2"))
       .withColumn("rk", row_number().over(w.orderBy(col("d2"), col("c"))))
       .filter(col("rk") <= 2)
       .groupBy("vec_id")
@@ -169,7 +193,13 @@ object SimilarityOps {
         assignVec(emb, trainVecCentroids(emb, 8))
           .select(col("vec_id"), col("c").as("cluster"))
       }
-    val pairs = semDupPairs(s, emb, clusters, tau)
+    // checkpoint the pair set BEFORE the CC loop (review r17): the loop
+    // joins `edges` once per round, and an uncached lineage would re-run
+    // the whole blocking + in-cluster cosine pipeline each time — every
+    // other CC caller (ClusterProbe, ccLabels, the scale bench) pins its
+    // edges first
+    val (pairs, relPairs) = DedupOps.checkpointReleasable(
+      semDupPairs(s, emb, clusters, tau))
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     val cc = DedupOps.minLabelComponents(edges, emb.select("vec_id"))
@@ -177,6 +207,7 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("cluster_id"))
       .select(col("vec_id").as("doc_id")))
     cc.release()
+    relPairs()
     (losers, release)
   }
 
@@ -742,7 +773,6 @@ object SimilarityOps {
       // cell ids are DENSE [0, k1) ([[denseCells]] — seed vec_ids would
       // wrap the shift on real doc-id spaces past 2^23, ADVICE r14), so
       // the k1 count bound below IS the max-cell-id bound.
-      val SubBits = 40
       require(k1.toLong < (1L << (63 - SubBits)),
         s"coarse cell count $k1 overflows the composite cluster id layout")
       val cells = assignVecProbes(emb, denseCells(trainVecCentroids(emb, k1)),
@@ -903,13 +933,18 @@ object SimilarityOps {
     require(k > FlatKCap,
       s"the standing index is a hierarchical-regime tool; semK($n)=$k <= $FlatKCap")
     val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val SubBits = 40
-    // dense cell labels (ADVICE r14): the composite (cell << 40) + sub id
+    // dense cell labels (ADVICE r14): the composite (cell << SubBits) + sub id
     // needs cell < 2^23, a bound on the cell COUNT only after the remap —
     // raw seed vec_ids wrap the shift on offset doc-id spaces.
     require(k1.toLong < (1L << (63 - SubBits)),
       s"coarse cell count $k1 overflows the composite cluster id layout")
-    val coarse = denseCells(trainVecCentroids(emb, k1))
+    // cache the k1-row coarse table (review r17): a LIVE (non-parquet)
+    // index — the in-query production branch, the scale bench — has
+    // consumers that evaluate `coarse` several times per action (cells,
+    // orphans, the assign broadcast), each replay re-running the full
+    // level-1 Lloyd train; parquet-backed CLI indexes never hit this.
+    // k1 ≈ √(N/64) rows — KBs at any N, safe to leave pinned.
+    val coarse = denseCells(trainVecCentroids(emb, k1)).cache()
     val cells = assignVec(emb, coarse)
       .select(col("vec_id"), col("c").as("cell"))
     val sub = flatMapVecGroups(s,
@@ -986,8 +1021,6 @@ object SimilarityOps {
   private[graft] def subMapMaxRows(maxHeapBytes: Long): Long =
     math.min(Int.MaxValue.toLong - 1,
       math.max(10000L, maxHeapBytes / 16 / SubRowBytes))
-  private[graft] def SubMapMaxRows: Long =
-    subMapMaxRows(Runtime.getRuntime.maxMemory)
 
   /** Session-aware gate: the collected map lives on the DRIVER heap and
     * a deserialized copy lands on every EXECUTOR via the broadcast, so
@@ -1065,8 +1098,14 @@ object SimilarityOps {
     // over-gate regime the bounded wasted collect is noise against the
     // giant index's own build cost.
     val subGate = subMapMaxRowsFor(s)
-    val bc = if (!floatEmb) null else subMapCache.synchronized {
-      val cached = subMapCache.get(index)
+    // the monitor guards only the map lookups — the gate-bounded collect
+    // and the broadcast run OUTSIDE it (review r17: holding a global
+    // lock across a Spark job serialized every concurrent assign behind
+    // one potentially minutes-long build). Two racing builders for the
+    // SAME index both build; putIfAbsent-style re-check keeps one, the
+    // loser's broadcast is destroyed eagerly.
+    val bc = if (!floatEmb) null else {
+      val cached = subMapCache.synchronized { subMapCache.get(index) }
       if (cached != null) cached
       else {
         val rows = index.sub.select(col("cell"), col("sub"), col("m"))
@@ -1081,8 +1120,11 @@ object SimilarityOps {
                 .sortBy(_._1)
             }
           val b = s.sparkContext.broadcast(subMap)
-          subMapCache.put(index, b)
-          b
+          subMapCache.synchronized {
+            val raced = subMapCache.get(index)
+            if (raced != null) { b.destroy(); raced }
+            else { subMapCache.put(index, b); b }
+          }
         }
       }
     }
@@ -1130,11 +1172,11 @@ object SimilarityOps {
               } else if (d2 < secndD) { secndD = d2; secnd = block(j)._1 }
               j += 1
             }
-            val first = (id, (cell << 40) + best, eb)
+            val first = (id, (cell << SubBits) + best, eb)
             // level-2 boundary runner-up, the [[localKmeansProbed]] rule
             // verbatim (knob-ON gate, within-margin, lower-sub ties)
             if (subM > 1.0 && secnd >= 0 && secndD <= subM * bestD)
-              Iterator(first, (id, (cell << 40) + secnd, eb))
+              Iterator(first, (id, (cell << SubBits) + secnd, eb))
             else Iterator.single(first)
           }
         }
@@ -1188,7 +1230,7 @@ object SimilarityOps {
         .filter(col("rk") === 1 ||
           col("d2") <= lit(subProbeMargin) * col("d2b"))
     val best = kept.select(col("vec_id"),
-      (shiftleft(col("cell"), 40) + col("sub")).as("cluster"))
+      (shiftleft(col("cell"), SubBits) + col("sub")).as("cluster"))
     best.join(emb, Seq("vec_id"))
       .select(col("vec_id"), col("cluster"), col("embedding"))
   }
@@ -1787,21 +1829,15 @@ object SimilarityOps {
           .select(col("vec_id"), col("cluster"),
             when(col("isdup").isNull, 1).otherwise(0).as("kept"))
       } else {
-        // corpus-scaled path: derived-k blocking, array-native in-cluster
-        // cosine (one cluster-keyed self-join over ≈64-row blocks)
+        // corpus-scaled path: derived-k blocking, then the ONE in-cluster
+        // pair scan the whole sem family shares (review r17: this branch
+        // re-implemented it as an embedding-carrying DataFrame self-join
+        // — two full embedding shuffles and ~2016 join rows per 64-member
+        // cluster each dragging two float arrays, missing the vec_pack
+        // hardening semDupPairs carries)
         graft.functions.GraftFunctions.register(s)
-        import graft.functions.VecOps.vec_dot
         val clus = semClusters(s, dir) // memoized + cached per dataset
-        val m = emb.join(clus, Seq("vec_id"))
-        val a = m.select(col("cluster"), col("vec_id").as("vec_a"),
-          col("embedding").as("ea"))
-        val b = m.select(col("cluster"), col("vec_id").as("vec_b"),
-          col("embedding").as("eb"))
-        val dup = a.join(b, Seq("cluster"))
-          .filter(col("vec_a") < col("vec_b"))
-          .filter(vec_dot(col("ea"), col("eb")) /
-            (sqrt(vec_dot(col("ea"), col("ea"))) *
-              sqrt(vec_dot(col("eb"), col("eb")))) >= 0.25)
+        val dup = semDupPairs(s, emb, clus, 0.25)
           .select(col("vec_b").as("vec_id")).distinct()
         clus.join(dup.withColumn("isdup", lit(1)), Seq("vec_id"), "left")
           .select(col("vec_id"), col("cluster"),

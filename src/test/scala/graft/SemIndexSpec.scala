@@ -194,8 +194,6 @@ class SemIndexSpec extends AnyFunSuite {
     // the live gate is the runtime-heap instantiation of the same rule;
     // the session-aware variant mins in spark.executor.memory (a no-op
     // on local[N], where no executor conf is set)
-    assert(SimilarityOps.SubMapMaxRows ==
-      SimilarityOps.subMapMaxRows(Runtime.getRuntime.maxMemory))
     assert(SimilarityOps.subMapMaxRowsFor(spark) ==
       SimilarityOps.subMapMaxRows(Runtime.getRuntime.maxMemory))
     // budget resolution (ADVICE r16): on a NON-local master with
