@@ -938,13 +938,16 @@ object SimilarityOps {
     // raw seed vec_ids wrap the shift on offset doc-id spaces.
     require(k1.toLong < (1L << (63 - SubBits)),
       s"coarse cell count $k1 overflows the composite cluster id layout")
-    // cache the k1-row coarse table (review r17): a LIVE (non-parquet)
-    // index — the in-query production branch, the scale bench — has
-    // consumers that evaluate `coarse` several times per action (cells,
-    // orphans, the assign broadcast), each replay re-running the full
-    // level-1 Lloyd train; parquet-backed CLI indexes never hit this.
-    // k1 ≈ √(N/64) rows — KBs at any N, safe to leave pinned.
-    val coarse = denseCells(trainVecCentroids(emb, k1)).cache()
+    // NOT cached, deliberately (review r17 revisited): a LIVE index's
+    // consumers do re-evaluate `coarse` a few times per action (each
+    // replay re-runs the level-1 Lloyd train — measured ~2.3 s at bench
+    // SF; parquet-backed CLI indexes never hit this), but a .cache()
+    // here makes the CacheManager substitute InMemoryRelations whose
+    // size statistics flip downstream join strategies — the assign
+    // plan's pinned partial WindowGroupLimit shape broke under
+    // cross-suite cache reuse. The bounded replay is the cheaper side
+    // of that trade; production persists the index as parquet anyway.
+    val coarse = denseCells(trainVecCentroids(emb, k1))
     val cells = assignVec(emb, coarse)
       .select(col("vec_id"), col("c").as("cell"))
     val sub = flatMapVecGroups(s,
