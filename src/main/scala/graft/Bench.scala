@@ -74,16 +74,18 @@ object Bench {
     // apply re-floored r17: the CC-label memo removed its own CC re-run
     // (labels now built once under q_dedup_clusters), so its clean time
     // fell 1.7 → ~0.3 s; a stale-high floor would never trip (the
-    // ADVICE-r16 staleness mode). 0.30 = the 0.40 s reading on a
-    // self-labeled ~25 %-slow box, deflated — a slightly-low floor only
-    // makes this sentinel more sensitive, and the breadth rule still
-    // needs a second family to trip.
-    "q_dedup_apply" -> 0.30, "q_dedup_ngram_jaccard" -> 2.28,
-    "q_dedup_semantic" -> 1.86, "q_mempool_merge" -> 3.83,
-    "q_sink_hourly" -> 3.28, "q_bpe_train6" -> 3.39,
-    "q_archive_compact" -> 3.21, "q_dedup_incremental_sem" -> 3.12,
-    "q_stream_dedup_ttl" -> 2.82, "q_rpc_enrich" -> 2.47,
-    "q_embed_kmeans" -> 1.16, "q_sim_ann_ivf" -> 1.84,
+    // ADVICE-r16 staleness mode). Seven floors re-stamped from the
+    // recovered-box 85.9 s record run (the post-campaign quiet box,
+    // calibrations 0.140/0.177) — per-key minima across that run, its
+    // 96.6 s sibling, and the prior floors, so a single run's lone
+    // spike (merge_sec 6.3 in the record run, incremental_sem 8.0 in
+    // the sibling) can't RAISE a floor.
+    "q_dedup_apply" -> 0.26, "q_dedup_ngram_jaccard" -> 2.28,
+    "q_dedup_semantic" -> 1.63, "q_mempool_merge" -> 3.83,
+    "q_sink_hourly" -> 3.03, "q_bpe_train6" -> 2.85,
+    "q_archive_compact" -> 3.21, "q_dedup_incremental_sem" -> 2.70,
+    "q_stream_dedup_ttl" -> 2.82, "q_rpc_enrich" -> 2.11,
+    "q_embed_kmeans" -> 1.16, "q_sim_ann_ivf" -> 1.60,
     "q_embed_pq" -> 1.97)
 
   /** Floors for the shared-artifact materialization timers the JSON
