@@ -301,6 +301,20 @@ object SemIndexJob {
     * every command refuses until the operator restores the trashed
     * pieces or confirms the rewrite completed and deletes the residue.
     * This is what makes the mid-rename-loop crash window LOUD. */
+  /** The day tick's staging dir is named FOR the piece it will become
+    * (review r17 third pass): a fixed shared ".ingest_stage" let two
+    * concurrent ticks with different batch ids cross-contaminate —
+    * tick B's overwrite replaces tick A's staged rows, then tick A tags
+    * and publishes a piece_batch_A holding batch B's vectors, marks A
+    * landed (lost forever behind the ledger) and strands B on the
+    * vanished stage. Per-piece naming keeps a same-batch retry
+    * overwriting its own residue while distinct batches can never share
+    * a stage (same-batch concurrency still loses exactly one writer,
+    * loudly, at the publish rename / landed-ledger check). */
+  private[graft] def ingestStage(standingDir: String,
+      pieceName: String): String =
+    s"$standingDir/.ingest_stage_$pieceName"
+
   private def requireNoTrash(spark: SparkSession, standingDir: String): Unit = {
     val fs = hfs(spark, standingDir)
     if (fs.exists(hpath(standingDir))) {
@@ -548,7 +562,7 @@ object SemIndexJob {
     // succeeds. The existence check is re-asserted at publish time (not
     // just at tick start) because a Hadoop rename onto an EXISTING dir
     // target silently moves the stage INSIDE it instead of failing.
-    val stage = s"$standingDir/.ingest_stage"
+    val stage = ingestStage(standingDir, pieceName)
     freshA.write.mode("overwrite").parquet(stage)
     tagPiece(spark, stage, epoch)
     requireUnlanded()
@@ -679,7 +693,22 @@ object SemIndexJob {
     // the merged piece keeps the pieces' (single, by requireEpoch-
     // checked day ticks) index epoch — compact changes layout, not
     // assignment generation
-    val epochs = old.flatMap(p => readSmall(fs, s"$p/$EpochFile")).distinct
+    val pieceEpochs = old.map(p => p -> readSmall(fs, s"$p/$EpochFile"))
+    val untagged = pieceEpochs.collect { case (p, None) => p.getName }
+    // all-or-none tagging (review r17 third pass): the old flatMap
+    // silently DROPPED untagged pieces, so compacting a pre-epoch piece
+    // (e.g. a restored old backup) alongside tagged ones stamped the
+    // merged piece with the tagged epoch — laundering rows whose
+    // assignment generation was never verified past the exact check
+    // day() refuses on. An all-untagged (fully pre-epoch) layout still
+    // compacts to an untagged piece, preserving what day() will see.
+    require(untagged.isEmpty || untagged.length == old.length,
+      s"pieces under $standingDir mix epoch-tagged and untagged " +
+        s"(untagged: ${untagged.mkString(", ")}) — an untagged piece's " +
+        "assignment generation is unverifiable and compacting it into a " +
+        "tagged piece would exempt it from the epoch check forever; run " +
+        "retrain instead")
+    val epochs = pieceEpochs.flatMap(_._2).distinct
     require(epochs.length <= 1,
       s"pieces under $standingDir carry mixed index epochs " +
         s"${epochs.mkString(", ")} — run retrain, not compact")
@@ -715,13 +744,33 @@ object SemIndexJob {
     * to print a bare, misleading nonzero sym_diff. `check` now refuses
     * mixed-epoch pair sets, and pair sets emitted under a superseded
     * index, instead of reporting a number whose premise is violated.
-    * Untagged dirs (pre-epoch layouts) skip the check. */
+    * Only a FULLY untagged layout (pair dirs and index) skips the
+    * check — a pre-epoch install auditing its own output; any untagged
+    * dir under a tagged index is refused (review r17 third pass). */
   def check(spark: SparkSession, emb: DataFrame, indexDir: String,
       pairsDirs: Seq[String], tau: Double, probes: Int, margin: Double,
       subMargin: Double = 0.0): (Long, Long, Long) = {
     val idxEpoch = indexEpoch(spark, indexDir)
     val tagged = pairsDirs.flatMap(d =>
       readSmall(hfs(spark, d), s"$d/$EpochFile").map(d -> _))
+    // an untagged pair dir under a TAGGED index fails open in both
+    // directions (review r17 third pass): mixed with tagged dirs it is
+    // silently unioned into the audit, and with ALL dirs untagged the
+    // distinct-epochs list is empty so the superseded-index refusal is
+    // skipped entirely — either way `check` prints a bare sym_diff whose
+    // single-frozen-index premise is unverifiable, the exact mode the
+    // epoch stamps exist to refuse. Only a fully untagged LAYOUT (index
+    // untagged too) is the benign pre-epoch case.
+    if (idxEpoch.nonEmpty) {
+      val untaggedDirs = pairsDirs.filterNot(d => tagged.exists(_._1 == d))
+      require(untaggedDirs.isEmpty,
+        s"pair dirs ${untaggedDirs.mkString(", ")} carry no epoch tag " +
+          s"but the index is epoch ${idxEpoch.get} — they were emitted " +
+          "by pre-epoch code (or their tag was lost), so whether this " +
+          "index is the one that emitted them is unverifiable; re-run " +
+          "the loop under the tagged index (or audit the untagged dirs " +
+          "against the pre-epoch index that produced them)")
+    }
     val distinctEpochs = tagged.map(_._2).distinct
     require(distinctEpochs.length <= 1,
       s"pair dirs span index epochs ${distinctEpochs.mkString(", ")} (" +

@@ -578,7 +578,20 @@ object DedupOps {
         .withColumn("n", size(col("sh")))
         .withColumn("plen", (col("n") - ceil(col("n") * t) + 1).cast("int"))
         .cache()
-      perDoc.count()
+      // the materializing action is the only runtime throw site in the
+      // build (everything above is lazy plan construction); a failure
+      // here must not strand the two build-only caches — the memo key is
+      // never filled on a throw, so the onRelease hook would have
+      // nothing to unpersist and the corpus-sized shingle cache would
+      // stay pinned for the session (review r17 third pass)
+      try perDoc.count()
+      catch {
+        case e: Throwable =>
+          perDoc.unpersist(false)
+          docSh.unpersist(false)
+          dict.unpersist(false)
+          throw e
+      }
       docSh.unpersist(false)
       dict.unpersist(false)
       perDoc

@@ -232,6 +232,40 @@ class SemIndexJobSpec extends AnyFunSuite {
       Seq(s"$root/pairs_d1"), tau = 0.9, probes = 1,
       margin = Double.PositiveInfinity)
     assert(nFull > 0)
+    // an UNTAGGED pair dir under a tagged index (review r17 third pass):
+    // alone, the empty distinct-epochs list used to skip every refusal;
+    // mixed with tagged dirs it was silently unioned into the audit —
+    // either way a bare sym_diff with an unverifiable premise. Refuse.
+    val pfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    assert(pfs.rename(
+      new org.apache.hadoop.fs.Path(s"$root/pairs_d1/_epoch"),
+      new org.apache.hadoop.fs.Path(s"$root/pairs_d1_epoch_stash")))
+    val exUntaggedAlone = intercept[IllegalArgumentException] {
+      SemIndexJob.check(spark, emb(0, 400), indexDir,
+        Seq(s"$root/pairs_d1"),
+        tau = 0.9, probes = 1, margin = Double.PositiveInfinity)
+    }
+    assert(exUntaggedAlone.getMessage.contains("carry no epoch tag"),
+      exUntaggedAlone.getMessage)
+    // mixed with a tagged dir: same refusal (the untagged member is
+    // named), not a silent union — emit a tagged d2 under the CURRENT
+    // index so the tagged side alone would pass
+    SemIndexJob.day(spark, emb(5000, 5200), indexDir, standingDir,
+      s"$root/pairs_d2", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity)
+    val exUntaggedMixed = intercept[IllegalArgumentException] {
+      SemIndexJob.check(spark, emb(0, 400), indexDir,
+        Seq(s"$root/pairs_d1", s"$root/pairs_d2"),
+        tau = 0.9, probes = 1, margin = Double.PositiveInfinity)
+    }
+    assert(exUntaggedMixed.getMessage.contains("carry no epoch tag") &&
+      exUntaggedMixed.getMessage.contains("pairs_d1") &&
+      !exUntaggedMixed.getMessage.contains("pairs_d2"),
+      exUntaggedMixed.getMessage)
+    assert(pfs.rename(
+      new org.apache.hadoop.fs.Path(s"$root/pairs_d1_epoch_stash"),
+      new org.apache.hadoop.fs.Path(s"$root/pairs_d1/_epoch")))
     // a pre-epoch index restored over tagged pair dirs (review r17):
     // it cannot be the emitting index, so the audit refuses rather than
     // passing the vacuous forall
@@ -412,6 +446,69 @@ class SemIndexJobSpec extends AnyFunSuite {
       s"$root/pairs_d", tau = 0.9, probes = 1,
       margin = Double.PositiveInfinity, batchId = Some("2026-08-15"))
     assert(st3.freshN == 400)
+  }
+
+  test("compact refuses to launder an untagged piece into a tagged epoch (review r17)") {
+    // epochs were collected via flatMap, so an untagged piece (e.g. a
+    // restored pre-epoch backup next to tagged pieces) contributed
+    // nothing to the mixed-epoch require and compact stamped the MERGED
+    // piece with the tagged epoch — permanently exempting rows whose
+    // assignment generation was never verified from the exact check
+    // day() refuses on. All-or-none: mixed tagging refuses; a fully
+    // untagged (pre-epoch) layout still compacts to an untagged piece.
+    val root = Files.createTempDirectory("graft-semjob-compactmix").toString
+    val indexDir = s"$root/index"
+    val standingDir = s"$root/standing"
+    SemIndexJob.train(spark, emb(400, 2000), indexDir)
+    SemIndexJob.bootstrap(spark, emb(400, 2000), indexDir, standingDir,
+      probes = 1, margin = Double.PositiveInfinity)
+    SemIndexJob.day(spark, emb(0, 400), indexDir, standingDir,
+      s"$root/pairs_d0", tau = 0.9, probes = 1,
+      margin = Double.PositiveInfinity, batchId = Some("b0"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(standingDir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$standingDir/piece_boot/_epoch"), false)
+    val ex = intercept[IllegalArgumentException] {
+      SemIndexJob.compact(spark, standingDir)
+    }
+    assert(ex.getMessage.contains("mix epoch-tagged and untagged") &&
+      ex.getMessage.contains("piece_boot"), ex.getMessage)
+    // day() refuses the same layout (the check compact must not bypass)
+    val exDay = intercept[IllegalArgumentException] {
+      SemIndexJob.day(spark, emb(2000, 2200), indexDir, standingDir,
+        s"$root/pairs_d1", tau = 0.9, probes = 1,
+        margin = Double.PositiveInfinity)
+    }
+    assert(exDay.getMessage.contains("no epoch tag"), exDay.getMessage)
+    // a FULLY pre-epoch layout still compacts — to an untagged piece,
+    // preserving exactly what day()'s epoch check will later see
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$standingDir/piece_batch_b0/_epoch"), false)
+    SemIndexJob.compact(spark, standingDir)
+    assert(exists(s"$standingDir/piece_compacted"))
+    assert(!exists(s"$standingDir/piece_compacted/_epoch"),
+      "compact stamped an epoch onto an all-untagged layout")
+  }
+
+  test("concurrent day ticks can never share a staging dir (review r17)") {
+    // the cross-contamination mode: tick B's overwrite into a SHARED
+    // stage replaces tick A's staged rows between A's write and A's
+    // publish rename. Distinct pieces (distinct batch ids, or stamp
+    // names for library callers) must stage at distinct paths, inside
+    // the standing dir, hidden from piece readers.
+    val a = SemIndexJob.ingestStage("/s", "piece_batch_a")
+    val b = SemIndexJob.ingestStage("/s", "piece_batch_b")
+    assert(a != b, "distinct batches share a staging dir")
+    assert(a == SemIndexJob.ingestStage("/s", "piece_batch_a"),
+      "a same-batch retry must reuse (and overwrite) its own stage")
+    Seq(a, b).foreach { st =>
+      assert(st.startsWith("/s/."),
+        s"stage $st is not a dot-dir under the standing dir — piece " +
+          "readers and parquet scans would see it")
+      assert(!st.stripPrefix("/s/").startsWith("piece_"),
+        s"stage $st matches the piece_* reader prefix")
+    }
   }
 
   test("--auto-retrain: baseline, trigger, retrain, reset (VERDICT r15 item 4)") {
