@@ -1,0 +1,110 @@
+#!/bin/bash
+# Every SemIndexJob refusal driven through the PRODUCTION CLI surface
+# (cold JVM per command, like the 10M campaigns): the unit specs pin
+# each guard at the library boundary; this drill proves the operator
+# actually SEES the loud message at the job surface, and that the happy
+# path still runs between the injected faults. 100k vectors — the
+# refusals are layout checks, their cost does not scale with the corpus.
+#
+# Exercised (review r17 third pass additions marked *):
+#   R1  check: untagged pair dir under a tagged index            (*)
+#   R2  check: pair chain audited against a retrained index
+#   R3  compact: mixed tagged/untagged pieces                    (*)
+#   R4  day: untagged piece under a tagged index
+#   R5  day: blind retry of a landed batch id
+#   R6  day/compact: crash residue (trash dir) refuses
+set -u -o pipefail
+export SPARK_GRAFT_CPUS=16
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+JVM="-Xmx8g -XX:+UseParallelGC -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
+ROOT="${1:-/tmp/semrefusals}"
+FLAGS="--probes=2 --margin=1.02 --tau=0.9"
+PASS=0; FAIL=0
+
+ok() {  # a command that must SUCCEED and emit its metric line
+  echo "=== $1 ==="; local tag="$1"; shift
+  java $JVM $OPENS -cp "$CP" "$@" 2>&1 | grep '"metric"' \
+    && PASS=$((PASS+1)) \
+    || { echo "FAIL: $tag did not succeed"; FAIL=$((FAIL+1)); }
+}
+refuse() {  # a command that must FAIL LOUD with the expected message
+  echo "=== $1 (expect refusal: $2) ==="; local tag="$1"; local msg="$2"; shift 2
+  local out
+  out=$(java $JVM $OPENS -cp "$CP" "$@" 2>&1)
+  if echo "$out" | grep -q '"metric"'; then
+    echo "FAIL: $tag SUCCEEDED where it must refuse"; FAIL=$((FAIL+1))
+  elif echo "$out" | grep -qF "$msg"; then
+    echo "refused: $(echo "$out" | grep -oF "$msg" | head -1)"; PASS=$((PASS+1))
+  else
+    echo "FAIL: $tag failed WITHOUT the expected message '$msg':"
+    echo "$out" | grep -i "exception\|require" | head -3; FAIL=$((FAIL+1))
+  fi
+}
+
+rm -rf "$ROOT"; mkdir -p "$ROOT"
+ok gen-boot   graft.VectorGen 25000 100000 mog "$ROOT/boot" --window=0
+ok gen-day1   graft.VectorGen 0 12500 mog "$ROOT/day1" --window=1
+ok gen-day2   graft.VectorGen 12500 25000 mog "$ROOT/day2" --window=2
+ok train      graft.jobs.SemIndexJob train "$ROOT/boot" "$ROOT/index"
+ok bootstrap  graft.jobs.SemIndexJob bootstrap "$ROOT/boot" "$ROOT/index" \
+  "$ROOT/standing" "$ROOT/pairs_boot" $FLAGS
+ok day1       graft.jobs.SemIndexJob day "$ROOT/day1" "$ROOT/index" \
+  "$ROOT/standing" "$ROOT/pairs_day1" $FLAGS --batch-id=d1
+ok check      graft.jobs.SemIndexJob check "$ROOT/boot" "$ROOT/index" \
+  "$ROOT/pairs_boot" $FLAGS   # single-epoch chain audits fine
+
+# R1: strip a pair dir's epoch tag — check must refuse, alone and mixed
+mv "$ROOT/pairs_day1/_epoch" "$ROOT/stash_epoch"
+refuse check-untagged-alone "carry no epoch tag" \
+  graft.jobs.SemIndexJob check "$ROOT/day1" "$ROOT/index" \
+  "$ROOT/pairs_day1" $FLAGS
+refuse check-untagged-mixed "carry no epoch tag" \
+  graft.jobs.SemIndexJob check "$ROOT/boot" "$ROOT/index" \
+  "$ROOT/pairs_boot" "$ROOT/pairs_day1" $FLAGS
+mv "$ROOT/stash_epoch" "$ROOT/pairs_day1/_epoch"
+
+# R5: blind retry of the landed batch id (before any layout mutation)
+refuse day1-retry "already landed" \
+  graft.jobs.SemIndexJob day "$ROOT/day1" "$ROOT/index" \
+  "$ROOT/standing" "$ROOT/pairs_day1_retry" $FLAGS --batch-id=d1
+
+# R2: retrain supersedes the emitting index — old pair chain refused
+ok retrain    graft.jobs.SemIndexJob retrain "$ROOT/index" "$ROOT/standing" $FLAGS
+refuse check-superseded "retrained after these pairs" \
+  graft.jobs.SemIndexJob check "$ROOT/boot" "$ROOT/index" \
+  "$ROOT/pairs_boot" "$ROOT/pairs_day1" $FLAGS
+
+# R3/R4: an untagged piece next to tagged ones (restored pre-epoch
+# backup) — compact must not launder it; day must refuse it
+ok day2       graft.jobs.SemIndexJob day "$ROOT/day2" "$ROOT/index" \
+  "$ROOT/standing" "$ROOT/pairs_day2" $FLAGS --batch-id=d2
+mv "$ROOT/standing/piece_batch_d2/_epoch" "$ROOT/stash_piece_epoch"
+refuse compact-mixed "mix epoch-tagged and untagged" \
+  graft.jobs.SemIndexJob compact "$ROOT/standing"
+refuse day-untagged-piece "no epoch tag" \
+  graft.jobs.SemIndexJob day "$ROOT/day1" "$ROOT/index" \
+  "$ROOT/standing" "$ROOT/pairs_x" $FLAGS --batch-id=d3
+mv "$ROOT/stash_piece_epoch" "$ROOT/standing/piece_batch_d2/_epoch"
+
+# R6: crash residue refuses every command
+mkdir -p "$ROOT/standing/.retrain_old_deadbeef"
+refuse day-trash "crash residue" \
+  graft.jobs.SemIndexJob day "$ROOT/day1" "$ROOT/index" \
+  "$ROOT/standing" "$ROOT/pairs_y" $FLAGS --batch-id=d4
+refuse compact-trash "crash residue" \
+  graft.jobs.SemIndexJob compact "$ROOT/standing"
+rmdir "$ROOT/standing/.retrain_old_deadbeef"
+
+# faults cleared — the loop still runs end-to-end. check-post audits the
+# only current-epoch pair dir (day2's: boot/day1 pairs are superseded by
+# the retrain, correctly refused above), so chained ⊂ full and a large
+# sym_diff is EXPECTED here — the assertion is that the command runs on
+# a current-epoch chain, not pair-set equality (the equality claim is
+# the spec suite's and the 1M/10M campaigns' full-chain runs).
+ok compact    graft.jobs.SemIndexJob compact "$ROOT/standing"
+ok check-post graft.jobs.SemIndexJob check "$ROOT/boot" "$ROOT/index" \
+  "$ROOT/pairs_day2" $FLAGS
+
+echo "=== drill done: $PASS pass, $FAIL fail ==="
+[ "$FAIL" -eq 0 ]
