@@ -79,14 +79,17 @@ object Bench {
     // calibrations 0.140/0.177) — per-key minima across that run, its
     // 96.6 s sibling, and the prior floors, so a single run's lone
     // spike (merge_sec 6.3 in the record run, incremental_sem 8.0 in
-    // the sibling) can't RAISE a floor.
-    "q_dedup_apply" -> 0.26, "q_dedup_ngram_jaccard" -> 2.28,
+    // the sibling) can't RAISE a floor. Six floors lowered again from
+    // the 81.3 s record run (calibrations 0.136/0.161, zero families,
+    // zero hot singles — the fully-recovered box), same per-key-min
+    // rule.
+    "q_dedup_apply" -> 0.24, "q_dedup_ngram_jaccard" -> 2.28,
     "q_dedup_semantic" -> 1.63, "q_mempool_merge" -> 3.83,
-    "q_sink_hourly" -> 3.03, "q_bpe_train6" -> 2.85,
-    "q_archive_compact" -> 3.21, "q_dedup_incremental_sem" -> 2.70,
-    "q_stream_dedup_ttl" -> 2.82, "q_rpc_enrich" -> 2.11,
+    "q_sink_hourly" -> 2.68, "q_bpe_train6" -> 2.85,
+    "q_archive_compact" -> 3.10, "q_dedup_incremental_sem" -> 2.70,
+    "q_stream_dedup_ttl" -> 2.82, "q_rpc_enrich" -> 1.91,
     "q_embed_kmeans" -> 1.16, "q_sim_ann_ivf" -> 1.60,
-    "q_embed_pq" -> 1.97)
+    "q_embed_pq" -> 1.88)
 
   /** Floors for the shared-artifact materialization timers the JSON
     * already carries (VERDICT r16 item 1): they time fixed work at fixed
@@ -100,7 +103,7 @@ object Bench {
     // ARTIFACT value, a stale-high floor that needed 6.15 s instead of
     // ~5.5 s to count toward the breadth trip.
     "merge_sec" -> 3.68, "pairs_sec" -> 0.57,
-    "pq_sec" -> 1.82, "coarse_sec" -> 0.99)
+    "pq_sec" -> 1.77, "coarse_sec" -> 0.99)
 
   private[graft] val AllFloorSec: Map[String, Double] =
     CanaryFloorSec ++ TimerFloorSec
