@@ -51,6 +51,11 @@ import org.apache.spark.sql.functions._
   *               off the bootstrap's, and `--retrain-every=K` retrains +
   *               refreezes on the standing corpus every K days
   *               (staleness experiment, VERDICT r14 item 4).
+  *               `--prune-verify` (r17, text loop only): semi-join the
+  *               exact-verify base to the candidate-touched id set —
+  *               the scratch-vs-CPU trade documented on
+  *               minhashPairsFromDocs; flip it ON above the single-disk
+  *               sort-spill regime (> 3 M docs locally).
   */
 object CorpusScaleBench {
 
@@ -646,7 +651,8 @@ object CorpusScaleBench {
     * set on the identical corpus (the q_dedup_incremental oracle-twin
     * idea, iterated K times). */
   private[graft] def dailyRun(spark: SparkSession, n: Long, days: Int,
-      batchPct: Int, compactEvery: Int): Unit = {
+      batchPct: Int, compactEvery: Int,
+      pruneVerify: Boolean = false): Unit = {
     import spark.implicits._
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     def stage[T](tag: String)(f: => T): (T, Double) = {
@@ -678,7 +684,8 @@ object CorpusScaleBench {
     // per-day broadcasts and shuffle state be GC'd instead of staying
     // reachable through K days of retained plans (the r13 OOM).
     val (bootPairs, bootPairSec) = stage("bootstrap pairs") {
-      queries.DedupOps.minhashPairsFromDocs(spark, init).localCheckpoint(true)
+      queries.DedupOps.minhashPairsFromDocs(spark, init, pruneVerify)
+        .localCheckpoint(true)
     }
     val (piece0, bootIxSec) = stage("bootstrap index") {
       val ix = queries.DedupOps.minhashIndex(spark, init)
@@ -746,12 +753,25 @@ object CorpusScaleBench {
       queries.DedupOps.releaseAllMinhashBases(spark)
     }
 
+    // the oracle below is the run's peak scratch consumer (an all-docs
+    // re-pair): drop everything the compare no longer needs BEFORE it
+    // runs — the standing pieces (the chained pair sets are already
+    // checkpointed; the loop is over) and, via an explicit GC pass, the
+    // bootstrap/day shuffle files whose dependencies just became
+    // unreachable (ContextCleaner removes them asynchronously — at 5 M
+    // docs on one local disk their residue was the difference between
+    // the oracle fitting and ENOSPC)
+    pieces.foreach(_.unpersist(false))
+    System.gc()
+    Thread.sleep(3000)
+
     // end-state correctness: bootstrap-internal ∪ per-day pair sets must
     // equal the full-batch pipeline on the same n docs (value-exact on
     // (doc_a, doc_b, jaccard_r) — symmetric difference must be empty)
     val all = docsRange(0L, n)
     val ((nFull, symDiff), fullSec) = stage("full-batch oracle") {
-      val full = queries.DedupOps.minhashPairsFromDocs(spark, all).cache()
+      val full = queries.DedupOps.minhashPairsFromDocs(spark, all, pruneVerify)
+        .cache()
       val nf = full.count()
       val chained = bootPairs.unionByName(dayPairs.reduce(_ unionByName _))
         .dropDuplicates("doc_a", "doc_b")
@@ -835,9 +855,14 @@ object CorpusScaleBench {
             .getOrElse(0.0),
           retrainEvery = intOpt("retrain-every", 0))
       else
+        // --prune-verify: candidate-touched verify pruning — the
+        // scratch-vs-CPU trade documented on minhashPairsFromDocs; flip
+        // it ON above the single-disk sort-spill regime (>3 M docs
+        // locally), where the unpruned exchanges ENOSPC
         dailyRun(spark, n, days = intOpt("days", 5),
           batchPct = intOpt("batch", 5),
-          compactEvery = intOpt("compact-every", 0))
+          compactEvery = intOpt("compact-every", 0),
+          pruneVerify = flag("prune-verify"))
       spark.stop()
       return
     }

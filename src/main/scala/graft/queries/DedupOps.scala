@@ -193,6 +193,64 @@ object DedupOps {
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard_r"))
 
+  /** Verify-side pruning for the full-batch and inline-incremental pair
+    * builders: exact verification only ever reads shingle rows for docs
+    * that appear in a candidate, so the corpus-sized base is semi-joined
+    * to the candidate-touched id set before [[minhashVerify]]'s
+    * sort-merge — the two verify-side exchanges then carry only touched
+    * docs' shingle arrays instead of the whole corpus's. This aggregate
+    * shuffle volume is what ENOSPC'd the 5 M-doc daily-loop bootstrap on
+    * one local disk (README "Measured scale"); on a cluster it is the
+    * dominant verify cost at any size. The touched set is bare doc_ids
+    * (KB–MB at near-dup rates), so AQE turns the semi-join into a
+    * broadcast at runtime when it fits and falls back to one base
+    * exchange when it doesn't — still strictly less than the two
+    * full-corpus exchanges it replaces. Inner-join semantics make this a
+    * pure pruning: base rows without a candidate partner contribute
+    * nothing to the verify output.
+    *
+    * The touched set comes from [[hotBucketMembers]], NOT from the
+    * candidate pairs' endpoints: a `cand`-derived id set re-evaluates
+    * the bucket self-join inside both verify branches — measured 2.5×
+    * the WHOLE pipeline's wall at 1 M docs (boot 48.5 → 123.7 s, full
+    * re-pair 59.6 → 154.0 s) before this was caught. */
+  private def verifyPruned(cand: DataFrame, base: DataFrame,
+      touched: DataFrame): DataFrame =
+    // STATIC broadcast of the id set, not a shuffled semi: past the
+    // auto-broadcast threshold (~10 MB of ids, reached between 3 M and
+    // 5 M docs) the planner's sort-merge semi SORTS the full
+    // array-carrying base, and even a shuffle_hash hint still lands the
+    // base's full map-side shuffle on disk before AQE can act — the 5 M
+    // oracle stage ENOSPC'd on each in turn with the pruning otherwise
+    // in place. Broadcasting touched is the only shape where the
+    // corpus-sized base never exchanges for the semi at all. The
+    // broadcast is bare doc_ids of candidate-touched docs — bounded by
+    // the near-dup candidate rate, tens of MB at 5 M docs — and this
+    // path only runs behind the explicit pruneVerify opt-in.
+    minhashVerify(cand, base.join(broadcast(touched),
+      Seq("doc_id"), "left_semi"))
+
+  /** Doc ids that appear in at least one banded candidate pair, derived
+    * from the banding rows ALONE (one aggregate — no bucket self-join):
+    * ids are unique within a (band, bucket) group (a doc contributes one
+    * bucket per band), so a doc is a candidate endpoint iff some bucket
+    * of its has ≥ 2 members — and, when candidates are restricted to
+    * fresh-touching pairs (`needFresh`), iff that bucket also holds ≥ 1
+    * fresh doc (an existing member then pairs with the fresh one; a
+    * fresh member pairs with any other). Exactly the candidate-endpoint
+    * set in both regimes, not an over-approximation. */
+  private def hotBucketMembers(banded: DataFrame,
+      needFresh: Boolean): DataFrame = {
+    val g = banded.groupBy("band", "bucket")
+    val hot = (if (needFresh)
+        g.agg(count(lit(1)).as("c"), max(col("fresh")).as("hf"))
+          .filter(col("c") > 1 && col("hf"))
+      else g.agg(count(lit(1)).as("c")).filter(col("c") > 1))
+      .select("band", "bucket")
+    banded.join(hot, Seq("band", "bucket"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** Banded candidate id pairs (pre-verify) — the CorpusScaleBench
     * sub-stage probe. */
   private[graft] def minhashCandidatesFromDocs(
@@ -207,16 +265,32 @@ object DedupOps {
   /** MinHash+LSH near-dup pairs over any (doc_id, text) frame — shared by
     * q_dedup_minhash (over the planted corpus) and CorpusScaleBench
     * (over million-doc synthetic corpora). Returns (doc_a, doc_b,
-    * jaccard_r ≥ 0.6), candidates banded and exact-verified. */
+    * jaccard_r ≥ 0.6), candidates banded and exact-verified.
+    *
+    * `pruneVerify` is the scratch-vs-CPU trade, result-identical either
+    * way (pruning only drops base rows the inner verify join ignores;
+    * IncrementalDedupSpec asserts equality): ON, the verify exchanges
+    * carry only candidate-touched docs' shingle arrays for the price of
+    * one extra signature pass ([[hotBucketMembers]]); OFF (default),
+    * one signature pass but two corpus-sized array exchanges whose
+    * sort-merge spill is the single-disk ENOSPC ceiling the README
+    * records at 5 M docs. Measured at 1 M (mostly in-memory regime):
+    * OFF boot 48.5 s / full re-pair 59.6 s, ON 66.7 / 84.8 — OFF wins
+    * on wall when the sort doesn't spill, which is why it stays the
+    * default for the verify-SF queries; the daily-loop bench flips it
+    * ON above the spill regime (`--prune-verify`). */
   private[graft] def minhashPairsFromDocs(
-      s: SparkSession, docs: DataFrame): DataFrame = {
+      s: SparkSession, docs: DataFrame,
+      pruneVerify: Boolean = false): DataFrame = {
     val base = minhashBase(s, docs)
     val banded = minhashBanded(base)
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    minhashVerify(cand, base)
+    if (pruneVerify)
+      verifyPruned(cand, base, hotBucketMembers(banded, needFresh = false))
+    else minhashVerify(cand, base)
   }
 
   /** Incremental near-dup pairing: every pair TOUCHING a `fresh` doc
@@ -229,7 +303,8 @@ object DedupOps {
     * Same candidate bound per bucket, and the bucket join volume scales
     * with |fresh|, not |existing∪fresh|. */
   private[graft] def minhashPairsIncremental(
-      s: SparkSession, existing: DataFrame, fresh: DataFrame): DataFrame = {
+      s: SparkSession, existing: DataFrame, fresh: DataFrame,
+      pruneVerify: Boolean = false): DataFrame = {
     val all = existing.select(col("doc_id"), col("text"), lit(false).as("fresh"))
       .union(fresh.select(col("doc_id"), col("text"), lit(true).as("fresh")))
     val base = minhashBase(s, all)
@@ -242,7 +317,10 @@ object DedupOps {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    minhashVerify(cand, base.drop("fresh"))
+    if (pruneVerify)
+      verifyPruned(cand, base.drop("fresh"),
+        hotBucketMembers(banded, needFresh = true))
+    else minhashVerify(cand, base.drop("fresh"))
   }
 
   /** The banding rows (doc_id, band, bucket) of a corpus — what a

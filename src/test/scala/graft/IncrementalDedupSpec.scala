@@ -54,6 +54,31 @@ class IncrementalDedupSpec extends AnyFunSuite {
       compactEvery = 2)
   }
 
+  test("pruned verify is result-identical to the unpruned path") {
+    // --prune-verify (r17): the candidate-touched semi-join drops only
+    // base rows the inner verify join ignores, and hotBucketMembers is
+    // EXACTLY the candidate-endpoint set (ids are unique per band, so a
+    // doc pairs iff some bucket of its has >= 2 members — plus >= 1
+    // fresh member in the incremental regime). Same pairs, same exact
+    // jaccard values, both builders.
+    val pruned = DedupOps.minhashPairsFromDocs(spark, docs,
+        pruneVerify = true)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val unpruned = DedupOps.minhashPairsFromDocs(spark, docs)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(pruned == unpruned)
+    assert(pruned.nonEmpty)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val incPruned = DedupOps.minhashPairsIncremental(spark, existing,
+        fresh, pruneVerify = true)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val incUnpruned = DedupOps.minhashPairsIncremental(spark, existing, fresh)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(incPruned == incUnpruned)
+    assert(incPruned.nonEmpty)
+  }
+
   test("empty fresh batch pairs nothing; everything-fresh equals batch") {
     val none = DedupOps.minhashPairsIncremental(spark, docs, docs.limit(0))
     assert(none.count() == 0)
