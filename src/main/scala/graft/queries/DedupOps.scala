@@ -131,6 +131,23 @@ object DedupOps {
     })
   }
 
+  /** The same (doc_id, sh[, extra…]) table, NOT persisted and NOT
+    * memoized — the disk-bound-regime twin of [[minhashBase]], used by
+    * the pruned pair builders: in the regime pruneVerify exists for,
+    * the O(corpus) DISK_ONLY shingle cache is itself a leading scratch
+    * consumer (~25–30 GB at 10 M docs) that coexists on one local disk
+    * with the verify exchanges it feeds, and the base has exactly three
+    * bounded consumers there (the spine banding, the hot-bucket
+    * banding, the pruned verify) — re-running the scan-local shingle
+    * pass three times is minutes of CPU; spilling the cache is the
+    * ENOSPC. Below that regime the cached base stays the right trade
+    * (the r12 measurements on [[minhashBase]]). */
+  private def minhashBaseUncached(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val extra = docs.columns.filter(c => c != "doc_id" && c != "text").map(col)
+    docs.select(col("doc_id") +: shingles(col("text")).as("sh") +: extra.toSeq: _*)
+  }
+
   /** Release the cached shingle base for `docs` (idempotent). Scale
     * benches call this once the near-dup chain is done: several GB of
     * cached shingle arrays otherwise pin the storage pool — and the
@@ -282,7 +299,10 @@ object DedupOps {
   private[graft] def minhashPairsFromDocs(
       s: SparkSession, docs: DataFrame,
       pruneVerify: Boolean = false): DataFrame = {
-    val base = minhashBase(s, docs)
+    // pruned regime = disk-bound regime: skip the O(corpus) DISK_ONLY
+    // shingle cache too (see [[minhashBaseUncached]])
+    val base = if (pruneVerify) minhashBaseUncached(s, docs)
+      else minhashBase(s, docs)
     val banded = minhashBanded(base)
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -307,7 +327,8 @@ object DedupOps {
       pruneVerify: Boolean = false): DataFrame = {
     val all = existing.select(col("doc_id"), col("text"), lit(false).as("fresh"))
       .union(fresh.select(col("doc_id"), col("text"), lit(true).as("fresh")))
-    val base = minhashBase(s, all)
+    val base = if (pruneVerify) minhashBaseUncached(s, all)
+      else minhashBase(s, all)
     val banded = minhashBanded(base)
     // probe side: fresh only; build side: everything — a pair of two
     // existing docs can never form
