@@ -284,18 +284,20 @@ object DedupOps {
     * (over million-doc synthetic corpora). Returns (doc_a, doc_b,
     * jaccard_r ≥ 0.6), candidates banded and exact-verified.
     *
-    * `pruneVerify` is the scratch-vs-CPU trade, result-identical either
+    * `pruneVerify` is the big-corpus regime, result-identical either
     * way (pruning only drops base rows the inner verify join ignores;
     * IncrementalDedupSpec asserts equality): ON, the verify exchanges
-    * carry only candidate-touched docs' shingle arrays for the price of
-    * one extra signature pass ([[hotBucketMembers]]); OFF (default),
-    * one signature pass but two corpus-sized array exchanges whose
-    * sort-merge spill is the single-disk ENOSPC ceiling the README
-    * records at 5 M docs. Measured at 1 M (mostly in-memory regime):
-    * OFF boot 48.5 s / full re-pair 59.6 s, ON 66.7 / 84.8 — OFF wins
-    * on wall when the sort doesn't spill, which is why it stays the
-    * default for the verify-SF queries; the daily-loop bench flips it
-    * ON above the spill regime (`--prune-verify`). */
+    * carry only candidate-touched docs' shingle arrays (the id set
+    * statically broadcast, [[hotBucketMembers]]/[[verifyPruned]]) and
+    * the base runs uncached ([[minhashBaseUncached]]) — extra
+    * signature passes bought disk headroom AND wall at every measured
+    * scale (1 M boot 42.8 s vs 48.5 unpruned, within box noise; 5 M
+    * 187.9 s vs ENOSPC; 10 M end-to-end, README "Measured scale").
+    * OFF (default) keeps the MEMOIZED shingle cache, which the
+    * verify-SF query surface shares across q_dedup_minhash /
+    * q_dedup_incremental / the index twin in one session — at those
+    * sizes the cache sharing is worth more than the pruning, and the
+    * default plan stays byte-stable for the oracle suite. */
   private[graft] def minhashPairsFromDocs(
       s: SparkSession, docs: DataFrame,
       pruneVerify: Boolean = false): DataFrame = {
