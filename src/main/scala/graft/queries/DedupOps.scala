@@ -219,12 +219,11 @@ object DedupOps {
     * shuffle volume is what ENOSPC'd the 5 M-doc daily-loop bootstrap on
     * one local disk (README "Measured scale"); on a cluster it is the
     * dominant verify cost at any size. The touched set is bare doc_ids
-    * (KB–MB at near-dup rates), so AQE turns the semi-join into a
-    * broadcast at runtime when it fits and falls back to one base
-    * exchange when it doesn't — still strictly less than the two
-    * full-corpus exchanges it replaces. Inner-join semantics make this a
-    * pure pruning: base rows without a candidate partner contribute
-    * nothing to the verify output.
+    * (tens of MB at near-dup rates even at 10 M docs), statically
+    * broadcast — see the comment on the join below for why the adaptive
+    * shapes don't work here. Inner-join semantics make this a pure
+    * pruning: base rows without a candidate partner contribute nothing
+    * to the verify output.
     *
     * The touched set comes from [[hotBucketMembers]], NOT from the
     * candidate pairs' endpoints: a `cand`-derived id set re-evaluates
