@@ -54,8 +54,10 @@ import org.apache.spark.sql.functions._
   *               `--prune-verify` (r17, text loop only): semi-join the
   *               exact-verify base to the candidate-touched id set —
   *               the scratch-vs-CPU trade documented on
-  *               minhashPairsFromDocs; flip it ON above the single-disk
-  *               sort-spill regime (> 3 M docs locally).
+  *               minhashPairsFromDocs. AUTO-SELECTED above
+  *               [[PruneVerifyAutoDocs]] (r18): the unpruned bootstrap
+  *               is a guaranteed ENOSPC past the single-disk sort-spill
+  *               regime; `--no-prune-verify` forces it off.
   */
 object CorpusScaleBench {
 
@@ -637,6 +639,25 @@ object CorpusScaleBench {
     }
   }
 
+  /** Auto-selection cutover for `--prune-verify` (VERDICT r17 item 2):
+    * with neither flag given, the daily loop prunes above this doc
+    * count. 3 M is the last scale the UNPRUNED bootstrap completed on
+    * one local disk (5 M ENOSPC'd: the verify exchanges ate > 53 GB of
+    * 80 GB free), and the pruned shape measured at-or-under the
+    * unpruned wall at every scale (1 M 42.8/55.0 s vs 48.5/59.6; 3 M
+    * 113.6/167.5 s) — so past the cutover pruning is strictly safer,
+    * and below it the choice is a wash and OFF preserves the shared
+    * shingle-cache behavior the verify-SF surface expects. */
+  private[graft] val PruneVerifyAutoDocs = 3000000L
+
+  /** Explicit flags win both ways; otherwise prune iff n is above the
+    * measured single-disk cutover. Pinned by PruneVerifyAutoSpec. */
+  private[graft] def pruneVerifyChoice(n: Long, explicitOn: Boolean,
+      explicitOff: Boolean): Boolean =
+    if (explicitOn) true
+    else if (explicitOff) false
+    else n > PruneVerifyAutoDocs
+
   /** VERDICT r12 item 5: the standing-index MAINTENANCE path, measured.
     * q_dedup_incremental proves ONE fresh batch against a persisted band
     * index; production runs K successive days — so here: bootstrap a
@@ -688,7 +709,12 @@ object CorpusScaleBench {
         .localCheckpoint(true)
     }
     val (piece0, bootIxSec) = stage("bootstrap index") {
-      val ix = queries.DedupOps.minhashIndex(spark, init)
+      // pruned regime: band straight off an uncached base (ADVICE r17)
+      // — the index is persisted on its own line below, and the memoized
+      // base would transiently re-create the O(init-corpus) DISK_ONLY
+      // shingle cache next to the checkpointed bootstrap pairs at peak
+      val ix = queries.DedupOps
+        .minhashIndex(spark, init, uncachedBase = pruneVerify)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       ix.count(); ix
     }
@@ -854,15 +880,24 @@ object CorpusScaleBench {
             .map(_.stripPrefix("--index-sub-margin=").toDouble)
             .getOrElse(0.0),
           retrainEvery = intOpt("retrain-every", 0))
-      else
-        // --prune-verify: candidate-touched verify pruning — the
-        // scratch-vs-CPU trade documented on minhashPairsFromDocs; flip
-        // it ON above the single-disk sort-spill regime (>3 M docs
-        // locally), where the unpruned exchanges ENOSPC
+      else {
+        // verify-side pruning is AUTO-SELECTED above the measured
+        // single-disk ceiling (VERDICT r17 item 2): at ≥ 5 M docs the
+        // unpruned bootstrap is a guaranteed ENOSPC on one local disk,
+        // and the pruned shape measured at-or-under the unpruned wall
+        // at EVERY scale — the flag should not be the difference
+        // between 33 min and a dead run. Explicit flags still win both
+        // ways (--prune-verify / --no-prune-verify).
+        val pv = pruneVerifyChoice(n, flag("prune-verify"),
+          flag("no-prune-verify"))
+        println(s"[daily] prune-verify ${if (pv) "ON" else "OFF"} " +
+          s"(n=$n, auto threshold > $PruneVerifyAutoDocs docs; " +
+          "--prune-verify/--no-prune-verify override)")
         dailyRun(spark, n, days = intOpt("days", 5),
           batchPct = intOpt("batch", 5),
           compactEvery = intOpt("compact-every", 0),
-          pruneVerify = flag("prune-verify"))
+          pruneVerify = pv)
+      }
       spark.stop()
       return
     }

@@ -230,8 +230,23 @@ object DedupOps {
     * the bucket self-join inside both verify branches — measured 2.5×
     * the WHOLE pipeline's wall at 1 M docs (boot 48.5 → 123.7 s, full
     * re-pair 59.6 → 154.0 s) before this was caught. */
-  private def verifyPruned(cand: DataFrame, base: DataFrame,
-      touched: DataFrame): DataFrame =
+  /** Ceiling on the broadcast-able touched-id set (ADVICE r17): the
+    * "tens of MB" bound on `touched` holds at the near-dup rates of
+    * every measured corpus, but it is a RATE assumption, not a law — a
+    * pathological corpus where most docs collide pushes the touched set
+    * toward corpus size, and an unbounded `broadcast()` there dies as a
+    * driver/executor OOM or the 8 GiB broadcast hard limit instead of a
+    * clean decision. 64 M bare long ids ≈ 0.5 GiB raw, ~1–2 GiB as a
+    * built broadcast relation — comfortably inside the limit and a
+    * typical driver heap, and far above any measured touched set
+    * (10 M docs: ~1.9 M ids). Past it [[verifyPruned]] falls back to
+    * the unpruned sort-merge verify (result-identical; the pruning is
+    * pointless anyway once most of the base is touched). */
+  private[graft] val TouchedBroadcastMaxIds = 64000000L
+
+  private[graft] def verifyPruned(cand: DataFrame, base: DataFrame,
+      touched: DataFrame,
+      maxBroadcastIds: Long = TouchedBroadcastMaxIds): DataFrame = {
     // STATIC broadcast of the id set, not a shuffled semi: past the
     // auto-broadcast threshold (~10 MB of ids, reached between 3 M and
     // 5 M docs) the planner's sort-merge semi SORTS the full
@@ -241,10 +256,24 @@ object DedupOps {
     // in place. Broadcasting touched is the only shape where the
     // corpus-sized base never exchanges for the semi at all. The
     // broadcast is bare doc_ids of candidate-touched docs — bounded by
-    // the near-dup candidate rate, tens of MB at 5 M docs — and this
-    // path only runs behind the explicit pruneVerify opt-in.
-    minhashVerify(cand, base.join(broadcast(touched),
-      Seq("doc_id"), "left_semi"))
+    // the near-dup candidate rate, tens of MB at 5 M docs.
+    //
+    // The id set is checkpointed BEFORE the size gate counts it, so the
+    // count and the broadcast read the same materialization (one
+    // banding-aggregate evaluation either way, no second corpus pass)
+    // and a beyond-ceiling set is detected before any broadcast build
+    // starts (ADVICE r17 — the guard turns a mid-broadcast OOM into a
+    // planned fallback).
+    val t = touched.localCheckpoint(true)
+    val nTouched = t.count()
+    if (nTouched > maxBroadcastIds) {
+      println(s"[dedup] touched id set ($nTouched ids) exceeds the " +
+        s"broadcast ceiling ($maxBroadcastIds) — falling back to the " +
+        "unpruned sort-merge verify (result-identical)")
+      minhashVerify(cand, base)
+    } else
+      minhashVerify(cand, base.join(broadcast(t), Seq("doc_id"), "left_semi"))
+  }
 
   /** Doc ids that appear in at least one banded candidate pair, derived
     * from the banding rows ALONE (one aggregate — no bucket self-join):
@@ -265,6 +294,26 @@ object DedupOps {
       .select("band", "bucket")
     banded.join(hot, Seq("band", "bucket"), "left_semi")
       .select("doc_id").distinct()
+  }
+
+  /** The pruned regime re-evaluates the UNCACHED base in three branches
+    * (spine banding, hot-bucket banding, pruned verify) and relies on
+    * `docs` producing identical rows each time — a non-deterministic
+    * input (sample/rand-derived) would hand the candidate endpoints and
+    * the touched set inconsistent corpora and silently drop pairs, a
+    * failure mode the unpruned DISK_ONLY cache structurally prevented
+    * (ADVICE r17). Fail LOUD at plan-build time instead: callers
+    * localCheckpoint such frames first (the checkpoint pins the rows
+    * and its LogicalRDD plan passes this check). */
+  private def requireDeterministicForPruning(docs: DataFrame): Unit = {
+    val nd = docs.queryExecution.analyzed.collect {
+      case p if p.expressions.exists(e => !e.deterministic) => p.nodeName
+    }.distinct
+    require(nd.isEmpty,
+      s"pruneVerify re-evaluates its input plan multiple times and " +
+        s"requires a deterministic frame; non-deterministic operator(s) " +
+        s"found: ${nd.mkString(", ")} — localCheckpoint() the input " +
+        "before pruning (or run with pruneVerify = false)")
   }
 
   /** Banded candidate id pairs (pre-verify) — the CorpusScaleBench
@@ -302,6 +351,7 @@ object DedupOps {
       pruneVerify: Boolean = false): DataFrame = {
     // pruned regime = disk-bound regime: skip the O(corpus) DISK_ONLY
     // shingle cache too (see [[minhashBaseUncached]])
+    if (pruneVerify) requireDeterministicForPruning(docs)
     val base = if (pruneVerify) minhashBaseUncached(s, docs)
       else minhashBase(s, docs)
     val banded = minhashBanded(base)
@@ -328,6 +378,7 @@ object DedupOps {
       pruneVerify: Boolean = false): DataFrame = {
     val all = existing.select(col("doc_id"), col("text"), lit(false).as("fresh"))
       .union(fresh.select(col("doc_id"), col("text"), lit(true).as("fresh")))
+    if (pruneVerify) requireDeterministicForPruning(all)
     val base = if (pruneVerify) minhashBaseUncached(s, all)
       else minhashBase(s, all)
     val banded = minhashBanded(base)
@@ -347,9 +398,20 @@ object DedupOps {
 
   /** The banding rows (doc_id, band, bucket) of a corpus — what a
     * production deployment persists per ingested batch as the standing
-    * LSH index. */
-  private[graft] def minhashIndex(s: SparkSession, docs: DataFrame): DataFrame =
-    minhashBanded(minhashBase(s, docs)).select("doc_id", "band", "bucket")
+    * LSH index. `uncachedBase` (ADVICE r17): in the pruned/disk-bound
+    * regime the caller is about to persist the INDEX itself, the base
+    * has exactly this one consumer, and routing it through the memoized
+    * [[minhashBase]] would transiently materialize the O(corpus)
+    * DISK_ONLY shingle cache the pruned builders were redesigned to
+    * avoid (~25–30 GB at 10 M docs, coexisting with the checkpointed
+    * bootstrap pairs at peak) — same rationale as
+    * [[minhashBaseUncached]]. Leave it false where the session shares
+    * the cache across consumers (the verify-SF query surface, the
+    * daily append whose batch base is reused by the probe). */
+  private[graft] def minhashIndex(s: SparkSession, docs: DataFrame,
+      uncachedBase: Boolean = false): DataFrame =
+    minhashBanded(if (uncachedBase) minhashBaseUncached(s, docs)
+      else minhashBase(s, docs)).select("doc_id", "band", "bucket")
 
   /** The production incremental shape: a fresh batch against a PERSISTED
     * band index — nothing about the standing corpus is recomputed except
@@ -810,7 +872,8 @@ object DedupOps {
     s"""WITH $PlantedDocsSql,
        |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM docs),
        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-       |       FROM w, generate_series(1, 600) t(i) WHERE i <= len(ws) - 2),
+       |       FROM (SELECT doc_id, ws,
+       |             unnest(generate_series(1, len(ws) - 2)) AS i FROM w)),
        |hh AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h FROM sh),
        |mh AS (SELECT doc_id, $minhashMinColsSql FROM hh GROUP BY doc_id),
        |band AS (SELECT doc_id, unnest(range(4)) AS band,
@@ -927,7 +990,9 @@ object DedupOps {
       "blocked n-gram Jaccard near-dup (char 3-grams, exact, prefix-filtered)",
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, lang, source, substr(text, i, 3) AS s
-        |  FROM documents, generate_series(1, 1200) t(i) WHERE i <= length(text) - 2),
+        |  FROM (SELECT doc_id, lang, source, text,
+        |        unnest(generate_series(1, length(text) - 2)) AS i
+        |        FROM documents)),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -1005,7 +1070,8 @@ object DedupOps {
          |d AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ')) AS t
          |      FROM docs),
          |g AS (SELECT doc_id, i, md5(substr(t, i, 5)) AS h
-         |      FROM d, generate_series(1, 1200) s(i) WHERE i <= length(t) - 4),
+         |      FROM (SELECT doc_id, t,
+         |            unnest(generate_series(1, length(t) - 4)) AS i FROM d)),
          |wmin AS (
          |  SELECT doc_id, i,
          |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i

@@ -611,7 +611,8 @@ object TextOps {
         |d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |      FROM documents),
         |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
-        |       FROM d, generate_series(1, 600) t(i) WHERE i <= len(ws) - 1),
+        |       FROM (SELECT doc_id, ws,
+        |             unnest(generate_series(1, len(ws) - 1)) AS i FROM d)),
         |bga AS (SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT b) AS n_bg_distinct
         |        FROM bg GROUP BY doc_id)
         |SELECT u.doc_id, u.n_words,
@@ -658,7 +659,8 @@ object TextOps {
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
-        |      FROM d, generate_series(1, 600) t(i) WHERE i <= len(ws) - 4),
+        |      FROM (SELECT doc_id, ws,
+        |            unnest(generate_series(1, len(ws) - 4)) AS i FROM d)),
         |df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
         |SELECT doc_id, COUNT(*) AS n_grams,
         |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
@@ -1105,11 +1107,12 @@ object TextOps {
         |             string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
         |eg AS (SELECT DISTINCT array_to_string(ws[i:i+12], ' ') AS g
-        |       FROM d, generate_series(1, 600) t(i)
-        |       WHERE doc_id % 97 = 0 AND i <= len(ws) - 12),
+        |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 12)) AS i
+        |             FROM d WHERE doc_id % 97 = 0)),
         |tg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+12], ' ') AS g
-        |       FROM d, generate_series(1, 600) t(i)
-        |       WHERE doc_id % 97 <> 0 AND i <= len(ws) - 12),
+        |       FROM (SELECT doc_id, ws,
+        |             unnest(generate_series(1, len(ws) - 12)) AS i
+        |             FROM d WHERE doc_id % 97 <> 0)),
         |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg ON tg.g = eg.g)
         |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM d
@@ -1214,7 +1217,8 @@ object TextOps {
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
         |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-        |       FROM d, generate_series(1, 600) t(i) WHERE i <= len(ws) - 1),
+        |       FROM (SELECT doc_id, ws,
+        |             unnest(generate_series(1, len(ws) - 1)) AS i FROM d)),
         |uc AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
         |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
         |scored AS (
@@ -1259,7 +1263,8 @@ object TextOps {
       """WITH d AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
         |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
-        |       FROM d, generate_series(1, 600) t(i) WHERE i <= len(ws) - 1),
+        |       FROM (SELECT ws,
+        |             unnest(generate_series(1, len(ws) - 1)) AS i FROM d)),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
         |uc1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
         |uc2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w2),
@@ -1435,7 +1440,8 @@ object TextOps {
         |ch AS (
         |  SELECT doc_id, i AS idx,
         |    array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS chunk
-        |  FROM d, generate_series(0, 120) t(i) WHERE i*5 < len(ws)),
+        |  FROM (SELECT doc_id, ws,
+        |        unnest(generate_series(0, (len(ws) - 1) // 5)) AS i FROM d)),
         |dup AS (
         |  SELECT chunk, 1 AS dd FROM ch GROUP BY chunk
         |  HAVING COUNT(DISTINCT doc_id) >= 2),
@@ -1490,12 +1496,14 @@ object TextOps {
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
         |gr AS (SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS g
-        |       FROM d, generate_series(1, 600) t(i) WHERE i <= len(ws) - 4),
+        |       FROM (SELECT doc_id, ws,
+        |             unnest(generate_series(1, len(ws) - 4)) AS i FROM d)),
         |dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
         |cov AS (SELECT DISTINCT gr.doc_id, gr.i + o AS p
         |        FROM gr JOIN dup ON gr.g = dup.g, generate_series(0, 4) s(o)),
-        |w AS (SELECT doc_id, i AS p, ws[i] AS w FROM d, generate_series(1, 600) t(i)
-        |      WHERE i <= len(ws)),
+        |w AS (SELECT doc_id, i AS p, ws[i] AS w
+        |      FROM (SELECT doc_id, ws,
+        |            unnest(generate_series(1, len(ws))) AS i FROM d)),
         |kept AS (SELECT w.doc_id, w.p, w.w FROM w LEFT JOIN cov
         |         ON w.doc_id = cov.doc_id AND w.p = cov.p WHERE cov.p IS NULL),
         |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,

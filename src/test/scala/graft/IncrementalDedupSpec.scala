@@ -79,6 +79,70 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(incPruned.nonEmpty)
   }
 
+  test("prune-verify auto-selects above the measured single-disk cutover") {
+    // VERDICT r17 item 2: with neither flag, the daily loop prunes
+    // strictly above 3 M docs (the last scale the unpruned bootstrap
+    // completed on one local disk — 5 M ENOSPC'd); explicit flags win
+    // both ways at any scale.
+    import CorpusScaleBench.{pruneVerifyChoice, PruneVerifyAutoDocs}
+    assert(PruneVerifyAutoDocs == 3000000L)
+    assert(!pruneVerifyChoice(PruneVerifyAutoDocs, explicitOn = false,
+      explicitOff = false))
+    assert(pruneVerifyChoice(PruneVerifyAutoDocs + 1, explicitOn = false,
+      explicitOff = false))
+    assert(pruneVerifyChoice(1000L, explicitOn = true, explicitOff = false))
+    assert(!pruneVerifyChoice(10000000L, explicitOn = false,
+      explicitOff = true))
+  }
+
+  test("pruned builders refuse a non-deterministic input frame loudly") {
+    // ADVICE r17: the pruned regime evaluates the uncached base in three
+    // branches and silently drops pairs if `docs` re-evaluates
+    // differently; the guard must fire at plan-build time with the
+    // localCheckpoint remedy in the message. A checkpointed frame (the
+    // remedy itself) passes and stays result-identical.
+    val nd = docs.withColumn("salt", rand()).drop("salt")
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.minhashPairsFromDocs(spark, nd, pruneVerify = true)
+    }
+    assert(ex.getMessage.contains("localCheckpoint"))
+    val ex2 = intercept[IllegalArgumentException] {
+      DedupOps.minhashPairsIncremental(spark,
+        nd.filter(col("doc_id") % 5 =!= 0), nd.filter(col("doc_id") % 5 === 0),
+        pruneVerify = true)
+    }
+    assert(ex2.getMessage.contains("localCheckpoint"))
+    val pinned = nd.localCheckpoint(true)
+    val viaCheckpoint = DedupOps.minhashPairsFromDocs(spark, pinned,
+        pruneVerify = true)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val unpruned = DedupOps.minhashPairsFromDocs(spark, docs)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(viaCheckpoint == unpruned)
+  }
+
+  test("touched-id broadcast ceiling falls back to the unpruned verify") {
+    // ADVICE r17: broadcast(touched) is rate-bounded, not law-bounded —
+    // past the ceiling the pruned verify must degrade to the sort-merge
+    // shape (result-identical) instead of dying mid-broadcast. Forced
+    // here with maxBroadcastIds = 0 on hand-built frames.
+    import spark.implicits._
+    val base = Seq(
+      (1L, Seq("a b c", "b c d", "c d e", "d e f")),
+      (2L, Seq("a b c", "b c d", "c d e")),
+      (3L, Seq("p q r", "q r s", "r s t"))).toDF("doc_id", "sh")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val touched = Seq(1L, 2L, 3L).toDF("doc_id")
+    val viaBroadcast = DedupOps.verifyPruned(cand, base, touched)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val viaFallback = DedupOps.verifyPruned(cand, base, touched,
+        maxBroadcastIds = 0L)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(viaBroadcast == viaFallback)
+    // (1,2) survives at jaccard 3/4; (1,3) is verified away at 0
+    assert(viaBroadcast.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+  }
+
   test("empty fresh batch pairs nothing; everything-fresh equals batch") {
     val none = DedupOps.minhashPairsIncremental(spark, docs, docs.limit(0))
     assert(none.count() == 0)

@@ -311,6 +311,59 @@ class SemIndexJobSpec extends AnyFunSuite {
       "scheme qualification changed the derived batch id")
   }
 
+  test("--retrain-defer marks instead of retraining; the retrain verb clears it (VERDICT r17 item 5)") {
+    // pct = -100 makes the creep rule fire on EVERY tick that has a
+    // baseline (threshold = base × 0 = 0 ≤ any ratio) — the
+    // deterministic trigger; what's under test is the defer protocol,
+    // not the rule itself (the 10 M campaigns measured that).
+    val root = Files.createTempDirectory("graft-semdefer").toString
+    val indexDir = s"$root/index"
+    val standingDir = s"$root/standing"
+    val fire = Some(-100.0)
+    val inf = Double.PositiveInfinity
+    SemIndexJob.train(spark, emb(600, 2000), indexDir)
+    SemIndexJob.bootstrap(spark, emb(600, 2000), indexDir, standingDir,
+      probes = 1, margin = inf)
+
+    // tick 1 establishes the baseline — no fire, nothing due
+    val st1 = SemIndexJob.day(spark, emb(0, 200), indexDir, standingDir,
+      s"$root/p1", tau = 0.9, probes = 1, margin = inf,
+      autoRetrainPct = fire, batchId = Some("t1"), retrainDefer = true)
+    assert(!st1.retrained && !st1.retrainDue && st1.creepPct == Some(0.0))
+
+    // tick 2 fires → deferred: marker written, NO retrain (pieces keep
+    // accumulating, baseline stays so later ticks keep reporting due)
+    val st2 = SemIndexJob.day(spark, emb(200, 400), indexDir, standingDir,
+      s"$root/p2", tau = 0.9, probes = 1, margin = inf,
+      autoRetrainPct = fire, batchId = Some("t2"), retrainDefer = true)
+    assert(!st2.retrained && st2.retrainDue)
+    assert(exists(s"$standingDir/_retrain_due"))
+    assert(listPieces(standingDir).length == 3,
+      "a deferred trigger must not rewrite pieces")
+
+    // tick 3: still deferred, still due, still no rewrite
+    val st3 = SemIndexJob.day(spark, emb(400, 600), indexDir, standingDir,
+      s"$root/p3", tau = 0.9, probes = 1, margin = inf,
+      autoRetrainPct = fire, batchId = Some("t3"), retrainDefer = true)
+    assert(!st3.retrained && st3.retrainDue)
+    assert(listPieces(standingDir).length == 4)
+
+    // the maintenance window: the retrain verb executes AND clears the
+    // marker (and the baseline, like the inline path)
+    SemIndexJob.retrain(spark, indexDir, standingDir, probes = 1,
+      margin = inf)
+    assert(!exists(s"$standingDir/_retrain_due"),
+      "retrain must satisfy the deferred marker")
+    assert(listPieces(standingDir).map(_.getPath.getName).toSeq ==
+      Seq("piece_retrained"))
+
+    // post-retrain tick re-establishes the baseline, nothing due
+    val st4 = SemIndexJob.day(spark, emb(2000, 2200), indexDir, standingDir,
+      s"$root/p4", tau = 0.9, probes = 1, margin = inf,
+      autoRetrainPct = fire, batchId = Some("t4"), retrainDefer = true)
+    assert(!st4.retrained && !st4.retrainDue && st4.creepPct == Some(0.0))
+  }
+
   test("retrain dedups membership rows to one row per vector") {
     // pieces hold one row per MEMBERSHIP; a probed bootstrap writes
     // multi rows for seam vectors, and a retrain must train/reassign
