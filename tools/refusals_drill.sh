@@ -13,6 +13,9 @@
 #   R4  day: untagged piece under a tagged index
 #   R5  day: blind retry of a landed batch id
 #   R6  day/compact: crash residue (trash dir) refuses
+#   R7  bootstrap: crash between piece_boot delete and stage rename
+#       leaves a piece-less standing dir — re-running bootstrap is the
+#       documented recovery and must succeed (VERDICT r17 item 7)
 set -u -o pipefail
 export SPARK_GRAFT_CPUS=16
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
@@ -49,6 +52,13 @@ ok gen-day2   graft.VectorGen 12500 25000 mog "$ROOT/day2" --window=2
 ok train      graft.jobs.SemIndexJob train "$ROOT/boot" "$ROOT/index"
 ok bootstrap  graft.jobs.SemIndexJob bootstrap "$ROOT/boot" "$ROOT/index" \
   "$ROOT/standing" "$ROOT/pairs_boot" $FLAGS
+# R7: recreate the delete→rename crash window (stage present + tagged,
+# piece_boot absent) and prove the recovery path: re-running bootstrap
+# must succeed and leave a functional standing dir (day1 below proves it)
+mv "$ROOT/standing/piece_boot" "$ROOT/standing/.boot_stage"
+ok boot-crash-recover graft.jobs.SemIndexJob bootstrap "$ROOT/boot" \
+  "$ROOT/index" "$ROOT/standing" "$ROOT/pairs_boot" $FLAGS
+
 ok day1       graft.jobs.SemIndexJob day "$ROOT/day1" "$ROOT/index" \
   "$ROOT/standing" "$ROOT/pairs_day1" $FLAGS --batch-id=d1
 ok check      graft.jobs.SemIndexJob check "$ROOT/boot" "$ROOT/index" \
