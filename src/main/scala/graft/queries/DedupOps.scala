@@ -270,6 +270,7 @@ object DedupOps {
       println(s"[dedup] touched id set ($nTouched ids) exceeds the " +
         s"broadcast ceiling ($maxBroadcastIds) — falling back to the " +
         "unpruned sort-merge verify (result-identical)")
+      t.unpersist(false) // the fallback has no consumer for the id set
       minhashVerify(cand, base)
     } else
       minhashVerify(cand, base.join(broadcast(t), Seq("doc_id"), "left_semi"))

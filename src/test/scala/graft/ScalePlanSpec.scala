@@ -584,4 +584,33 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(reb.head.partitionExpressions.size == 2,
       s"expected rebalance on (date, hour): ${reb.head.partitionExpressions}")
   }
+
+  test("pruned verify: the touched semi broadcasts, the base never exchanges for it") {
+    // The property whose loss ENOSPC'd the 5 M daily-loop bootstrap
+    // (r17, four measured shapes): the candidate-touched id semi-join
+    // must be a STATIC BroadcastHashJoin — a sort-merge semi SORTS the
+    // full array-carrying shingle base, and a shuffled-hash semi still
+    // lands its map-side shuffle on disk before AQE can act. Locked as
+    // a plan shape, not just a scaladoc claim: any planner/hint
+    // regression that reintroduces an exchange under the semi fails
+    // here, at spec scale, instead of at 5 M docs on a full disk.
+    val docs = queries.DedupOps.withPlanted(spark, sf)
+    val pruned = queries.DedupOps.minhashPairsFromDocs(spark, docs,
+      pruneVerify = true)
+    val plan = pruned.queryExecution.sparkPlan.toString
+    val lines = plan.linesIterator.toSeq
+    assert(lines.exists(l => l.contains("BroadcastHashJoin")
+        && l.contains("LeftSemi")),
+      s"touched-id pruning is not a broadcast semi:\n$plan")
+    assert(!lines.exists(l => l.contains("LeftSemi")
+        && (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))),
+      s"the pruned semi exchanges the shingle base — the 5 M ENOSPC " +
+        s"shape is back:\n$plan")
+    // the exact-verify joins themselves stay sort-merge (the merge
+    // hints: broadcasting pairs-with-shingle-arrays collects >1 GiB to
+    // the driver at 300 k docs)
+    assert(lines.exists(l => l.contains("SortMergeJoin")
+        && l.contains("Inner")),
+      s"exact-verify joins lost their sort-merge pin:\n$plan")
+  }
 }
