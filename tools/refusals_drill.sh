@@ -16,6 +16,9 @@
 #   R7  bootstrap: crash between piece_boot delete and stage rename
 #       leaves a piece-less standing dir — re-running bootstrap is the
 #       documented recovery and must succeed (VERDICT r17 item 7)
+#   R8  day --retrain-defer: a fired creep rule only MARKS (_retrain_due
+#       + retrain_due:true in the tick JSON, no piece rewrite); the
+#       separate retrain verb executes and clears it (r18)
 set -u -o pipefail
 export SPARK_GRAFT_CPUS=16
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
@@ -115,6 +118,32 @@ rmdir "$ROOT/standing/.retrain_old_deadbeef"
 ok compact    graft.jobs.SemIndexJob compact "$ROOT/standing"
 ok check-post graft.jobs.SemIndexJob check "$ROOT/boot" "$ROOT/index" \
   "$ROOT/pairs_day2" $FLAGS
+
+# R8: --retrain-defer through the CLI. pct=-100 fires the creep rule on
+# any tick that has a baseline (threshold = base × 0); the first armed
+# tick establishes the baseline, the second fires and must DEFER.
+ok gen-day3   graft.VectorGen 100000 112500 mog "$ROOT/day3" --window=3
+ok gen-day4   graft.VectorGen 112500 125000 mog "$ROOT/day4" --window=4
+ok day3-arm   graft.jobs.SemIndexJob day "$ROOT/day3" "$ROOT/index" \
+  "$ROOT/standing" "$ROOT/pairs_day3" $FLAGS --auto-retrain=-100 \
+  --retrain-defer --batch-id=d3
+echo "=== day4-defer (expect retrain_due:true, marker, NO rewrite) ==="
+out=$(java $JVM $OPENS -cp "$CP" graft.jobs.SemIndexJob day "$ROOT/day4" \
+  "$ROOT/index" "$ROOT/standing" "$ROOT/pairs_day4" $FLAGS \
+  --auto-retrain=-100 --retrain-defer --batch-id=d4 2>&1 | grep '"metric"')
+if echo "$out" | grep -q '"retrained":false,"retrain_due":true' \
+    && [ -f "$ROOT/standing/_retrain_due" ]; then
+  echo "deferred: $out"; PASS=$((PASS+1))
+else
+  echo "FAIL: deferred tick did not mark: $out"; FAIL=$((FAIL+1))
+fi
+ok retrain-deferred graft.jobs.SemIndexJob retrain "$ROOT/index" \
+  "$ROOT/standing" $FLAGS
+if [ ! -f "$ROOT/standing/_retrain_due" ]; then
+  echo "marker cleared by retrain"; PASS=$((PASS+1))
+else
+  echo "FAIL: retrain left _retrain_due in place"; FAIL=$((FAIL+1))
+fi
 
 echo "=== drill done: $PASS pass, $FAIL fail ==="
 [ "$FAIL" -eq 0 ]
