@@ -704,19 +704,28 @@ object CorpusScaleBench {
     // end-state assert, and truncating their lineage lets the loop's
     // per-day broadcasts and shuffle state be GC'd instead of staying
     // reachable through K days of retained plans (the r13 OOM).
-    val (bootPairs, bootPairSec) = stage("bootstrap pairs") {
-      queries.DedupOps.minhashPairsFromDocs(spark, init, pruneVerify)
-        .localCheckpoint(true)
-    }
+    //
+    // Pruned regime (r18): INDEX FIRST, pairs FROM the index. The
+    // persisted banding rows are exactly what the pairs stage's
+    // candidate join and touched set need, and re-deriving them from
+    // scratch (the r17 shape) spent one extra full shingle+sign pass
+    // per bootstrap — measured 181.8 s pairs + 188.8 s index at 4 M
+    // docs before this reuse. The index bands straight off an uncached
+    // base either way (ADVICE r17: the memoized base would transiently
+    // re-create the O(init-corpus) DISK_ONLY shingle cache next to the
+    // checkpointed bootstrap pairs at peak). Unpruned keeps the r12
+    // order and the shared memoized base — the verify-SF parity shape.
     val (piece0, bootIxSec) = stage("bootstrap index") {
-      // pruned regime: band straight off an uncached base (ADVICE r17)
-      // — the index is persisted on its own line below, and the memoized
-      // base would transiently re-create the O(init-corpus) DISK_ONLY
-      // shingle cache next to the checkpointed bootstrap pairs at peak
       val ix = queries.DedupOps
         .minhashIndex(spark, init, uncachedBase = pruneVerify)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       ix.count(); ix
+    }
+    val (bootPairs, bootPairSec) = stage("bootstrap pairs") {
+      (if (pruneVerify)
+        queries.DedupOps.minhashPairsFromIndex(spark, init, piece0)
+      else queries.DedupOps.minhashPairsFromDocs(spark, init))
+        .localCheckpoint(true)
     }
     queries.DedupOps.releaseMinhashBase(spark, init)
 

@@ -365,6 +365,31 @@ object DedupOps {
     else minhashVerify(cand, base)
   }
 
+  /** The pruned full-batch pairing fed from an ALREADY-MATERIALIZED band
+    * index instead of re-banding the corpus (r18): the daily loop (and a
+    * production deployment) persists the banding rows as the standing
+    * index anyway, and [[minhashPairsFromDocs]]'s pruned shape was
+    * re-deriving the identical rows from scratch — one full
+    * shingle+sign pass plus the banding exchange, in the regime where
+    * every corpus pass is minutes. Here the candidate self-join and the
+    * touched-id set both read the persisted `banded` rows (doc_id,
+    * band, bucket — bit-identical to [[minhashIndex]] output on `docs`
+    * by construction), and only the exact verify still shingles, off
+    * the uncached base through the broadcast-pruned semi. Pruned
+    * semantics are forced: this entry point exists only for the
+    * disk-bound regime that persists indexes. Result-identical to
+    * [[minhashPairsFromDocs]] (spec-pinned). */
+  private[graft] def minhashPairsFromIndex(
+      s: SparkSession, docs: DataFrame, banded: DataFrame): DataFrame = {
+    requireDeterministicForPruning(docs)
+    val base = minhashBaseUncached(s, docs)
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPruned(cand, base, hotBucketMembers(banded, needFresh = false))
+  }
+
   /** Incremental near-dup pairing: every pair TOUCHING a `fresh` doc
     * (fresh↔existing and fresh↔fresh), WITHOUT the existing↔existing
     * bucket self-join — the daily-ingest shape at corpus scale, where

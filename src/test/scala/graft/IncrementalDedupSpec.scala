@@ -143,6 +143,20 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(viaBroadcast.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
   }
 
+  test("index-fed pruned pairing equals the from-docs pipeline") {
+    // r18: the daily loop persists the band index anyway, so the pruned
+    // bootstrap feeds its candidate join and touched set from those
+    // rows instead of re-banding the corpus — must be pair- and
+    // jaccard-exact against the from-scratch builder.
+    val ix = DedupOps.minhashIndex(spark, docs, uncachedBase = true)
+    val viaIndex = DedupOps.minhashPairsFromIndex(spark, docs, ix)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val fromDocs = DedupOps.minhashPairsFromDocs(spark, docs)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(viaIndex == fromDocs)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("empty fresh batch pairs nothing; everything-fresh equals batch") {
     val none = DedupOps.minhashPairsIncremental(spark, docs, docs.limit(0))
     assert(none.count() == 0)
