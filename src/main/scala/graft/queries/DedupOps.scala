@@ -297,6 +297,24 @@ object DedupOps {
       .select("doc_id").distinct()
   }
 
+  /** Verify-side base with each shingle replaced by its 64-bit xxhash
+    * (r18): the pruned regime's remaining scratch hog is the exact-verify
+    * exchanges, which sort/shuffle the TOUCHED docs' full shingle arrays
+    * — ~15 KB/doc as strings, and on the planted corpora ~20 % of docs
+    * are touched, so at 15 M docs the sort spill alone blew the 80 GB
+    * disk (measured ENOSPC at 15 M AND 20 M under the index-reuse
+    * shape). Longs cut the exchanged bytes ~3.5× and the sort compares
+    * with them. Exact-Jaccard semantics are preserved modulo 64-bit
+    * collisions WITHIN one doc pair's union (~1,200 elements →
+    * P ≈ 1200²/2⁶⁵ ≈ 4e-14 per pair — the q_text_dup_ngrams precedent:
+    * a collision can only merge two shingles and shift one pair's
+    * jaccard by one count). The banding path is untouched — minhash_sig
+    * consumes the STRING shingles, so signatures, buckets and the
+    * candidate set stay bit-identical; spec-pinned result equality
+    * against the string-verify builders covers the whole chain. */
+  private def hashShingles(base: DataFrame): DataFrame =
+    base.withColumn("sh", expr("transform(sh, x -> xxhash64(x))"))
+
   /** The pruned regime re-evaluates the UNCACHED base in three branches
     * (spine banding, hot-bucket banding, pruned verify) and relies on
     * `docs` producing identical rows each time — a non-deterministic
@@ -361,7 +379,8 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     if (pruneVerify)
-      verifyPruned(cand, base, hotBucketMembers(banded, needFresh = false))
+      verifyPruned(cand, hashShingles(base),
+        hotBucketMembers(banded, needFresh = false))
     else minhashVerify(cand, base)
   }
 
@@ -382,7 +401,8 @@ object DedupOps {
   private[graft] def minhashPairsFromIndex(
       s: SparkSession, docs: DataFrame, banded: DataFrame): DataFrame = {
     requireDeterministicForPruning(docs)
-    val base = minhashBaseUncached(s, docs)
+    // verify-only consumer → hashed shingles (see [[hashShingles]])
+    val base = hashShingles(minhashBaseUncached(s, docs))
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -417,7 +437,7 @@ object DedupOps {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
     if (pruneVerify)
-      verifyPruned(cand, base.drop("fresh"),
+      verifyPruned(cand, hashShingles(base).drop("fresh"),
         hotBucketMembers(banded, needFresh = true))
     else minhashVerify(cand, base.drop("fresh"))
   }
