@@ -105,7 +105,10 @@ object Verify {
     // local[4] rule (a verify's own load is ≤ ~width, so start > 6 or
     // end past width + slack has only ever meant another heavy JVM).
     val loadEnd = loadAvg
-    val (contended, contendedBy) = Bench.contendedLabel(None, None,
+    // no scan probes and no canary data here, so the io_credits
+    // reclassification can never apply (canariesQuiet = false default) —
+    // the third element is always "" and is dropped
+    val (contended, contendedBy, _) = Bench.contendedLabel(None, None,
       loadStart, loadEnd, Runtime.getRuntime.availableProcessors(),
       cpus.toInt)
     val nRun = SparkEntry.queries.count { case (name, _) =>

@@ -7,9 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * from a past round, so a threshold drift that would have mislabeled one
   * of them fails here instead of in a graded bench. */
 class BenchLabelSpec extends AnyFunSuite {
+  // legacy 2-field view: (contended, contendedBy) — most episodes below
+  // predate the io_credits third element and pass no end-scan/canary
+  // evidence, so the conservative defaults apply
   private def label(cal: Double, start: Double, end: Double,
-      cores: Int = 32, threads: Int = 32, scan: Double = 0.16) =
-    Bench.contendedLabel(Some(cal), Some(scan), start, end, cores, threads)
+      cores: Int = 32, threads: Int = 32, scan: Double = 0.16) = {
+    val (c, by, _) = Bench.contendedLabel(Some(cal), Some(scan), start, end,
+      cores, threads)
+    (c, by)
+  }
 
   test("idle run labels clean") {
     // r12 clean runs: calibration 0.148-0.190, scan ~0.15-0.17, load
@@ -129,13 +135,59 @@ class BenchLabelSpec extends AnyFunSuite {
     assert((Bench.AllFloorSec.keySet -- Bench.SentinelFamily.keySet).isEmpty)
   }
 
+  test("I/O-credit state reclassifies a scan-only trip (the r17/r18 artifacts)") {
+    // VERDICT r18 item 1: every driver artifact and judge run since r17
+    // read scan 0.225–0.235 with an idle CPU calibration, in-band
+    // totals, zero canary families, and loads under threshold — the
+    // README's burst-credit exhaustion signature (a volume STATE that
+    // persists for hours), yet the scan trip alone labeled them
+    // contended. With quiet canaries and a persistent end-of-sweep
+    // reading, the label must now read clean with io_state naming the
+    // cause. The exact r18 driver artifact: cal 0.156, scan 0.228,
+    // loadStart 7.86 (own warm-up residue), loadEnd 4.40.
+    assert(Bench.contendedLabel(Some(0.156), Some(0.228), 7.86, 4.40, 32, 32,
+      calibrationScanEndSec = Some(0.231), canariesQuiet = true) ==
+      (false, "", "io_credits"))
+    // no end-scan probe (older caller): the persistence check is
+    // skipped, not failed — the stable signature still reclassifies
+    assert(Bench.contendedLabel(Some(0.156), Some(0.228), 7.86, 4.40, 32, 32,
+      canariesQuiet = true) == (false, "", "io_credits"))
+    // the r15 episode must STILL trip: same scan/CPU shape but the
+    // canaries were NOT quiet (apply 4.3×, three families over) — real
+    // mid-sweep I/O contention, not volume state
+    assert(Bench.contendedLabel(Some(0.181), Some(0.234), 4.27, 8.2, 32, 32,
+      calibrationScanEndSec = Some(0.230), canariesQuiet = false) ==
+      (true, "calibrationScan", ""))
+    // a start-only spike that RECOVERED by the end of the sweep is
+    // transient contention, not a credit state — keeps the label
+    assert(Bench.contendedLabel(Some(0.156), Some(0.228), 1.0, 4.0, 32, 32,
+      calibrationScanEndSec = Some(0.165), canariesQuiet = true) ==
+      (true, "calibrationScan", ""))
+    // an inflated CPU calibration is never credits (live contention
+    // slows both probes) — calibration still trips on its own
+    assert(Bench.contendedLabel(Some(0.262), Some(0.234), 1.0, 4.0, 32, 32,
+      calibrationScanEndSec = Some(0.232), canariesQuiet = true) ==
+      (true, "calibration|calibrationScan", ""))
+    // mid-sweep load past threshold blocks the reclassification too
+    assert(Bench.contendedLabel(Some(0.156), Some(0.228), 1.0, 55.0, 32, 32,
+      calibrationScanEndSec = Some(0.230), canariesQuiet = true) ==
+      (true, "calibrationScan|loadEnd", ""))
+    // a clean run never carries io_state
+    assert(Bench.contendedLabel(Some(0.16), Some(0.17), 1.0, 5.0, 32, 32,
+      calibrationScanEndSec = Some(0.18), canariesQuiet = true) ==
+      (false, "", ""))
+  }
+
   test("Verify mode (no calibrations): load signals stand un-exculpated") {
     // Verify runs no calibration jobs — loadStart > 6 can't be talked
     // down by an idle CPU probe that was never measured (VERDICT r15
     // item 3: the old inline Verify rule, now routed through the one
     // shared function)
-    def vlabel(start: Double, end: Double, cores: Int = 32, threads: Int = 4) =
-      Bench.contendedLabel(None, None, start, end, cores, threads)
+    def vlabel(start: Double, end: Double, cores: Int = 32, threads: Int = 4) = {
+      val (c, by, _) = Bench.contendedLabel(None, None, start, end, cores,
+        threads)
+      (c, by)
+    }
     assert(vlabel(1.0, 3.0) == (false, ""))
     val (c1, by1) = vlabel(6.9, 3.0)
     assert(c1 && by1 == "loadStart")
