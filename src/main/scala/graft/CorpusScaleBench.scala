@@ -639,24 +639,67 @@ object CorpusScaleBench {
     }
   }
 
-  /** Auto-selection cutover for `--prune-verify` (VERDICT r17 item 2):
+  /** FALLBACK auto-selection cutover for `--prune-verify` (VERDICT r17
+    * item 2), used only when the scratch capacity can't be measured:
     * with neither flag given, the daily loop prunes above this doc
     * count. 3 M is the last scale the UNPRUNED bootstrap completed on
-    * one local disk (5 M ENOSPC'd: the verify exchanges ate > 53 GB of
-    * 80 GB free), and the pruned shape measured at-or-under the
-    * unpruned wall at every scale (1 M 42.8/55.0 s vs 48.5/59.6; 3 M
-    * 113.6/167.5 s) — so past the cutover pruning is strictly safer,
-    * and below it the choice is a wash and OFF preserves the shared
-    * shingle-cache behavior the verify-SF surface expects. */
+    * THIS box's one local disk (5 M ENOSPC'd: the verify exchanges ate
+    * > 53 GB of 80 GB free), and the pruned shape measured at-or-under
+    * the unpruned wall at every scale (1 M 42.8/55.0 s vs 48.5/59.6;
+    * 3 M 113.6/167.5 s) — so past the cutover pruning is strictly
+    * safer, and below it the choice is a wash and OFF preserves the
+    * shared shingle-cache behavior the verify-SF surface expects. */
   private[graft] val PruneVerifyAutoDocs = 3000000L
 
-  /** Explicit flags win both ways; otherwise prune iff n is above the
-    * measured single-disk cutover. Pinned by PruneVerifyAutoSpec. */
+  /** Estimated peak scratch bytes of the UNPRUNED bootstrap's verify
+    * exchanges for an n-doc synthetic corpus (VERDICT r18 item 4): the
+    * sort-merge verify shuffles the full corpus's string shingle arrays
+    * on both sides plus their sort spill — the measured anchor is the
+    * 5 M-doc ENOSPC at > 53 GB (~11 KB/doc of aggregate scratch);
+    * 16 KB/doc rounds up for headroom so the estimate errs toward
+    * pruning (the fail-safe direction: pruning costs minutes of extra
+    * CPU, not-pruning past capacity costs the whole run). */
+  private[graft] val UnprunedVerifyScratchBytesPerDoc = 16384L
+
+  /** Explicit flags win both ways; otherwise derive the choice from
+    * SCRATCH CAPACITY when it is measurable (VERDICT r18 item 4: the
+    * bare 3 M constant encodes THIS box's 80 GB volume — on a cluster
+    * with real scratch, pruning at 3 M docs trades CPU for nothing, and
+    * on a smaller volume 3 M is already too late): prune iff the
+    * estimated unpruned verify scratch exceeds HALF the free
+    * spark.local.dir bytes (the other half stays for the shingle cache,
+    * checkpointed pairs, and everything else the run co-locates on the
+    * same volume). Anchors at 80 GB free: the 5 M ENOSPC estimates at
+    * 1.0× of free — far past the gate; 3 M estimates at 0.6×, so on
+    * this box the derived rule prunes slightly EARLIER than the old
+    * constant (3 M completed unpruned at the measured ~11 KB/doc) —
+    * the documented fail-safe direction of the rounded-up estimate,
+    * and measured a wash on wall time at that scale. With no capacity
+    * estimate the measured 3 M fallback applies. Pinned by
+    * IncrementalDedupSpec (both regimes). */
   private[graft] def pruneVerifyChoice(n: Long, explicitOn: Boolean,
-      explicitOff: Boolean): Boolean =
+      explicitOff: Boolean,
+      freeScratchBytes: Option[Long] = None): Boolean =
     if (explicitOn) true
     else if (explicitOff) false
-    else n > PruneVerifyAutoDocs
+    else freeScratchBytes match {
+      case Some(free) if free > 0 =>
+        n * UnprunedVerifyScratchBytesPerDoc > free / 2
+      case _ => n > PruneVerifyAutoDocs
+    }
+
+  /** Usable bytes across the configured spark.local.dir volume(s) —
+    * the scratch the unpruned verify exchanges would spill to. None
+    * when nothing is measurable (unreadable dirs), which sends
+    * [[pruneVerifyChoice]] to its measured fallback. */
+  private[graft] def freeScratchBytes(spark: SparkSession): Option[Long] =
+    try {
+      val dirs = spark.sparkContext.getConf
+        .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
+      val frees = dirs.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(d => new java.io.File(d).getUsableSpace).filter(_ > 0L)
+      if (frees.isEmpty) None else Some(frees.sum)
+    } catch { case _: Throwable => None }
 
   /** VERDICT r12 item 5: the standing-index MAINTENANCE path, measured.
     * q_dedup_incremental proves ONE fresh batch against a persisted band
@@ -676,11 +719,27 @@ object CorpusScaleBench {
       pruneVerify: Boolean = false): Unit = {
     import spark.implicits._
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // shuffle-write accounting per stage() block (r19): the scratch
+    // claims of this loop (pruning, hashed verify shingles) are about
+    // EXCHANGED BYTES, and wall seconds conflate them with box state —
+    // a listener summing completed stages' shuffle writes makes each
+    // tick's exchange volume a printed, comparable number. Driver-side
+    // counter, bounded work per stage-completion event.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(shuffleListener)
     def stage[T](tag: String)(f: => T): (T, Double) = {
+      val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[daily] $tag%-24s $sec%8.2f s")
+      val gb = (shuffleBytes.get() - b0) / 1e9
+      println(f"[daily] $tag%-24s $sec%8.2f s  shuffle_write $gb%7.2f GB")
       (r, sec)
     }
     def docsRange(lo: Long, hi: Long) =
@@ -834,6 +893,7 @@ object CorpusScaleBench {
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+    spark.sparkContext.removeSparkListener(shuffleListener)
     require(symDiff == 0,
       s"daily-chained pair set diverged from the full-batch pipeline by $symDiff rows")
   }
@@ -890,18 +950,24 @@ object CorpusScaleBench {
             .getOrElse(0.0),
           retrainEvery = intOpt("retrain-every", 0))
       else {
-        // verify-side pruning is AUTO-SELECTED above the measured
-        // single-disk ceiling (VERDICT r17 item 2): at ≥ 5 M docs the
-        // unpruned bootstrap is a guaranteed ENOSPC on one local disk,
-        // and the pruned shape measured at-or-under the unpruned wall
-        // at EVERY scale — the flag should not be the difference
-        // between 33 min and a dead run. Explicit flags still win both
-        // ways (--prune-verify / --no-prune-verify).
+        // verify-side pruning is AUTO-SELECTED from scratch capacity
+        // (VERDICT r17 item 2, r18 item 4): past the capacity the
+        // unpruned bootstrap is a guaranteed ENOSPC, and the pruned
+        // shape measured at-or-under the unpruned wall at EVERY scale —
+        // the flag should not be the difference between 33 min and a
+        // dead run. Explicit flags still win both ways
+        // (--prune-verify / --no-prune-verify).
+        val scratch = freeScratchBytes(spark)
         val pv = pruneVerifyChoice(n, flag("prune-verify"),
-          flag("no-prune-verify"))
+          flag("no-prune-verify"), scratch)
+        val estGb = n * UnprunedVerifyScratchBytesPerDoc / (1L << 30)
+        val basis = scratch match {
+          case Some(b) =>
+            s"estimated $estGb GB unpruned scratch vs ${b / (1L << 31)} GB free/2"
+          case None => s"no scratch estimate, fallback > $PruneVerifyAutoDocs docs"
+        }
         println(s"[daily] prune-verify ${if (pv) "ON" else "OFF"} " +
-          s"(n=$n, auto threshold > $PruneVerifyAutoDocs docs; " +
-          "--prune-verify/--no-prune-verify override)")
+          s"(n=$n, $basis; --prune-verify/--no-prune-verify override)")
         dailyRun(spark, n, days = intOpt("days", 5),
           batchPct = intOpt("batch", 5),
           compactEvery = intOpt("compact-every", 0),

@@ -168,7 +168,29 @@ object DedupOps {
     val sid = System.identityHashCode(s)
     minhashBaseMemo.keys.filter(_._1 == sid)
       .foreach(k => SessionCaches.release(s, s"dedup.minhash.base:${k._2}"))
+    // the pruned verify's checkpointed touched-id sets ride the same
+    // sweep (ADVICE r18): each verifyPruned call pins one localCheckpoint
+    // for its size gate + broadcast, and like the internal
+    // touchedExisting bases the CALLER never sees the frame to release
+    // it — a K-day loop would otherwise retain K checkpoint RDDs for the
+    // session's lifetime (the r13 retained-state class)
+    touchedCheckpointMemo.keys.filter(_._1 == sid)
+      .foreach(k => SessionCaches.release(s, s"dedup.touched:${k._2}"))
   }
+
+  /** The checkpointed candidate-touched id frames [[verifyPruned]] pins
+    * for its size gate + static broadcast, tracked so the
+    * [[releaseAllMinhashBases]] sweep (and the session-end finalizer)
+    * can unpersist them once the verify output is materialized — the
+    * frames are internal to verifyPruned, so no caller can name them
+    * (ADVICE r18: they previously stayed checkpointed for the session's
+    * lifetime). Keyed by a per-call sequence, not a plan hash: two
+    * verify passes over identical plans still pin two distinct
+    * checkpoints. */
+  private val touchedCheckpointMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, Long), DataFrame]
+  private val touchedCheckpointSeq =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** LSH banding rows (doc_id, band, bucket[, extra…]) via the scan-local
     * native signature (md5 + 16 permutation minima in one pass over the
@@ -244,6 +266,31 @@ object DedupOps {
     * pointless anyway once most of the base is touched). */
   private[graft] val TouchedBroadcastMaxIds = 64000000L
 
+  /** Driver-collect budget per broadcast id (ADVICE r18): building the
+    * static broadcast COLLECTS the id rows to the driver, and that
+    * collect is gated by `spark.driver.maxResultSize` (1g default) —
+    * none of the launchers raise it, so a set well under the 64 M
+    * static ceiling could still abort there, making the planned
+    * fallback unreachable before the failure it exists to prevent.
+    * [[touchedBroadcastCeiling]] therefore derives the effective
+    * ceiling from the session's OWN maxResultSize at 24 bytes/id — a
+    * deliberate over-estimate of the serialized single-long UnsafeRow
+    * (16 B data + block bookkeeping, pre-compression), so the guard
+    * fires strictly BEFORE the collect can die (1g default → ~44.7 M
+    * ids, under the static ceiling). */
+  private[graft] val TouchedBroadcastBytesPerId = 24L
+
+  /** Effective broadcast ceiling: the static [[TouchedBroadcastMaxIds]]
+    * bound (heap/8 GiB-limit driven) capped by what the session's
+    * `spark.driver.maxResultSize` can actually collect. `maxResultSize
+    * <= 0` means unlimited (Spark's own convention) — only the static
+    * ceiling applies. Spec-pinned (IncrementalDedupSpec). */
+  private[graft] def touchedBroadcastCeiling(maxResultSizeBytes: Long,
+      staticCeiling: Long = TouchedBroadcastMaxIds): Long =
+    if (maxResultSizeBytes <= 0) staticCeiling
+    else math.min(staticCeiling,
+      maxResultSizeBytes / TouchedBroadcastBytesPerId)
+
   private[graft] def verifyPruned(cand: DataFrame, base: DataFrame,
       touched: DataFrame,
       maxBroadcastIds: Long = TouchedBroadcastMaxIds): DataFrame = {
@@ -263,14 +310,34 @@ object DedupOps {
     // banding-aggregate evaluation either way, no second corpus pass)
     // and a beyond-ceiling set is detected before any broadcast build
     // starts (ADVICE r17 — the guard turns a mid-broadcast OOM into a
-    // planned fallback).
+    // planned fallback). The eager checkpoint is also why plan
+    // CONSTRUCTION through this path runs Spark jobs (a banding pass) —
+    // inherent to deciding broadcast-vs-fallback before the plan is
+    // returned; plan-shape-only callers eat that cost once.
+    //
+    // Registered in touchedCheckpointMemo (ADVICE r18): the checkpoint
+    // must outlive this call (the returned plan broadcasts it), so it
+    // can't be unpersisted here — the releaseAllMinhashBases sweep (or
+    // the session-end finalizer) drops it after the verify output is
+    // materialized.
+    val s = touched.sparkSession
     val t = touched.localCheckpoint(true)
+    val key = (System.identityHashCode(s), touchedCheckpointSeq.incrementAndGet())
+    touchedCheckpointMemo.put(key, t)
+    SessionCaches.onRelease(s, s"dedup.touched:${key._2}")(() =>
+      touchedCheckpointMemo.remove(key).foreach(_.unpersist(false)))
     val nTouched = t.count()
-    if (nTouched > maxBroadcastIds) {
+    // cap by what the driver can actually collect (ADVICE r18)
+    val ceiling = touchedBroadcastCeiling(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        s.sparkContext.getConf.get("spark.driver.maxResultSize", "1g")),
+      maxBroadcastIds)
+    if (nTouched > ceiling) {
       println(s"[dedup] touched id set ($nTouched ids) exceeds the " +
-        s"broadcast ceiling ($maxBroadcastIds) — falling back to the " +
+        s"broadcast ceiling ($ceiling) — falling back to the " +
         "unpruned sort-merge verify (result-identical)")
-      t.unpersist(false) // the fallback has no consumer for the id set
+      // the fallback has no consumer for the id set
+      SessionCaches.release(s, s"dedup.touched:${key._2}")
       minhashVerify(cand, base)
     } else
       minhashVerify(cand, base.join(broadcast(t), Seq("doc_id"), "left_semi"))
@@ -325,9 +392,26 @@ object DedupOps {
     * localCheckpoint such frames first (the checkpoint pins the rows
     * and its LogicalRDD plan passes this check). */
   private def requireDeterministicForPruning(docs: DataFrame): Unit = {
-    val nd = docs.queryExecution.analyzed.collect {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LocalLimit, Sample}
+    val analyzed = docs.queryExecution.analyzed
+    val ndExpr = analyzed.collect {
       case p if p.expressions.exists(e => !e.deterministic) => p.nodeName
-    }.distinct
+    }
+    // plan-LEVEL nondeterminism the expression scan is blind to
+    // (VERDICT r18 item 3): Sample's row membership and an unordered
+    // Limit's row choice are functions of upstream PARTITIONING, not
+    // just of a seed — a shuffle boundary that plans differently
+    // between the three base re-evaluations (AQE coalescing, a changed
+    // parallelism) hands them different row sets with every expression
+    // still "deterministic". Both are rejected; the remedy is the same
+    // localCheckpoint (which pins the rows as a LogicalRDD).
+    val ndNode = analyzed.collect {
+      case _: Sample => "Sample"
+      case _: GlobalLimit => "GlobalLimit"
+      case _: LocalLimit => "LocalLimit"
+    }
+    val nd = (ndExpr ++ ndNode).distinct
     require(nd.isEmpty,
       s"pruneVerify re-evaluates its input plan multiple times and " +
         s"requires a deterministic frame; non-deterministic operator(s) " +
@@ -478,13 +562,23 @@ object DedupOps {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
     // verify reads shingles for fresh docs from the batch and, for the
-    // existing side, ONLY for docs that actually appear in a candidate
+    // existing side, ONLY for docs that actually appear in a candidate.
+    // Hashed to 64-bit (VERDICT r18 item 2): at a 15 M-doc standing
+    // corpus this daily tick's touched-existing exchange was the last
+    // verify path still moving ~15 KB/doc STRING shingle arrays — the
+    // same ~3.5× exchange cut the three batch builders took in r18,
+    // same collision class (~4e-14/pair, see [[hashShingles]]). Applied
+    // AFTER the memoized bases so the banding above and the probe's
+    // reuse of freshBase keep consuming strings — signatures, buckets
+    // and the candidate set stay bit-identical; IncrementalDedupSpec
+    // pins the pair sets and jaccard values against the string-verify
+    // inline path.
     val touched = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val touchedExisting = existing
       .join(touched.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-    val verifyBase = minhashBase(s, touchedExisting)
-      .union(freshBase.select("doc_id", "sh"))
+    val verifyBase = hashShingles(minhashBase(s, touchedExisting)
+      .union(freshBase.select("doc_id", "sh")))
     minhashVerify(cand, verifyBase)
   }
 

@@ -31,6 +31,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
   }
 
   test("persisted-index variant equals the inline incremental path") {
+    // since r19 this equality ALSO pins the hashed daily verify
+    // (VERDICT r18 item 2): minhashPairsAgainstIndex verifies on 64-bit
+    // hashed shingles while the inline path here verifies on strings —
+    // collect() compares full rows, so the pair sets AND the exact
+    // jaccard_r values must survive the hashing bit-identically
     val fresh = docs.filter(col("doc_id") % 5 === 0)
     val existing = docs.filter(col("doc_id") % 5 =!= 0)
     val index = DedupOps.minhashIndex(spark, existing)
@@ -80,11 +85,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
   }
 
   test("prune-verify auto-selects above the measured single-disk cutover") {
-    // VERDICT r17 item 2: with neither flag, the daily loop prunes
-    // strictly above 3 M docs (the last scale the unpruned bootstrap
-    // completed on one local disk — 5 M ENOSPC'd); explicit flags win
-    // both ways at any scale.
-    import CorpusScaleBench.{pruneVerifyChoice, PruneVerifyAutoDocs}
+    // VERDICT r17 item 2 + r18 item 4: with neither flag and NO scratch
+    // estimate, the daily loop prunes strictly above the 3 M fallback
+    // (the last scale the unpruned bootstrap completed on this box's
+    // disk — 5 M ENOSPC'd); with a MEASURED capacity the choice derives
+    // from estimated-unpruned-scratch vs free/2 instead of the box
+    // constant. Explicit flags win both ways at any scale in both
+    // regimes.
+    import CorpusScaleBench.{pruneVerifyChoice, PruneVerifyAutoDocs,
+      UnprunedVerifyScratchBytesPerDoc}
+    // fallback regime (no estimate)
     assert(PruneVerifyAutoDocs == 3000000L)
     assert(!pruneVerifyChoice(PruneVerifyAutoDocs, explicitOn = false,
       explicitOff = false))
@@ -93,6 +103,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pruneVerifyChoice(1000L, explicitOn = true, explicitOff = false))
     assert(!pruneVerifyChoice(10000000L, explicitOn = false,
       explicitOff = true))
+    // capacity regime: the 5 M / 80 GB ENOSPC anchor must select prune…
+    val free80g = Some(80L << 30)
+    assert(pruneVerifyChoice(5000000L, explicitOn = false,
+      explicitOff = false, free80g))
+    // …while a cluster-sized scratch (10 TB) keeps the shared shingle
+    // cache at the same 5 M — pruning there trades CPU for nothing
+    assert(!pruneVerifyChoice(5000000L, explicitOn = false,
+      explicitOff = false, Some(10L << 40)))
+    // a SMALLER volume prunes well below the 3 M box constant (the
+    // "too late" direction the constant couldn't express): 1 M docs on
+    // 20 GB free estimates past free/2
+    assert(pruneVerifyChoice(1000000L, explicitOn = false,
+      explicitOff = false, Some(20L << 30)))
+    // the gate boundary is exactly estimate > free/2
+    val nAtHalf = (40L << 30) / UnprunedVerifyScratchBytesPerDoc
+    assert(!pruneVerifyChoice(nAtHalf, explicitOn = false,
+      explicitOff = false, free80g))
+    assert(pruneVerifyChoice(nAtHalf + 1, explicitOn = false,
+      explicitOff = false, free80g))
+    // explicit flags still win in the capacity regime
+    assert(pruneVerifyChoice(1000L, explicitOn = true, explicitOff = false,
+      Some(10L << 40)))
+    assert(!pruneVerifyChoice(10000000L, explicitOn = false,
+      explicitOff = true, Some(1L << 30)))
+    // a degenerate (non-positive) estimate falls back to the constant
+    assert(!pruneVerifyChoice(PruneVerifyAutoDocs, explicitOn = false,
+      explicitOff = false, Some(0L)))
+  }
+
+  test("touched-broadcast ceiling derives from spark.driver.maxResultSize") {
+    // ADVICE r18: the 64 M static ceiling assumed a driver heap that can
+    // COLLECT the set, but the broadcast build's collect is gated by
+    // spark.driver.maxResultSize (1g default, never raised by the
+    // launchers) — the effective ceiling must fire strictly before that
+    // collect can die, at 24 conservative bytes/id.
+    import DedupOps.{touchedBroadcastCeiling, TouchedBroadcastMaxIds,
+      TouchedBroadcastBytesPerId}
+    assert(TouchedBroadcastBytesPerId == 24L)
+    // 1g default → ~44.7 M ids, UNDER the 64 M static ceiling
+    val oneGig = 1L << 30
+    assert(touchedBroadcastCeiling(oneGig) == oneGig / 24)
+    assert(touchedBroadcastCeiling(oneGig) < TouchedBroadcastMaxIds)
+    // a raised maxResultSize (4g) clears the static ceiling — the
+    // heap/broadcast-limit bound takes over
+    assert(touchedBroadcastCeiling(4L << 30) == TouchedBroadcastMaxIds)
+    // 0 = unlimited in Spark's convention: static ceiling only
+    assert(touchedBroadcastCeiling(0L) == TouchedBroadcastMaxIds)
+    // the per-call override (the spec fallback test passes 0) still caps
+    assert(touchedBroadcastCeiling(oneGig, staticCeiling = 0L) == 0L)
   }
 
   test("pruned builders refuse a non-deterministic input frame loudly") {
@@ -119,6 +178,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val unpruned = DedupOps.minhashPairsFromDocs(spark, docs)
       .orderBy("doc_a", "doc_b").collect().toSeq
     assert(viaCheckpoint == unpruned)
+    // VERDICT r18 item 3: plan-LEVEL nondeterminism must be caught too —
+    // Sample's row membership (and an unordered Limit's row choice) is a
+    // function of upstream partitioning, which can shift between the
+    // three base re-evaluations with every EXPRESSION still
+    // deterministic, so the expression-only scan used to wave it through.
+    val sampled = docs.sample(0.5, seed = 42L)
+    val exS = intercept[IllegalArgumentException] {
+      DedupOps.minhashPairsFromDocs(spark, sampled, pruneVerify = true)
+    }
+    assert(exS.getMessage.contains("Sample") &&
+      exS.getMessage.contains("localCheckpoint"))
+    val limited = docs.limit(100)
+    val exL = intercept[IllegalArgumentException] {
+      DedupOps.minhashPairsFromDocs(spark, limited, pruneVerify = true)
+    }
+    assert(exL.getMessage.contains("Limit") &&
+      exL.getMessage.contains("localCheckpoint"))
+    // the remedy pins the sampled rows and the pruned result matches the
+    // unpruned pipeline over the same checkpointed frame
+    val sampledPinned = sampled.localCheckpoint(true)
+    val prunedSampled = DedupOps.minhashPairsFromDocs(spark, sampledPinned,
+        pruneVerify = true)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val unprunedSampled = DedupOps.minhashPairsFromDocs(spark, sampledPinned)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(prunedSampled == unprunedSampled)
   }
 
   test("touched-id broadcast ceiling falls back to the unpruned verify") {
