@@ -101,7 +101,10 @@ import org.apache.spark.sql.functions._
   * multiprobe) and --sub-margin=F (the level-2 runner-up rule) —
   * README's measured recall knobs; --tau=T (pair cosine threshold,
   * default 0.9); --auto-retrain[=pct] and --retrain-defer (day only,
-  * above).
+  * above); --defer-limit=N and --defer-refuse (day only — bound the
+  * deferral window: past N completed deferred ticks the tick reports
+  * `retrain_overdue` with a loud warning, and with --defer-refuse the
+  * next tick refuses to ingest until `retrain` runs).
   *
   * Single-writer: commands assume no concurrent writer and no reader
   * DURING compact/retrain (a crash mid-swap leaves the standing dir
@@ -123,7 +126,7 @@ object SemIndexJob {
     * establishes it. */
   final case class DayStats(newPairs: Long, probeRows: Long, freshN: Long,
       retrained: Boolean, creepPct: Option[Double],
-      retrainDue: Boolean = false)
+      retrainDue: Boolean = false, retrainOverdue: Boolean = false)
 
   private val MultiMarker = "_multi_membership"
   private val BaselineFile = "_probe_baseline"
@@ -139,8 +142,48 @@ object SemIndexJob {
     * while deferred, so every subsequent tick re-reports `retrain_due`
     * until the retrain actually runs; recall keeps degrading at the
     * measured mid-cycle rate meanwhile (the README drift tables), which
-    * is the cost the operator is explicitly accepting. */
+    * is the cost the operator is explicitly accepting.
+    *
+    * Bounded deferral (VERDICT r18 item 5): "explicitly accepting" must
+    * not decay into "silently forgot" — an unbounded marker lets an
+    * operator who misses the maintenance window accumulate exactly the
+    * recall sag the auto-trigger exists to stop. The marker therefore
+    * carries a second line counting the ingest ticks completed since
+    * the rule fired; once the count reaches `--defer-limit` (default
+    * [[DeferTickLimit]]) every further tick escalates from
+    * `retrain_due:true` to `retrain_overdue:true` plus a loud stderr
+    * warning, and with `--defer-refuse` the NEXT tick refuses to ingest
+    * at all until the `retrain` verb runs (the operator's choice of
+    * posture: a latency SLO that can't absorb the inline spike vs a
+    * recall SLO that can't absorb open-ended sag). Single-line markers
+    * from older runs read as count 0 — the bound starts from the
+    * upgrade, never refuses retroactively. */
   private val RetrainDueFile = "_retrain_due"
+
+  /** Default `--defer-limit`: ticks a fired retrain may be deferred
+    * before the overdue escalation. 7 daily ticks ≈ one weekly
+    * maintenance window — past the measured mid-cycle drift horizon
+    * (README: creep fires at ~10 % and recall decays measurably within
+    * the following ~5 ticks at 10 M), so the default warns before the
+    * damage compounds while still spanning a realistic ops calendar. */
+  private[graft] val DeferTickLimit = 7
+
+  /** (fired creep %, completed ticks since firing) from the deferral
+    * marker; single-line legacy content reads as 0 ticks. */
+  private def readRetrainDue(fs: org.apache.hadoop.fs.FileSystem,
+      standingDir: String): Option[(Double, Long)] =
+    readSmall(fs, s"$standingDir/$RetrainDueFile").map { c =>
+      val lines = c.split("\n")
+      (lines.headOption.flatMap(_.trim.toDoubleOption).getOrElse(0.0),
+        if (lines.length > 1) lines(1).trim.toLongOption.getOrElse(0L)
+        else 0L)
+    }
+
+  private def writeRetrainDue(fs: org.apache.hadoop.fs.FileSystem,
+      standingDir: String, creepPct: Double, ticks: Long): Unit =
+    writeSmall(fs, s"$standingDir/$RetrainDueFile",
+      String.format(java.util.Locale.ROOT, "%.1f",
+        java.lang.Double.valueOf(creepPct)) + "\n" + ticks)
 
   /** Landed-batch ledger (review r17): the day tick's retry refusal used
     * to rest on the `piece_batch_<id>` NAME existing — but retrain and
@@ -516,7 +559,9 @@ object SemIndexJob {
       probes: Int, margin: Double, subMargin: Double = 0.0,
       autoRetrainPct: Option[Double] = None,
       batchId: Option[String] = None,
-      retrainDefer: Boolean = false): DayStats = {
+      retrainDefer: Boolean = false,
+      deferLimit: Int = DeferTickLimit,
+      deferRefuse: Boolean = false): DayStats = {
     requireNoTrash(spark, standingDir)
     requireEpochConsistency(spark, indexDir, standingDir)
     // refuse an already-landed batch BEFORE touching any output (review
@@ -543,6 +588,24 @@ object SemIndexJob {
             "--batch-id if this is genuinely a new batch"))
     }
     requireUnlanded()
+    // bounded deferral (VERDICT r18 item 5), checked and advanced BEFORE
+    // any work: with --defer-refuse, a marker whose completed-tick count
+    // has reached the limit refuses the tick outright (the operator must
+    // run the `retrain` verb — or drop the flag — before ingesting
+    // more); otherwise a standing marker just counts this tick. The
+    // count advances HERE, not at tick end, so a tick that crashes
+    // mid-ingest still consumed deferral budget (fail-safe: the bound
+    // can only fire early, never late).
+    val priorDue = readRetrainDue(sfs, standingDir)
+    priorDue.foreach { case (firedCreep, ticks) =>
+      if (deferRefuse) require(ticks < deferLimit,
+        f"retrain has been deferred for $ticks completed ticks (limit " +
+          f"$deferLimit, trigger fired at $firedCreep%.1f%% creep) — run " +
+          "the `retrain` verb in a maintenance window before ingesting " +
+          "more batches, or drop --defer-refuse to continue with " +
+          "warnings (recall keeps sagging at the measured mid-cycle rate)")
+      writeRetrainDue(sfs, standingDir, firedCreep, ticks + 1)
+    }
     // read the epoch ONCE, before any work: pairs and piece written by
     // this tick are both artifacts of THIS index generation (a retrain
     // fired at the end of the tick must not retroactively re-label them)
@@ -629,10 +692,13 @@ object SemIndexJob {
             if (retrainDefer) {
               // mark only (VERDICT r17 item 5) — the `retrain` verb
               // executes in a maintenance window. Overwrite-idempotent:
-              // a later tick's larger creep replaces the recorded one.
-              writeSmall(sfs, s"$standingDir/$RetrainDueFile",
-                String.format(java.util.Locale.ROOT, "%.1f",
-                  java.lang.Double.valueOf((ratio / base - 1.0) * 100.0)))
+              // a later tick's larger creep replaces the recorded one,
+              // PRESERVING the deferral tick count already on disk
+              // (r19: a re-fire must not hand the bound back its budget)
+              val ticksSoFar = readRetrainDue(sfs, standingDir)
+                .map(_._2).getOrElse(0L)
+              writeRetrainDue(sfs, standingDir,
+                (ratio / base - 1.0) * 100.0, ticksSoFar)
               false
             } else {
               retrain(spark, indexDir, standingDir, probes, margin,
@@ -650,8 +716,25 @@ object SemIndexJob {
       .orElse(if (autoRetrainPct.isDefined) Some(0.0) else None)
     // pending-marker presence, not just fired-this-tick: a deferred
     // trigger keeps reporting until the maintenance retrain clears it
-    val retrainDue = sfs.exists(hpath(s"$standingDir/$RetrainDueFile"))
-    DayStats(newPairs, probeRows, freshN, retrained, creepPct, retrainDue)
+    val dueNow = readRetrainDue(sfs, standingDir)
+    val retrainDue = dueNow.isDefined
+    // overdue escalation (VERDICT r18 item 5): the deferral budget is
+    // spent — a flag in the stats/JSON plus a loud stderr line, so an
+    // operator tailing either channel can't miss it; --defer-refuse
+    // turns the NEXT tick into a refusal
+    val retrainOverdue = dueNow.exists(_._2 >= deferLimit)
+    if (retrainOverdue) dueNow.foreach { case (firedCreep, ticks) =>
+      System.err.println(
+        f"[semindex] WARNING: retrain OVERDUE — deferred $ticks completed " +
+          f"ticks (limit $deferLimit), trigger fired at $firedCreep%.1f%% " +
+          "creep" +
+          creepPct.map(c => f"; current creep $c%.1f%%").getOrElse("") +
+          ". Run the `retrain` verb — recall is sagging at the measured " +
+          "mid-cycle rate" +
+          (if (deferRefuse) "; the next tick will REFUSE to ingest" else ""))
+    }
+    DayStats(newPairs, probeRows, freshN, retrained, creepPct, retrainDue,
+      retrainOverdue)
   }
 
   /** Retrain + refreeze on the full standing corpus and reassign every
@@ -898,7 +981,10 @@ object SemIndexJob {
         val bid = batchId.getOrElse(deriveBatchId(spark, freshPath))
         val st = day(spark, spark.read.parquet(freshPath), indexDir,
           standingDir, pairsOut, tau, probes, margin, subMargin, autoRetrain,
-          Some(bid), retrainDefer = args.contains("--retrain-defer"))
+          Some(bid), retrainDefer = args.contains("--retrain-defer"),
+          deferLimit = opt("defer-limit").map(_.toInt)
+            .getOrElse(DeferTickLimit),
+          deferRefuse = args.contains("--defer-refuse"))
         val creep = st.creepPct
           .map(c => String.format(java.util.Locale.ROOT, "%.1f",
             java.lang.Double.valueOf(c)))
@@ -906,6 +992,7 @@ object SemIndexJob {
         println(f"""{"metric":"sem_index_day","new_pairs":${st.newPairs},""" +
           f""""probe_rows":${st.probeRows},"fresh_n":${st.freshN},""" +
           f""""retrained":${st.retrained},"retrain_due":${st.retrainDue},""" +
+          f""""retrain_overdue":${st.retrainOverdue},""" +
           f""""creep_pct":$creep,""" +
           f""""batch_id":"$bid","wall_sec":$wall%.1f}""")
       case Seq("compact", standingDir) =>
@@ -932,7 +1019,8 @@ object SemIndexJob {
           "compact <standingDir> | retrain <indexDir> <standingDir> | " +
           "check <emb> <indexDir> <pairsDir...>  " +
           "[--probes=N --margin=F --sub-margin=F --tau=T " +
-          "--auto-retrain[=pct] --retrain-defer --batch-id=ID]" +
+          "--auto-retrain[=pct] --retrain-defer --defer-limit=N " +
+          "--defer-refuse --batch-id=ID]" +
           s" (got: ${other.mkString(" ")})")
     }
     spark.stop()

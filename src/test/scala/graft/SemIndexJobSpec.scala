@@ -364,6 +364,86 @@ class SemIndexJobSpec extends AnyFunSuite {
     assert(!st4.retrained && !st4.retrainDue && st4.creepPct == Some(0.0))
   }
 
+  test("deferred retrain is bounded: overdue escalation, then refusal (VERDICT r18 item 5)") {
+    // the defer protocol must not decay into an unbounded recall sag: the
+    // marker counts completed deferred ticks, past --defer-limit the tick
+    // reports retrain_overdue (loud warning), and with --defer-refuse the
+    // NEXT tick refuses to ingest until the retrain verb runs.
+    val root = Files.createTempDirectory("graft-semdeferbound").toString
+    val indexDir = s"$root/index"
+    val standingDir = s"$root/standing"
+    val fire = Some(-100.0) // creep rule fires on every baselined tick
+    val inf = Double.PositiveInfinity
+    SemIndexJob.train(spark, emb(600, 2000), indexDir)
+    SemIndexJob.bootstrap(spark, emb(600, 2000), indexDir, standingDir,
+      probes = 1, margin = inf)
+
+    // tick 1: baseline; tick 2: fires → marker at 0 completed ticks,
+    // due but NOT overdue even at the tightest limit
+    val st1 = SemIndexJob.day(spark, emb(0, 200), indexDir, standingDir,
+      s"$root/p1", tau = 0.9, probes = 1, margin = inf,
+      autoRetrainPct = fire, batchId = Some("t1"), retrainDefer = true,
+      deferLimit = 1)
+    assert(!st1.retrainDue && !st1.retrainOverdue)
+    val st2 = SemIndexJob.day(spark, emb(200, 400), indexDir, standingDir,
+      s"$root/p2", tau = 0.9, probes = 1, margin = inf,
+      autoRetrainPct = fire, batchId = Some("t2"), retrainDefer = true,
+      deferLimit = 1)
+    assert(st2.retrainDue && !st2.retrainOverdue)
+
+    // tick 3 consumes the single deferral tick: still ingests, but the
+    // stats escalate to overdue (the warning channel)
+    val st3 = SemIndexJob.day(spark, emb(400, 600), indexDir, standingDir,
+      s"$root/p3", tau = 0.9, probes = 1, margin = inf,
+      autoRetrainPct = fire, batchId = Some("t3"), retrainDefer = true,
+      deferLimit = 1)
+    assert(st3.retrainDue && st3.retrainOverdue)
+    val piecesBefore = listPieces(standingDir).length
+
+    // tick 4 with --defer-refuse: budget spent → refuses BEFORE any
+    // ingest (no new piece, no pair output, marker not advanced)
+    val ex = intercept[IllegalArgumentException] {
+      SemIndexJob.day(spark, emb(2000, 2200), indexDir, standingDir,
+        s"$root/p4", tau = 0.9, probes = 1, margin = inf,
+        autoRetrainPct = fire, batchId = Some("t4"), retrainDefer = true,
+        deferLimit = 1, deferRefuse = true)
+    }
+    assert(ex.getMessage.contains("retrain") &&
+      ex.getMessage.contains("deferred"))
+    assert(listPieces(standingDir).length == piecesBefore,
+      "a refused tick must not land a piece")
+    assert(!exists(s"$root/p4"), "a refused tick must not publish pairs")
+
+    // WITHOUT the refuse flag the same tick still ingests (warn-only
+    // posture), and the maintenance retrain clears the whole state
+    val st4 = SemIndexJob.day(spark, emb(2000, 2200), indexDir, standingDir,
+      s"$root/p4", tau = 0.9, probes = 1, margin = inf,
+      autoRetrainPct = fire, batchId = Some("t4"), retrainDefer = true,
+      deferLimit = 1)
+    assert(st4.retrainDue && st4.retrainOverdue)
+    SemIndexJob.retrain(spark, indexDir, standingDir, probes = 1,
+      margin = inf)
+    assert(!exists(s"$standingDir/_retrain_due"))
+    val st5 = SemIndexJob.day(spark, emb(2200, 2400), indexDir, standingDir,
+      s"$root/p5", tau = 0.9, probes = 1, margin = inf,
+      autoRetrainPct = fire, batchId = Some("t5"), retrainDefer = true,
+      deferLimit = 1, deferRefuse = true)
+    assert(!st5.retrainDue && !st5.retrainOverdue,
+      "retrain must hand the deferral budget back")
+
+    // legacy single-line marker (pre-r19, creep only): reads as 0
+    // completed ticks — the bound starts from the upgrade, it never
+    // refuses retroactively
+    Files.writeString(java.nio.file.Paths.get(standingDir, "_retrain_due"),
+      "12.3")
+    val st6 = SemIndexJob.day(spark, emb(2400, 2600), indexDir, standingDir,
+      s"$root/p6", tau = 0.9, probes = 1, margin = inf,
+      autoRetrainPct = fire, batchId = Some("t6"), retrainDefer = true,
+      deferLimit = 1, deferRefuse = true)
+    assert(st6.retrainDue && st6.retrainOverdue,
+      "one completed tick on a legacy marker reaches the limit-1 escalation")
+  }
+
   test("retrain dedups membership rows to one row per vector") {
     // pieces hold one row per MEMBERSHIP; a probed bootstrap writes
     // multi rows for seam vectors, and a retrain must train/reassign

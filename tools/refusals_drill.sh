@@ -19,6 +19,10 @@
 #   R8  day --retrain-defer: a fired creep rule only MARKS (_retrain_due
 #       + retrain_due:true in the tick JSON, no piece rewrite); the
 #       separate retrain verb executes and clears it (r18)
+#   R9  bounded deferral (r19): past --defer-limit completed deferred
+#       ticks the tick escalates to retrain_overdue:true + a loud
+#       warning, and with --defer-refuse the NEXT tick refuses to
+#       ingest until the retrain verb runs
 set -u -o pipefail
 export SPARK_GRAFT_CPUS=16
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
@@ -143,6 +147,48 @@ if [ ! -f "$ROOT/standing/_retrain_due" ]; then
   echo "marker cleared by retrain"; PASS=$((PASS+1))
 else
   echo "FAIL: retrain left _retrain_due in place"; FAIL=$((FAIL+1))
+fi
+
+# R9: bounded deferral through the CLI (--defer-limit=1 --defer-refuse).
+# The retrain above reset the baseline, so: f1 re-arms it, f2 fires and
+# defers (0 completed ticks — due, not overdue), f3 consumes the single
+# deferral tick (retrain_overdue:true, still ingests), f4 must REFUSE
+# before ingesting anything. The refused tick reuses f3's input under a
+# fresh batch id — the refusal must come from the deferral bound, not
+# the landed-batch ledger.
+DFLAGS="$FLAGS --auto-retrain=-100 --retrain-defer --defer-limit=1 --defer-refuse"
+ok gen-f1     graft.VectorGen 125000 137500 mog "$ROOT/f1" --window=5
+ok gen-f2     graft.VectorGen 137500 150000 mog "$ROOT/f2" --window=6
+ok gen-f3     graft.VectorGen 150000 162500 mog "$ROOT/f3" --window=7
+ok day-f1-arm graft.jobs.SemIndexJob day "$ROOT/f1" "$ROOT/index" \
+  "$ROOT/standing" "$ROOT/pairs_f1" $DFLAGS --batch-id=f1
+echo "=== day-f2-fire (expect retrain_due:true, retrain_overdue:false) ==="
+out=$(java $JVM $OPENS -cp "$CP" graft.jobs.SemIndexJob day "$ROOT/f2" \
+  "$ROOT/index" "$ROOT/standing" "$ROOT/pairs_f2" $DFLAGS \
+  --batch-id=f2 2>&1 | grep '"metric"')
+if echo "$out" | grep -q '"retrain_due":true,"retrain_overdue":false'; then
+  echo "deferred within budget: $out"; PASS=$((PASS+1))
+else
+  echo "FAIL: fire tick mislabeled: $out"; FAIL=$((FAIL+1))
+fi
+echo "=== day-f3-overdue (expect retrain_overdue:true + warning, still ingests) ==="
+out=$(java $JVM $OPENS -cp "$CP" graft.jobs.SemIndexJob day "$ROOT/f3" \
+  "$ROOT/index" "$ROOT/standing" "$ROOT/pairs_f3" $DFLAGS \
+  --batch-id=f3 2>&1)
+if echo "$out" | grep -q '"retrain_due":true,"retrain_overdue":true' \
+    && echo "$out" | grep -q "retrain OVERDUE"; then
+  echo "escalated: $(echo "$out" | grep '"metric"')"; PASS=$((PASS+1))
+else
+  echo "FAIL: overdue tick did not escalate"; FAIL=$((FAIL+1))
+fi
+refuse day-f4-refuse "deferred" graft.jobs.SemIndexJob day "$ROOT/f3" \
+  "$ROOT/index" "$ROOT/standing" "$ROOT/pairs_f4" $DFLAGS --batch-id=f4
+ok retrain-bounded graft.jobs.SemIndexJob retrain "$ROOT/index" \
+  "$ROOT/standing" $FLAGS
+if [ ! -f "$ROOT/standing/_retrain_due" ] && [ ! -d "$ROOT/pairs_f4" ]; then
+  echo "marker cleared, refused tick published nothing"; PASS=$((PASS+1))
+else
+  echo "FAIL: R9 end state dirty"; FAIL=$((FAIL+1))
 fi
 
 echo "=== drill done: $PASS pass, $FAIL fail ==="
