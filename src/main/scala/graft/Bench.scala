@@ -389,14 +389,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // loadEnd is sampled FIRST: the 1-min load average is a decaying
+    // EWMA, so running the end-scan probe before it would land the
+    // probe's own ~32 runnable task threads in the very reading the
+    // loadEnd trip AND the io_credits gate consume (review r19 — on a
+    // drained volume a slow probe could push a borderline loadEnd over
+    // threshold and veto the reclassification built for that state).
+    val loadEnd = loadAvg
     // end-of-sweep scan probe (VERDICT r18 item 1): the I/O-credit
     // signature persists through the sweep (credits refill over hours),
     // a transient contention spike does not — contendedLabel uses this
     // reading as the persistence check before reclassifying a scan-only
-    // trip as io_credits. Measured BEFORE loadAvg is sampled so the
-    // probe's own runnable threads don't land in the load reading.
+    // trip as io_credits.
     val calibrationScanEndSec = calibrateScan()
-    val loadEnd = loadAvg
     // the per-query self-check (the signal the probes can't carry):
     // floors are sf0.1 measurements AT 32 threads, so the canary signal
     // only arms on exactly that configuration — a substring match would

@@ -688,17 +688,41 @@ object CorpusScaleBench {
       case _ => n > PruneVerifyAutoDocs
     }
 
-  /** Usable bytes across the configured spark.local.dir volume(s) —
-    * the scratch the unpruned verify exchanges would spill to. None
-    * when nothing is measurable (unreadable dirs), which sends
-    * [[pruneVerifyChoice]] to its measured fallback. */
+  /** Usable bytes across the configured scratch volume(s) — what the
+    * unpruned verify exchanges would spill to. Resolution order matches
+    * Spark's own (SPARK_LOCAL_DIRS env overrides spark.local.dir
+    * overrides java.io.tmpdir), and multiple dirs are DEDUPED BY VOLUME
+    * before summing (review r19): the standard
+    * `spark.local.dir=/mnt/d1,/mnt/d2` config for shuffle-I/O
+    * parallelism usually points at ONE volume, and summing per-dir
+    * usable space would double-count it — overstating capacity is the
+    * fail-DEADLY direction here (the gate would choose the unpruned
+    * verify past real capacity, recreating the 5 M ENOSPC the rule
+    * exists to prevent). None when nothing is measurable, which sends
+    * [[pruneVerifyChoice]] to its measured 3 M fallback. */
   private[graft] def freeScratchBytes(spark: SparkSession): Option[Long] =
+    dedupedUsableBytes(sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(spark.sparkContext.getConf.getOption("spark.local.dir"))
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp")))
+
+  /** Sum of usable bytes across the DISTINCT volumes behind a
+    * comma-separated dir list (spec-pinned: two dirs on one volume
+    * count it once). Unreadable/missing dirs are skipped; an empty
+    * survivor set is None. */
+  private[graft] def dedupedUsableBytes(dirList: String): Option[Long] =
     try {
-      val dirs = spark.sparkContext.getConf
-        .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
-      val frees = dirs.split(",").map(_.trim).filter(_.nonEmpty)
-        .map(d => new java.io.File(d).getUsableSpace).filter(_ > 0L)
-      if (frees.isEmpty) None else Some(frees.sum)
+      val byStore = dirList.split(",").map(_.trim).filter(_.nonEmpty)
+        .flatMap { d =>
+          try {
+            val store = java.nio.file.Files
+              .getFileStore(java.nio.file.Paths.get(d))
+            // FileStore.name on Linux is the backing device — the
+            // volume identity two same-disk dirs share
+            Some((store.name + "|" + store.`type`) -> store.getUsableSpace)
+          } catch { case _: Throwable => None }
+        }
+        .toMap.values.filter(_ > 0L)
+      if (byStore.isEmpty) None else Some(byStore.sum)
     } catch { case _: Throwable => None }
 
   /** VERDICT r12 item 5: the standing-index MAINTENANCE path, measured.
@@ -733,12 +757,30 @@ object CorpusScaleBench {
           e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     }
     spark.sparkContext.addSparkListener(shuffleListener)
+    // listener events arrive on the ASYNC bus (review r19): a stage's
+    // completion event can still be queued when the driver-side action
+    // returns, attributing its bytes to the next block. Poll the counter
+    // to stability (two consecutive equal reads 100 ms apart, ≤ 2 s)
+    // before sampling — the wall cost is noise against 50–300 s stages.
+    // If the 10k-event bus ever overflows the numbers are lower bounds;
+    // at this loop's stage counts (hundreds) it does not.
+    def settledShuffleBytes(): Long = {
+      var prev = shuffleBytes.get()
+      var i = 0
+      while (i < 20) {
+        Thread.sleep(100)
+        val cur = shuffleBytes.get()
+        if (cur == prev) return cur
+        prev = cur; i += 1
+      }
+      prev
+    }
     def stage[T](tag: String)(f: => T): (T, Double) = {
-      val b0 = shuffleBytes.get()
+      val b0 = settledShuffleBytes()
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
-      val gb = (shuffleBytes.get() - b0) / 1e9
+      val gb = (settledShuffleBytes() - b0) / 1e9
       println(f"[daily] $tag%-24s $sec%8.2f s  shuffle_write $gb%7.2f GB")
       (r, sec)
     }
@@ -843,7 +885,12 @@ object CorpusScaleBench {
       // leaked K persisted bases before the sweep existed (r13 OOM).
       // The index pieces themselves stay persisted by design (they ARE
       // the standing state) and were materialized by count(), so
-      // dropping the bases costs nothing while they stay on disk.
+      // dropping the bases costs only a possible recompute while they
+      // stay on disk. Since r19 the sweep ALSO drops verifyPruned's
+      // touched-id checkpoints, which are NOT recomputable — safe here
+      // because this tick's pair frame was materialized by the
+      // localCheckpoint(true)+count above (see the sweep's scaladoc for
+      // the hardened contract).
       queries.DedupOps.releaseAllMinhashBases(spark)
     }
 

@@ -173,7 +173,17 @@ object DedupOps {
     // for its size gate + broadcast, and like the internal
     // touchedExisting bases the CALLER never sees the frame to release
     // it — a K-day loop would otherwise retain K checkpoint RDDs for the
-    // session's lifetime (the r13 retained-state class)
+    // session's lifetime (the r13 retained-state class).
+    //
+    // CONTRACT HARDENING (review r19): the DISK_ONLY bases above are
+    // recomputable from lineage, so sweeping them early only costs a
+    // recompute — but an unpersisted localCheckpoint is UNRECOVERABLE
+    // (lineage truncated). Callers must MATERIALIZE every pruned-verify
+    // output (count/collect/checkpoint) before calling this sweep; a
+    // sweep between plan construction and materialization fails the
+    // later job with "Checkpoint block not found" instead of slowing
+    // it. Every current call site (the daily loop's per-tick sweep)
+    // materializes first.
     touchedCheckpointMemo.keys.filter(_._1 == sid)
       .foreach(k => SessionCaches.release(s, s"dedup.touched:${k._2}"))
   }

@@ -132,6 +132,28 @@ class IncrementalDedupSpec extends AnyFunSuite {
       explicitOff = false, Some(0L)))
   }
 
+  test("scratch capacity dedupes dirs by backing volume") {
+    // review r19: spark.local.dir=/d1,/d2 on ONE volume is the standard
+    // shuffle-parallelism config — summing per-dir usable space would
+    // double-count the volume and overstate capacity, the fail-DEADLY
+    // direction (the gate would pick the unpruned verify past real
+    // capacity, recreating the 5 M ENOSPC).
+    import CorpusScaleBench.dedupedUsableBytes
+    val one = dedupedUsableBytes("/tmp")
+    assert(one.exists(_ > 0L))
+    // the same volume listed twice (and with a redundant spelling) must
+    // not double; usable space moves between calls, so compare within
+    // a generous band rather than exactly
+    val twice = dedupedUsableBytes("/tmp,/tmp,/tmp/.")
+    assert(twice.isDefined)
+    assert(twice.get < one.get * 3 / 2,
+      s"same-volume dirs double-counted: $twice vs $one")
+    // unreadable entries are skipped, not fatal; all-unreadable is None
+    assert(dedupedUsableBytes("/does/not/exist,/tmp").isDefined)
+    assert(dedupedUsableBytes("/does/not/exist").isEmpty)
+    assert(dedupedUsableBytes("").isEmpty)
+  }
+
   test("touched-broadcast ceiling derives from spark.driver.maxResultSize") {
     // ADVICE r18: the 64 M static ceiling assumed a driver heap that can
     // COLLECT the set, but the broadcast build's collect is gated by
