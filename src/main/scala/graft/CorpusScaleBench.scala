@@ -925,8 +925,16 @@ object CorpusScaleBench {
     }
     queries.DedupOps.releaseMinhashBase(spark, all)
     def fmt(xs: Array[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    // prune_verify and the run's total shuffle-write ride the artifact
+    // line (r19): the per-stage prints carry them live, but the JSON
+    // line is what campaign logs get grepped for later — a scale claim
+    // ("exchanges ~3.5× smaller") should be re-checkable from the
+    // artifact alone, and the regime flag disambiguates which shape a
+    // recorded run actually measured.
+    val totalShuffleGb = settledShuffleBytes() / 1e9
     println(s"""{"metric":"daily_scale","n_docs":$n,"days":$days,"batch":$batchN,""" +
-      s""""compact_every":$compactEvery,""" +
+      s""""compact_every":$compactEvery,"prune_verify":$pruneVerify,""" +
+      s""""shuffle_write_gb":${f"$totalShuffleGb%.2f"},""" +
       s""""boot_pair_sec":${f"$bootPairSec%.1f"},"boot_index_sec":${f"$bootIxSec%.1f"},""" +
       s""""day_secs":${fmt(daySecs)},"append_secs":${fmt(appendSecs)},""" +
       s""""compact_secs":${fmt(compactSecs)},""" +
