@@ -158,10 +158,20 @@ class BenchLabelSpec extends AnyFunSuite {
     assert(Bench.contendedLabel(Some(0.181), Some(0.234), 4.27, 8.2, 32, 32,
       calibrationScanEndSec = Some(0.230), canariesQuiet = false) ==
       (true, "calibrationScan", ""))
-    // a start-only spike that RECOVERED by the end of the sweep is
-    // transient contention, not a credit state — keeps the label
-    assert(Bench.contendedLabel(Some(0.156), Some(0.228), 1.0, 4.0, 32, 32,
-      calibrationScanEndSec = Some(0.165), canariesQuiet = true) ==
+    // a start-only spike that RECOVERED by the end of the sweep, with
+    // the full quiet quartet, is pre-sweep I/O warmth that never reached
+    // the sweep — the live r19 episode: a 92.6 s in-band run, zero
+    // families, cal 0.172, scan 0.220 → 0.170, labeled contended off
+    // the one marginal probe while four independent signals read quiet.
+    // io_state names the recovered shape distinctly from credits.
+    assert(Bench.contendedLabel(Some(0.172), Some(0.220), 1.0, 2.89, 32, 32,
+      calibrationScanEndSec = Some(0.170), canariesQuiet = true) ==
+      (false, "", "io_transient_start"))
+    // …but WITHOUT quiet canaries the recovered spike keeps the label
+    // (contention that arrived pre-sweep can have lingered into it; the
+    // canaries are the witness that it did not)
+    assert(Bench.contendedLabel(Some(0.172), Some(0.220), 1.0, 2.89, 32, 32,
+      calibrationScanEndSec = Some(0.170), canariesQuiet = false) ==
       (true, "calibrationScan", ""))
     // an inflated CPU calibration is never credits (live contention
     // slows both probes) — calibration still trips on its own
