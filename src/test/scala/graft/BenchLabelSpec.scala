@@ -188,6 +188,50 @@ class BenchLabelSpec extends AnyFunSuite {
       (false, "", ""))
   }
 
+  test("label invariants hold across the whole input space (properties)") {
+    // the episode pins above are point cases; these are the rules no
+    // input may violate. Raw ScalaCheck generators with fixed seeds,
+    // same idiom as PropertySpec (the scalatest bridge isn't cached).
+    import org.scalacheck.{Arbitrary, Gen}
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      cal <- Gen.option(Gen.chooseNum(0.05, 0.6))
+      scan <- Gen.option(Gen.chooseNum(0.05, 0.8))
+      scanEnd <- Gen.option(Gen.chooseNum(0.05, 0.8))
+      ls <- Gen.chooseNum(0.0, 40.0)
+      le <- Gen.chooseNum(0.0, 80.0)
+      quiet <- Arbitrary.arbBool.arbitrary
+    } yield (cal, scan, scanEnd, ls, le, quiet)
+    val cases = (0 until 2000).flatMap(i =>
+      genCase.apply(Gen.Parameters.default, Seed(7L + i)))
+    for ((cal, scan, scanEnd, ls, le, quiet) <- cases) {
+      val (c, by, io) = Bench.contendedLabel(cal, scan, ls, le, 32, 32,
+        scanEnd, quiet)
+      // contended ⇔ at least one named signal
+      assert(c == by.nonEmpty)
+      // an io_state is only ever a RECLASSIFIED genuine scan trip under
+      // the full quiet quartet — never a synonym for "scan also tripped"
+      if (io.nonEmpty) {
+        assert(!by.contains("calibrationScan"))
+        assert(scan.exists(_ > 0.21) && cal.exists(_ <= 0.20) && quiet &&
+          le <= math.max(32 / 2.0, 32 + 6.0))
+        // the end probe names the shape exactly
+        if (io == "io_credits") assert(scanEnd.forall(_ > 0.21))
+        else { assert(io == "io_transient_start")
+          assert(scanEnd.exists(_ <= 0.21)) }
+      }
+      // non-quiet canaries always veto the reclassification
+      if (!quiet) assert(io.isEmpty)
+      // a LOWER CPU calibration can never make a run MORE contended
+      // (it only removes trips / enables the exculpation)
+      cal.foreach { c0 =>
+        val (c2, _, _) = Bench.contendedLabel(Some(c0 / 2), scan, ls, le,
+          32, 32, scanEnd, quiet)
+        assert(!c2 || c, s"lowering calibration $c0 flipped clean→contended")
+      }
+    }
+  }
+
   test("Verify mode (no calibrations): load signals stand un-exculpated") {
     // Verify runs no calibration jobs — loadStart > 6 can't be talked
     // down by an idle CPU probe that was never measured (VERDICT r15
