@@ -72,8 +72,12 @@ object DedupOps {
         .cache()
       // materialize NOW: the band self-join reads fp from two concurrent
       // jobs (broadcast build + probe), and a lazily-cached plan gets
-      // computed by BOTH before either fills the cache
-      fp.count()
+      // computed by BOTH before either fills the cache. Unpersist on a
+      // FAILED materialization (review r19, the jaccardPerDoc r17 fix's
+      // class): a count() that dies mid-job leaves partially-cached
+      // blocks pinned with no memo entry for the release hook to find.
+      try fp.count()
+      catch { case t: Throwable => fp.unpersist(false); throw t }
       fp
     })
 
@@ -202,6 +206,23 @@ object DedupOps {
   private val touchedCheckpointSeq =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Eager localCheckpoint + registry-track a small internal frame so
+    * the [[releaseAllMinhashBases]] sweep (or session end) unpersists
+    * it — the shared discipline of [[verifyPruned]]'s touched sets and
+    * [[minhashPairsAgainstIndex]]'s candidate pairs. Returns the pinned
+    * frame and an early-release thunk for callers that drop it sooner
+    * (verifyPruned's beyond-ceiling fallback). Materialize every
+    * consumer before the sweep runs — see the sweep's scaladoc. */
+  private def trackCheckpoint(df: DataFrame): (DataFrame, () => Unit) = {
+    val s = df.sparkSession
+    val t = df.localCheckpoint(true)
+    val key = (System.identityHashCode(s), touchedCheckpointSeq.incrementAndGet())
+    touchedCheckpointMemo.put(key, t)
+    SessionCaches.onRelease(s, s"dedup.touched:${key._2}")(() =>
+      touchedCheckpointMemo.remove(key).foreach(_.unpersist(false)))
+    (t, () => SessionCaches.release(s, s"dedup.touched:${key._2}"))
+  }
+
   /** LSH banding rows (doc_id, band, bucket[, extra…]) via the scan-local
     * native signature (md5 + 16 permutation minima in one pass over the
     * shingle array) — the explode → md5 → hex-conv → 16-column min
@@ -325,29 +346,24 @@ object DedupOps {
     // inherent to deciding broadcast-vs-fallback before the plan is
     // returned; plan-shape-only callers eat that cost once.
     //
-    // Registered in touchedCheckpointMemo (ADVICE r18): the checkpoint
-    // must outlive this call (the returned plan broadcasts it), so it
-    // can't be unpersisted here — the releaseAllMinhashBases sweep (or
-    // the session-end finalizer) drops it after the verify output is
+    // Registered via trackCheckpoint (ADVICE r18): the checkpoint must
+    // outlive this call (the returned plan broadcasts it), so it can't
+    // be unpersisted here — the releaseAllMinhashBases sweep (or the
+    // session-end finalizer) drops it after the verify output is
     // materialized.
-    val s = touched.sparkSession
-    val t = touched.localCheckpoint(true)
-    val key = (System.identityHashCode(s), touchedCheckpointSeq.incrementAndGet())
-    touchedCheckpointMemo.put(key, t)
-    SessionCaches.onRelease(s, s"dedup.touched:${key._2}")(() =>
-      touchedCheckpointMemo.remove(key).foreach(_.unpersist(false)))
+    val (t, releaseEarly) = trackCheckpoint(touched)
     val nTouched = t.count()
     // cap by what the driver can actually collect (ADVICE r18)
     val ceiling = touchedBroadcastCeiling(
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        s.sparkContext.getConf.get("spark.driver.maxResultSize", "1g")),
+        touched.sparkSession.sparkContext.getConf
+          .get("spark.driver.maxResultSize", "1g")),
       maxBroadcastIds)
     if (nTouched > ceiling) {
       println(s"[dedup] touched id set ($nTouched ids) exceeds the " +
         s"broadcast ceiling ($ceiling) — falling back to the " +
         "unpruned sort-merge verify (result-identical)")
-      // the fallback has no consumer for the id set
-      SessionCaches.release(s, s"dedup.touched:${key._2}")
+      releaseEarly() // the fallback has no consumer for the id set
       minhashVerify(cand, base)
     } else
       minhashVerify(cand, base.join(broadcast(t), Seq("doc_id"), "left_semi"))
@@ -429,15 +445,36 @@ object DedupOps {
         "before pruning (or run with pruneVerify = false)")
   }
 
+  /** THE banded candidate construction — one definition for the five
+    * builders (review r19: the block was copy-pasted across every
+    * builder, so a change to candidate semantics had to land identically
+    * in 4–6 places or the spec-pinned builder equalities silently
+    * diverged). Joins `probe` against `build` on the (band, bucket) key:
+    * with probe = build = the full banding set (`fullSelfJoin`), the
+    * a < b filter emits each unordered pair once; with a probe
+    * RESTRICTED to a subset (the incremental/daily shapes), ids meet in
+    * either role, so the filter is inequality + least/greatest
+    * normalization — each probe-touching pair exactly once after the
+    * distinct, in both regimes. */
+  private def bandedCandidates(probe: DataFrame, build: DataFrame,
+      fullSelfJoin: Boolean): DataFrame = {
+    val j = probe.as("a").join(build.as("b"), Seq("band", "bucket"))
+    (if (fullSelfJoin)
+      j.filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    else
+      j.filter(col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")))
+      .distinct()
+  }
+
   /** Banded candidate id pairs (pre-verify) — the CorpusScaleBench
     * sub-stage probe. */
   private[graft] def minhashCandidatesFromDocs(
       s: SparkSession, docs: DataFrame): DataFrame = {
     val banded = minhashBanded(minhashBase(s, docs))
-    banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    bandedCandidates(banded, banded, fullSelfJoin = true)
   }
 
   /** MinHash+LSH near-dup pairs over any (doc_id, text) frame — shared by
@@ -468,10 +505,7 @@ object DedupOps {
     val base = if (pruneVerify) minhashBaseUncached(s, docs)
       else minhashBase(s, docs)
     val banded = minhashBanded(base)
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bandedCandidates(banded, banded, fullSelfJoin = true)
     if (pruneVerify)
       verifyPruned(cand, hashShingles(base),
         hotBucketMembers(banded, needFresh = false))
@@ -497,10 +531,7 @@ object DedupOps {
     requireDeterministicForPruning(docs)
     // verify-only consumer → hashed shingles (see [[hashShingles]])
     val base = hashShingles(minhashBaseUncached(s, docs))
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bandedCandidates(banded, banded, fullSelfJoin = true)
     verifyPruned(cand, base, hotBucketMembers(banded, needFresh = false))
   }
 
@@ -524,12 +555,8 @@ object DedupOps {
     val banded = minhashBanded(base)
     // probe side: fresh only; build side: everything — a pair of two
     // existing docs can never form
-    val cand = banded.filter(col("fresh")).as("a")
-      .join(banded.as("b"), Seq("band", "bucket"))
-      .filter(col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    val cand = bandedCandidates(banded.filter(col("fresh")), banded,
+      fullSelfJoin = false)
     if (pruneVerify)
       verifyPruned(cand, hashShingles(base).drop("fresh"),
         hotBucketMembers(banded, needFresh = true))
@@ -565,12 +592,16 @@ object DedupOps {
     val freshBase = minhashBase(s, fresh)
     val freshBanded = minhashBanded(freshBase).select("doc_id", "band", "bucket")
     val allBanded = index.union(freshBanded)
-    val cand = freshBanded.as("a")
-      .join(allBanded.as("b"), Seq("band", "bucket"))
-      .filter(col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    // checkpointed (review r19): cand feeds the final verify join AND —
+    // via `touched` below — the semi that selects which existing docs
+    // get shingled, so left lazy the freshBanded×index probe join
+    // re-evaluates in every consumer (the cand-derived re-evaluation
+    // trap [[verifyPruned]]'s scaladoc documents, measured 2.5× there).
+    // Registry-tracked like the touched sets: the daily loop's per-tick
+    // releaseAllMinhashBases sweep frees it after the tick's pairs are
+    // materialized.
+    val (cand, _) = trackCheckpoint(
+      bandedCandidates(freshBanded, allBanded, fullSelfJoin = false))
     // verify reads shingles for fresh docs from the batch and, for the
     // existing side, ONLY for docs that actually appear in a candidate.
     // Hashed to 64-bit (VERDICT r18 item 2): at a 15 M-doc standing
@@ -587,7 +618,12 @@ object DedupOps {
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val touchedExisting = existing
       .join(touched.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    // project BOTH union sides to (doc_id, sh) (review r19): minhashBase
+    // passes extra columns through, so an `existing` frame carrying any
+    // column beyond (doc_id, text) — a shape minhashBase explicitly
+    // supports — would fail the positional union at plan build
     val verifyBase = hashShingles(minhashBase(s, touchedExisting)
+      .select("doc_id", "sh")
       .union(freshBase.select("doc_id", "sh")))
     minhashVerify(cand, verifyBase)
   }
@@ -716,8 +752,13 @@ object DedupOps {
         .join(prop.select(col("vec_id").as("c1"), col("c1").as("jump")).as("j"), Seq("c1"))
         .select(col("vec_id"), least(col("c1"), col("jump")).as("cluster_id"),
           (least(col("c1"), col("jump")) < col("old")).as("chg")))
+      // coalesce(sum, 0): sum() over an EMPTY frame is SQL-null, and
+      // getLong on it NPEs — an empty node set must converge in one
+      // round, not crash (review r19; starComponents' checksum already
+      // tolerates the same edge)
       converged = updated
-        .agg(sum(when(col("chg"), 1L).otherwise(0L))).head().getLong(0) == 0
+        .agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
+        .head().getLong(0) == 0
       release()
       release = relNew
       labels = updated.drop("chg")
