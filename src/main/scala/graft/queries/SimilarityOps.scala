@@ -117,9 +117,20 @@ object SimilarityOps {
       emb: org.apache.spark.sql.DataFrame, n: Long,
       f: Double): SemPreset = {
     require(f > 0.0 && f < 1.0, s"quantile fraction f=$f outside (0, 1)")
-    val margin = coarseMarginRatios(s, emb, n)
-      .stat.approxQuantile("ratio", Array(f), 0.001).head
-    SemPreset(2, margin, SemPreset.Frontier.subProbeMargin)
+    val qs = coarseMarginRatios(s, emb, n)
+      .stat.approxQuantile("ratio", Array(f), 0.001)
+    // loud, diagnostic failure instead of a bare NoSuchElementException
+    // (review r19): on a (near-)identical corpus the trained coarse
+    // quantizer collapses to ONE live centroid — no vector has a
+    // runner-up cell, every ratio is NULL, and approxQuantile (which
+    // ignores nulls) returns an empty array. A margin is meaningless
+    // there; name the degeneracy and the way out.
+    require(qs.nonEmpty,
+      "margin calibration found no runner-up coarse cells — the trained " +
+        "quantizer collapsed to a single live centroid (a (near-)identical " +
+        "corpus); multi-probe margins are meaningless on it. Run with " +
+        "--sem-preset=frontier, =exact, or =off instead of =calibrated")
+    SemPreset(2, qs.head, SemPreset.Frontier.subProbeMargin)
   }
 
   /** [[semClustersFromEmb]] with a named operating point. */
@@ -162,10 +173,24 @@ object SimilarityOps {
       .groupBy("vec_id")
       .agg(min(when(col("rk") === 1, col("d2"))).as("d_best"),
         min(when(col("rk") === 2, col("d2"))).as("d_second"))
-      // float cancellation can push a tiny d² below 0; clamp the
-      // denominator so the ratio stays finite and ≥ 1-ish
+      // float cancellation can push a tiny d² below 0 — on a
+      // duplicate-heavy corpus the copies' cell centroid EQUALS the
+      // duplicated vector, so d_best cancels to ±1e-16 with random sign.
+      // Clamp BOTH distances at 0 and the ratio at 1 (review r19): the
+      // old denominator-only clamp let a negative d_second produce a
+      // ratio near -1e284, dragging the calibration quantile negative
+      // and silently degrading the calibrated preset to single-probe.
+      // A duplicate's legitimately huge positive ratio ("the runner-up
+      // cell is relatively far — no second probe needed") lands above
+      // any low quantile and leaves the margin representative. The NULL
+      // case (no runner-up cell exists — the quantizer collapsed to one
+      // live centroid) must stay NULL: Spark's greatest() SKIPS nulls,
+      // so the bare clamp would manufacture ratio = 1.0 rows there and
+      // defeat calibratedPreset's empty-quantile degeneracy detection.
       .select(col("vec_id"),
-        (col("d_second") / greatest(col("d_best"), lit(1e-300))).as("ratio"))
+        when(col("d_second").isNull, lit(null).cast("double"))
+          .otherwise(greatest(greatest(col("d_second"), lit(0.0)) /
+            greatest(col("d_best"), lit(1e-300)), lit(1.0))).as("ratio"))
   }
 
   /** SemDeDup LOSER set (doc_id) over any (vec_id, embedding) frame at a
@@ -197,9 +222,15 @@ object SimilarityOps {
     // joins `edges` once per round, and an uncached lineage would re-run
     // the whole blocking + in-cluster cosine pipeline each time — every
     // other CC caller (ClusterProbe, ccLabels, the scale bench) pins its
-    // edges first
+    // edges first. multiAssigned tracks the blocking actually used
+    // (review r19): only the hierarchical branch with probing knobs can
+    // co-locate a pair twice — the flat fallback and single-probe
+    // presets are provably single-membership, so their pair-dedup
+    // exchange is skipped.
+    val multi = semK(n) > FlatKCap &&
+      (preset.probes > 1 || preset.subProbeMargin > 1.0)
     val (pairs, relPairs) = DedupOps.checkpointReleasable(
-      semDupPairs(s, emb, clusters, tau))
+      semDupPairs(s, emb, clusters, tau, multiAssigned = multi))
     val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     val cc = DedupOps.minLabelComponents(edges, emb.select("vec_id"))
@@ -584,13 +615,41 @@ object SimilarityOps {
     * HIERARCHICAL: a √k-sized coarse quantizer (always broadcastable)
     * shuffles the corpus ONCE on the cell id, and each cell — now
     * task-sized — re-applies the same train-assign step locally
-    * ([[localKmeans]], the recursive unit; cells still over threshold
-    * would recurse with the identical operation). Blocking quality is
+    * ([[localKmeans]], the recursive unit; cells past [[CellSplitCap]]
+    * members are split into bounded contiguous ranges — see the cap's
+    * scaladoc for the duplicate-funnel failure it bounds). Blocking
+    * quality is
     * unchanged — a cluster is a cluster regardless of the level that
     * produced it — only the id becomes a (cell, sub) composite. The cap
     * is deliberately low so the hierarchical path is EXERCISED at sf0.1
     * (k = 32), not just claimed. */
   private val FlatKCap = 16
+
+  /** Per-task ceiling on one coarse cell's member count (review r19):
+    * the FlatKCap scaladoc promised recursion for oversized cells, but
+    * none existed — a heavily duplicated vector funnels its whole mass
+    * into ONE cell (its copies' nearest centroid is the same), and that
+    * cell's local Lloyd is a single task holding every copy (≥ 0.5 GB
+    * boxed at 1 M copies) and running k2 ≈ len/64 centroids × len
+    * vectors × dim flops (~3e12 at 1 M) — an executor OOM or an
+    * hours-long straggler on exactly the workload semantic dedup
+    * targets. Cells past the cap are split into CONTIGUOUS id-sorted
+    * ranges (adjacent ids carry the near-dup structure, per the strided-
+    * seed note above) that Lloyd independently, sub ids offset per
+    * split. The trade is cross-split recall within an over-cap cell —
+    * and over-cap cells only arise from heavy duplication at the
+    * default geometry (average cell = 64·√(N/64) members stays under
+    * the cap through N ≈ 4×10⁸), where every split still self-contains
+    * duplicate partners. 2¹⁸ members bounds a split's Lloyd at
+    * ~2.7e11 flops and ~130 MB — heavy but task-feasible. */
+  private[graft] val CellSplitCap = 1 << 18
+
+  /** Contiguous id-sorted splits of one cell's members, each at most
+    * `cap` long (parameterized for the spec; production uses
+    * [[CellSplitCap]]). */
+  private[graft] def cellSplits(vs: Array[(Long, Array[Double])],
+      cap: Int = CellSplitCap): Iterator[Array[(Long, Array[Double])]] =
+    if (vs.length <= cap) Iterator.single(vs) else vs.grouped(cap)
 
   /** Task-local deterministic Lloyd over one cell — the recursive unit of
     * the hierarchical blocking. Seeds = every (len/k)-th member of the
@@ -616,9 +675,18 @@ object SimilarityOps {
   /** The Lloyd-fit half of [[localKmeansProbed]]: strided seeds, `lloyd`
     * iterations, dead centroids dropped — returns the SETTLED centroids.
     * Exposed separately so the standing semantic index
-    * ([[semIndexTrain]]) can persist them: re-assigning any member
-    * through these centroids with the same (strict <, lower-id tie)
-    * argmin reproduces its training assignment exactly. */
+    * ([[semIndexTrain]]) can persist them. NOTE on reproducibility
+    * (review r19): re-assigning a member through these centroids
+    * reproduces its training assignment only up to float-summation
+    * order — training's `nearest` accumulates (v(i)−m(i))² directly
+    * while [[semIndexAssign]] scores the expansion ee − 2·em + mm in
+    * three separate accumulations; mathematically equal, not
+    * bit-identical, so a vector near-equidistant (≲ 1e-15 relative)
+    * between two sub-centroids can flip its strict-< argmin between
+    * train time and assign time. No consumer compares the two — the
+    * daily loop's sym_diff equality holds because BOTH sides assign
+    * through semIndexAssign — but a future consumer that persists
+    * train-time memberships must not assume bit-equality. */
   private[graft] def localKmeansFit(vs: Array[(Long, Array[Double])], k: Int,
       lloyd: Int = 2): Array[Array[Double]] = {
     val dim = vs.head._2.length
@@ -756,6 +824,16 @@ object SimilarityOps {
     val k = semK(n)
     require(k > 8, s"semClustersFromEmb is the production path; semK($n)=$k <= 8")
     if (k <= FlatKCap) {
+      // the probe knobs act on the level-1/level-2 structure, which the
+      // flat quantizer doesn't have — say so LOUDLY instead of silently
+      // running a named multi-probe operating point as single-assignment
+      // blocking (review r19; the file's own loud-failure rule —
+      // SemPreset.parse errors on typos for the same reason)
+      if (probes > 1 || subProbeMargin > 1.0)
+        println(s"[sem] flat-regime blocking (semK($n) = $k ≤ $FlatKCap): " +
+          "the multi-probe knobs (probes/probeMargin/subProbeMargin) have " +
+          "no hierarchical structure to act on and are IGNORED — this " +
+          "corpus runs single-assignment (exact-equivalent) blocking")
       graft.functions.GraftFunctions.register(s)
       assignVec(emb, trainVecCentroids(emb, k))
         .select(col("vec_id"), col("c").as("cluster"))
@@ -784,15 +862,23 @@ object SimilarityOps {
           .select(col("cell"), col("vec_id"), col("embedding")),
         (cell: Long, mit: Iterator[(Long, Array[Double])]) => {
           val vs = mit.toArray.sortBy(_._1)
-          val k2 = math.max(1, math.ceil(vs.length / SemTargetCluster).toInt)
-          require(k2.toLong < (1L << SubBits),
-            s"cell $cell sub-cluster count $k2 overflows the composite id")
-          val sub = localKmeansProbed(vs, k2, subProbeMargin)
-          vs.iterator.zipWithIndex.flatMap { case ((id, _), j) =>
-            val (best, secnd) = sub(j)
-            val first = (id, (cell << SubBits) + best) // (cell, sub) id
-            if (secnd < 0) Iterator.single(first)
-            else Iterator(first, (id, (cell << SubBits) + secnd))
+          // over-cap cells split into bounded ranges (see [[CellSplitCap]];
+          // a single split — every current corpus — keeps base 0 and the
+          // exact pre-split ids)
+          var subBase = 0L
+          cellSplits(vs).flatMap { part =>
+            val k2 = math.max(1, math.ceil(part.length / SemTargetCluster).toInt)
+            require(subBase + k2 < (1L << SubBits),
+              s"cell $cell sub-cluster count overflows the composite id")
+            val sub = localKmeansProbed(part, k2, subProbeMargin)
+            val base = subBase
+            subBase += k2
+            part.iterator.zipWithIndex.flatMap { case ((id, _), j) =>
+              val (best, secnd) = sub(j)
+              val first = (id, (cell << SubBits) + base + best) // (cell, sub) id
+              if (secnd < 0) Iterator.single(first)
+              else Iterator(first, (id, (cell << SubBits) + base + secnd))
+            }
           }
         })
         .toDF("vec_id", "cluster")
@@ -808,8 +894,10 @@ object SimilarityOps {
   private[graft] def semDupPairs(s: SparkSession,
       emb: org.apache.spark.sql.DataFrame,
       clusters: org.apache.spark.sql.DataFrame,
-      tau: Double): org.apache.spark.sql.DataFrame =
-    semDupPairsAssigned(s, emb.join(clusters, Seq("vec_id")), tau)
+      tau: Double,
+      multiAssigned: Boolean = true): org.apache.spark.sql.DataFrame =
+    semDupPairsAssigned(s, emb.join(clusters, Seq("vec_id")), tau,
+      multiAssigned)
 
   /** [[semDupPairs]] over an already-assigned (vec_id, cluster,
     * embedding) frame — the standing-piece schema of the incremental
@@ -955,11 +1043,22 @@ object SimilarityOps {
         .select(col("cell"), col("vec_id"), col("embedding")),
       (cell: Long, mit: Iterator[(Long, Array[Double])]) => {
         val vs = mit.toArray.sortBy(_._1)
-        val k2 = math.max(1, math.ceil(vs.length / SemTargetCluster).toInt)
-        require(k2.toLong < (1L << SubBits),
-          s"cell $cell sub-centroid count $k2 overflows the composite id")
-        localKmeansFit(vs, k2).iterator.zipWithIndex
-          .map { case (m, j) => (cell, j, m) }
+        // same bounded-range split as the online blocking (see
+        // [[CellSplitCap]]): sub ids offset per split, single-split
+        // cells (every current corpus) keep the exact pre-split ids.
+        // Int base on purpose — the persisted index's `sub` column stays
+        // IntegerType (a member count can't overflow Int before it
+        // overflows a task anyway)
+        var subBase = 0
+        cellSplits(vs).flatMap { part =>
+          val k2 = math.max(1, math.ceil(part.length / SemTargetCluster).toInt)
+          require(subBase.toLong + k2 < (1L << SubBits),
+            s"cell $cell sub-centroid count overflows the composite id")
+          val base = subBase
+          subBase += k2
+          localKmeansFit(part, k2).iterator.zipWithIndex
+            .map { case (m, j) => (cell, base + j, m) }
+        }
       })
       .toDF("cell", "sub", "m")
     // every coarse cell must own ≥ 1 sub row: a cell can end MEMBERLESS
@@ -1840,7 +1939,11 @@ object SimilarityOps {
         // hardening semDupPairs carries)
         graft.functions.GraftFunctions.register(s)
         val clus = semClusters(s, dir) // memoized + cached per dataset
-        val dup = semDupPairs(s, emb, clus, 0.25)
+        // single-membership blocking (semClusters uses the probes = 1
+        // defaults), so the pair-dedup exchange is provably redundant —
+        // skip it (review r19: this caller paid the multiAssigned
+        // dropDuplicates the r15 note eliminated for the incremental one)
+        val dup = semDupPairs(s, emb, clus, 0.25, multiAssigned = false)
           .select(col("vec_b").as("vec_id")).distinct()
         clus.join(dup.withColumn("isdup", lit(1)), Seq("vec_id"), "left")
           .select(col("vec_id"), col("cluster"),

@@ -425,6 +425,53 @@ class LlmOpsSpec extends AnyFunSuite {
       s"f=$f bought extra-membership fraction $extra (margin ${p.probeMargin})")
   }
 
+  test("duplicate-heavy corpora: clamped margins, loud degeneracy, bounded cell splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, isnan}
+    // (1) duplicate-heavy but non-degenerate: 30 % of the corpus is one
+    // repeated vector — its cell centroid converges onto the vector and
+    // d_best float-cancels to ±1e-16 with random sign. The old
+    // denominator-only clamp let a negative d_second produce ratios near
+    // -1e284, dragging the calibration quantile negative and silently
+    // degrading the calibrated preset to single-probe (review r19).
+    // Every ratio must now be finite, non-null and ≥ 1.
+    // duplicates parked at HIGH ids: trainVecCentroids seeds from the k
+    // SMALLEST vec_ids, so low-id duplicates would hand every seed the
+    // same vector and collapse the quantizer — the case (2) fixture,
+    // not this one
+    val n = 1100L
+    val emb = spark.range(n).map(i =>
+        (i, if (i >= 770) CorpusScaleBench.synVec(7L)
+            else CorpusScaleBench.synVec(i)))
+      .toDF("vec_id", "embedding")
+    val ratios = queries.SimilarityOps.coarseMarginRatios(spark, emb, n)
+    val bad = ratios.filter(col("ratio").isNull || isnan(col("ratio")) ||
+      col("ratio") < 1.0).count()
+    assert(bad == 0, s"$bad ratios null / NaN / below 1")
+    val p = queries.SimilarityOps.calibratedPreset(spark, emb, n, 0.2)
+    assert(p.probeMargin >= 1.0 && !p.probeMargin.isNaN)
+    // (2) a fully identical corpus collapses the trained quantizer to a
+    // single live centroid: no vector has a runner-up cell, and
+    // calibratedPreset must fail LOUD and diagnostic (naming the way
+    // out), not with a bare NoSuchElementException off an empty quantile
+    val same = spark.range(n).map(i => (i, CorpusScaleBench.synVec(3L)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      queries.SimilarityOps.calibratedPreset(spark, same, n, 0.2)
+    }
+    assert(ex.getMessage.contains("single live centroid"))
+    // (3) the over-cap cell splitter (the duplicate-funnel task bound):
+    // contiguous, size-capped, order- and membership-preserving; a cell
+    // under the cap passes through as the identical single array
+    val vs = Array.tabulate(1000)(i => (i.toLong, Array(i.toDouble)))
+    val one = queries.SimilarityOps.cellSplits(vs).toSeq
+    assert(one.length == 1 && (one.head eq vs))
+    val parts = queries.SimilarityOps.cellSplits(vs, cap = 64).toSeq
+    assert(parts.forall(_.length <= 64))
+    assert(parts.map(_.length).sum == 1000)
+    assert(parts.flatMap(_.map(_._1)) == vs.map(_._1).toSeq)
+  }
+
   test("localKmeansProbed: all-zero-distance tie emits no runner-up unless the knob is on") {
     // ADVICE r13 (medium): with bD == sD == 0 (vector bit-equal to TWO
     // sub-centroids — here forced via lloyd=0 so strided seeds keep their
