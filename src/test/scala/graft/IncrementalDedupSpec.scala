@@ -130,6 +130,44 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // a degenerate (non-positive) estimate falls back to the constant
     assert(!pruneVerifyChoice(PruneVerifyAutoDocs, explicitOn = false,
       explicitOff = false, Some(0L)))
+
+    // VERDICT r19 item 1: the per-doc estimate scales from MEASURED text
+    // bytes with the 16 KB floor retained — a fat-document corpus flips
+    // the choice where the corpus-blind constant would not.
+    import CorpusScaleBench.{perDocScratchEstimate,
+      UnprunedVerifyScratchBytesPerTextByte}
+    // thin/synthetic docs sit AT the floor (the calibration corpus:
+    // ~1.2 KB text × 14 ≈ 16.8 KB, floor 16.4 KB — same regime)
+    assert(perDocScratchEstimate(None) == UnprunedVerifyScratchBytesPerDoc)
+    assert(perDocScratchEstimate(Some(500L)) == UnprunedVerifyScratchBytesPerDoc)
+    // fat docs scale linearly: 12 KB text → 168 KB/doc scratch
+    assert(perDocScratchEstimate(Some(12000L)) ==
+      12000L * UnprunedVerifyScratchBytesPerTextByte)
+    // degenerate average falls back to the floor
+    assert(perDocScratchEstimate(Some(0L)) == UnprunedVerifyScratchBytesPerDoc)
+    // the FLIP: 1 M docs on 40 GB free — the constant estimates 16.4 GB
+    // ≤ 20 GB (unpruned, which on a real 12 KB-doc corpus is the ENOSPC
+    // direction), the measured-bytes estimate 168 GB > 20 GB (prune)
+    val free40g = Some(40L << 30)
+    assert(!pruneVerifyChoice(1000000L, explicitOn = false,
+      explicitOff = false, free40g))
+    assert(pruneVerifyChoice(1000000L, explicitOn = false,
+      explicitOff = false, free40g, avgDocTextBytes = Some(12000L)))
+    // a measured THIN average does not loosen the floor-derived gate
+    assert(pruneVerifyChoice(5000000L, explicitOn = false,
+      explicitOff = false, Some(80L << 30), avgDocTextBytes = Some(400L)))
+  }
+
+  test("sampledAvgDocBytes measures a deterministic text-bytes average") {
+    import spark.implicits._
+    // 1-in-4 pmod slice of 100 docs: sampled ids 0,4,…,96 — text length
+    // = 100 + id, so the expected average is 100 + 48 = 148
+    val docs = spark.range(100).map(i => (i, "x" * (100 + i.toInt)))
+      .toDF("doc_id", "text")
+    assert(CorpusScaleBench.sampledAvgDocBytes(docs, oneIn = 4L)
+      .contains(148L))
+    // an empty frame yields None (the no-estimate fallback), not a crash
+    assert(CorpusScaleBench.sampledAvgDocBytes(docs.limit(0)).isEmpty)
   }
 
   test("scratch capacity dedupes dirs by backing volume") {
