@@ -88,25 +88,68 @@ object Bench {
       loadStart: Double, loadEnd: Double, cores: Int,
       threads: Int,
       calibrationScanEndSec: Option[Double] = None,
-      canariesQuiet: Boolean = false): (Boolean, String, String) = {
+      canariesQuiet: Boolean = false,
+      bands: Bands = DefaultBands): (Boolean, String, String) = {
     val loadEndThreshold = math.max(cores / 2.0, threads + 6.0)
-    val scanTripped = calibrationScanSec.exists(_ > 0.21)
+    val scanTripped = calibrationScanSec.exists(_ > bands.scanTrip)
     val scanExculpated = scanTripped &&
-      calibrationSec.exists(_ <= 0.20) &&
+      calibrationSec.exists(_ <= bands.cpuQuiet) &&
       canariesQuiet &&
       loadEnd <= loadEndThreshold
+    // the end probe NAMES the reclassified state; an ABSENT end probe
+    // can't support the persistence claim io_credits makes (ADVICE r19:
+    // the old forall read "unmeasured" as "still elevated" and made the
+    // strongest claim with zero evidence) — such callers get a distinct
+    // value recording that the check never ran. The reclassification
+    // itself (contended = false) still stands on the quiet quartet.
     val ioState =
       if (!scanExculpated) ""
-      else if (calibrationScanEndSec.forall(_ > 0.21)) "io_credits"
-      else "io_transient_start"
+      else calibrationScanEndSec match {
+        case None => "io_unmeasured"
+        case Some(e) if e > bands.scanTrip => "io_credits"
+        case Some(_) => "io_transient_start"
+      }
     val trippedBy = Seq(
-      if (calibrationSec.exists(_ > 0.25)) Some("calibration") else None,
+      if (calibrationSec.exists(_ > bands.cpuTrip)) Some("calibration") else None,
       if (scanTripped && !scanExculpated) Some("calibrationScan") else None,
-      if (loadStart > 6.0 && calibrationSec.forall(_ > 0.2))
+      if (loadStart > 6.0 && calibrationSec.forall(_ > bands.cpuQuiet))
         Some("loadStart") else None,
       if (loadEnd > loadEndThreshold) Some("loadEnd") else None).flatten
     (trippedBy.nonEmpty, trippedBy.mkString("|"), ioState)
   }
+
+  /** The probe thresholds [[contendedLabel]] decides with. The defaults
+    * are THIS container's measured idle bands (scan idle ~0.15–0.17 →
+    * trip 0.21; CPU idle 0.13–0.19 → quiet ≤ 0.20, trip 0.25) — the
+    * same portability class as the prune-verify cutover constant r19
+    * replaced (VERDICT r19 item 6): on different hardware the idle
+    * bands move and these constants mislabel. A recorded idle-baseline
+    * artifact (BANDS.json, written by `tools/bands.py <clean bench
+    * artifact>` from a contended:false run, the floors.py discipline)
+    * overrides them; the constants remain the no-artifact fallback.
+    * Spec-pinned both ways (BenchLabelSpec). */
+  private[graft] case class Bands(cpuTrip: Double, cpuQuiet: Double,
+      scanTrip: Double)
+  private[graft] val DefaultBands = Bands(0.25, 0.20, 0.21)
+
+  /** Parse a BANDS.json idle-baseline artifact ({"cpu_trip":…,
+    * "cpu_quiet":…,"scan_trip":…}). None on a missing/garbled file —
+    * the caller falls back to [[DefaultBands]], never half-applies. */
+  private[graft] def loadBands(path: String): Option[Bands] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.isReadable(p)) None
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        def field(k: String): Option[Double] =
+          s""""$k"\\s*:\\s*([0-9.eE+-]+)""".r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble).filter(v => v > 0 && v < 100)
+        for {
+          t <- field("cpu_trip"); q <- field("cpu_quiet")
+          s <- field("scan_trip") if q <= t
+        } yield Bands(t, q, s)
+      }
+    } catch { case _: Throwable => None }
 
   /** Canary floors: per-query ATTRIBUTED seconds from the cleanest
     * recorded sf0.1 runs (minima across the r13–r17 clean artifacts —
@@ -249,6 +292,11 @@ object Bench {
       // and the RocksDB JNI/provider init are one-time JVM costs — eat
       // them here, not inside whichever streaming oracle runs first
       graft.streaming.Collect.warmStreamEngine(spark)
+      // loopback JSON-RPC stack warm-up (VERDICT r19 item 7): HTTP
+      // server/client classload, accept-loop spin-up and per-thread
+      // keep-alive pools were billed to q_rpc_enrich's first touch and
+      // drove its recurring 2.1–5.9 s lone-sentinel jitter
+      queries.SinkOracles.warmRpcStack(spark)
     } catch { case _: Throwable => }
 
     // Calibration (VERDICT r4/r5): a FIXED CPU-bound reference job whose
@@ -439,11 +487,19 @@ object Bench {
     // told from a contended box without re-running. canariesQuiet only
     // when the canaries were actually ARMED and measured quiet — an
     // unarmed run has no breadth evidence to corroborate a credit state.
+    // probe thresholds: the recorded idle-baseline artifact when present
+    // (SPARK_GRAFT_BANDS override, else ./BANDS.json), the container-
+    // measured constants otherwise (VERDICT r19 item 6)
+    val bandsPath = sys.env.getOrElse("SPARK_GRAFT_BANDS", "BANDS.json")
+    val loadedBands = loadBands(bandsPath)
+    val bands = loadedBands.getOrElse(DefaultBands)
+    val bandsSource = if (loadedBands.isDefined) bandsPath else "builtin"
     val (probeContended, probeBy, ioState) = contendedLabel(
       Some(calibrationSec), Some(calibrationScanSec), loadStart, loadEnd,
       Runtime.getRuntime.availableProcessors(), cpus.toInt,
       Some(calibrationScanEndSec),
-      canariesQuiet = canaryArmed && familiesOver.isEmpty)
+      canariesQuiet = canaryArmed && familiesOver.isEmpty,
+      bands = bands)
     val canaryTripped = familiesOver.size >= 2
     val contended = probeContended || canaryTripped
     val contendedBy = (Seq(probeBy).filter(_.nonEmpty) ++
@@ -454,6 +510,7 @@ object Bench {
       s""""fixture_sec":$fixtureSec,"merge_sec":$mergeSec,"pairs_sec":$pairsSec,""" +
       s""""pq_sec":$pqSec,"coarse_sec":$coarseSec,"contended":$contended,""" +
       s""""contended_by":"$contendedBy","io_state":"$ioState",""" +
+      s""""bands_source":"$bandsSource",""" +
       s""""canary_outliers":"${nearTrips.mkString("|")}",""" +
       s""""canary_families":"${familiesOver.mkString("|")}",""" +
       s""""canary_hot":"${hotSingles.mkString("|")}",""" +

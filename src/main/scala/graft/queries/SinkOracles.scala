@@ -252,6 +252,48 @@ object SinkOracles {
     * fold. The oracle re-derives the enrichment arithmetic per row, so a
     * wrong cache fold, a stale entry, a dropped pending tx, or broken
     * JSON-RPC framing all break the hash. */
+  /** Pre-warm of the loopback JSON-RPC stack (VERDICT r19 item 7):
+    * q_rpc_enrich's attributed seconds swung 2.1–5.9 s across zero-change
+    * runs — a recurring lone-sentinel `canary_hot` annotation — and the
+    * TIME_WAIT census ruled out connection churn, leaving the ONE-TIME
+    * costs the query paid on first touch: com.sun.net.httpserver
+    * classload + first accept-loop spin-up, Jackson, HttpURLConnection's
+    * keep-alive pool per task thread, and the enrich mapPartitions
+    * codegen. Bench runs this before the timed window: a throwaway
+    * null-answering server and one 512-row / 16-partition enrich pass
+    * (~32 keep-alive calls per task thread). No shared layout is
+    * touched — the real query still bills its own fixture build. */
+  private[graft] def warmRpcStack(s: SparkSession): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+        mapper.readTree(x.getRequestBody)
+        val body = """{"jsonrpc":"2.0","id":1,"result":null}"""
+          .getBytes("UTF-8")
+        x.getResponseHeaders.set("Content-Type", "application/json")
+        x.sendResponseHeaders(200, body.length.toLong)
+        x.getResponseBody.write(body)
+        x.close()
+      }
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    server.setExecutor(pool)
+    server.start()
+    try {
+      val txs = s.range(0, 512, 1, 16).select(
+        col("id").as("event_id"),
+        concat(lit("0x"), md5(col("id").cast("string"))).as("hash"),
+        lit(1700000000000L).as("timestamp"))
+      graft.jobs.InclusionCheck.enrich(
+        txs,
+        graft.jobs.InclusionCheck.JsonRpcFactory(
+          s"http://127.0.0.1:${server.getAddress.getPort}/"),
+        timeRangePartitions = Some(16)).count()
+    } finally { server.stop(0); pool.shutdown() }
+  }
+
   private[graft] def rpcEnrichResult(s: SparkSession, dir: String): DataFrame = {
     val path = rpcLayout(s, dir) { p =>
       import s.implicits._

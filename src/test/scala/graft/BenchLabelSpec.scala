@@ -148,10 +148,13 @@ class BenchLabelSpec extends AnyFunSuite {
     assert(Bench.contendedLabel(Some(0.156), Some(0.228), 7.86, 4.40, 32, 32,
       calibrationScanEndSec = Some(0.231), canariesQuiet = true) ==
       (false, "", "io_credits"))
-    // no end-scan probe (older caller): the persistence check is
-    // skipped, not failed — the stable signature still reclassifies
+    // no end-scan probe (older caller): the reclassification still
+    // stands on the quiet quartet, but the state must NOT read
+    // "io_credits" — that is a persistence claim the caller never
+    // measured (ADVICE r19: the old forall read "unmeasured" as "still
+    // elevated"). The artifact records that the check never ran.
     assert(Bench.contendedLabel(Some(0.156), Some(0.228), 7.86, 4.40, 32, 32,
-      canariesQuiet = true) == (false, "", "io_credits"))
+      canariesQuiet = true) == (false, "", "io_unmeasured"))
     // the r15 episode must STILL trip: same scan/CPU shape but the
     // canaries were NOT quiet (apply 4.3×, three families over) — real
     // mid-sweep I/O contention, not volume state
@@ -215,8 +218,11 @@ class BenchLabelSpec extends AnyFunSuite {
         assert(!by.contains("calibrationScan"))
         assert(scan.exists(_ > 0.21) && cal.exists(_ <= 0.20) && quiet &&
           le <= math.max(32 / 2.0, 32 + 6.0))
-        // the end probe names the shape exactly
-        if (io == "io_credits") assert(scanEnd.forall(_ > 0.21))
+        // the end probe names the shape exactly; the persistence claim
+        // (io_credits) requires a MEASURED elevated end reading, and an
+        // absent probe is recorded as unmeasured, never as credits
+        if (io == "io_credits") assert(scanEnd.exists(_ > 0.21))
+        else if (io == "io_unmeasured") assert(scanEnd.isEmpty)
         else { assert(io == "io_transient_start")
           assert(scanEnd.exists(_ <= 0.21)) }
       }
@@ -230,6 +236,45 @@ class BenchLabelSpec extends AnyFunSuite {
         assert(!c2 || c, s"lowering calibration $c0 flipped clean→contended")
       }
     }
+  }
+
+  test("probe bands load from a recorded idle-baseline artifact, constants as fallback") {
+    // VERDICT r19 item 6: the 0.25/0.20/0.21 thresholds are THIS
+    // container's measured idle bands — on other hardware a recorded
+    // BANDS.json overrides them; missing/garbled files fall back whole,
+    // never half-applied.
+    assert(Bench.DefaultBands == Bench.Bands(0.25, 0.20, 0.21))
+    assert(Bench.loadBands("/does/not/exist.json").isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bands")
+    def write(name: String, txt: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
+      p.toString
+    }
+    val good = write("good.json",
+      """{"cpu_trip": 0.50, "cpu_quiet": 0.40, "scan_trip": 0.42,
+        |"idle_calibration_sec": 0.31, "source": "BENCH_rX.json"}""".stripMargin)
+    assert(Bench.loadBands(good).contains(Bench.Bands(0.50, 0.40, 0.42)))
+    // garbled / partial / inconsistent (quiet > trip) → fallback
+    assert(Bench.loadBands(write("junk.json", "not json")).isEmpty)
+    assert(Bench.loadBands(write("partial.json",
+      """{"cpu_trip": 0.5}""")).isEmpty)
+    assert(Bench.loadBands(write("inverted.json",
+      """{"cpu_trip": 0.3, "cpu_quiet": 0.4, "scan_trip": 0.4}""")).isEmpty)
+    assert(Bench.loadBands(write("absurd.json",
+      """{"cpu_trip": 500, "cpu_quiet": 0.4, "scan_trip": 0.4}""")).isEmpty)
+    // the label actually decides WITH the loaded bands: a slower box's
+    // recorded bands (scan idle ~0.35) keep its healthy 0.38 scan
+    // reading clean where the builtin 0.21 would trip it…
+    val slowBox = Bench.Bands(0.50, 0.40, 0.42)
+    assert(Bench.contendedLabel(Some(0.30), Some(0.38), 1.0, 5.0, 32, 32,
+      Some(0.36), canariesQuiet = true, bands = slowBox) == (false, "", ""))
+    assert(Bench.contendedLabel(Some(0.30), Some(0.38), 1.0, 5.0, 32, 32,
+      Some(0.36), canariesQuiet = true)._1)
+    // …and a genuinely contended reading still trips against them
+    assert(Bench.contendedLabel(Some(0.60), Some(0.50), 1.0, 5.0, 32, 32,
+      Some(0.50), canariesQuiet = false, bands = slowBox) ==
+      (true, "calibration|calibrationScan", ""))
   }
 
   test("Verify mode (no calibrations): load signals stand un-exculpated") {
