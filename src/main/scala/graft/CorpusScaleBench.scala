@@ -789,214 +789,194 @@ object CorpusScaleBench {
       pruneVerify: Boolean = false): Unit = {
     import spark.implicits._
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // shuffle-write accounting per stage() block (r19): the scratch
-    // claims of this loop (pruning, hashed verify shingles) are about
-    // EXCHANGED BYTES, and wall seconds conflate them with box state —
-    // a listener summing completed stages' shuffle writes makes each
-    // tick's exchange volume a printed, comparable number. Driver-side
-    // counter, bounded work per stage-completion event.
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffleBytes.addAndGet(
-          e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(shuffleListener)
-    // listener events arrive on the ASYNC bus (review r19): a stage's
-    // completion event can still be queued when the driver-side action
-    // returns, attributing its bytes to the next block. Poll the counter
-    // to stability (two consecutive equal reads 100 ms apart, ≤ 2 s)
-    // before sampling — the wall cost is noise against 50–300 s stages.
-    // If the 10k-event bus ever overflows the numbers are lower bounds;
-    // at this loop's stage counts (hundreds) it does not.
-    def settledShuffleBytes(): Long = {
-      var prev = shuffleBytes.get()
-      var i = 0
-      while (i < 20) {
-        Thread.sleep(100)
-        val cur = shuffleBytes.get()
-        if (cur == prev) return cur
-        prev = cur; i += 1
+    // shuffle-write accounting per stage() block (r19) — rationale and
+    // async-bus/attribution caveats on ShuffleWriteCounter
+    val shuffleCounter = new ShuffleWriteCounter(spark.sparkContext)
+    // try/finally (ADVICE r19): an exception mid-run — including the
+    // end-state symDiff require — must not leak the counter's listener
+    // onto the shared SparkContext, where it would silently double-count
+    // the next campaign's shuffle writes.
+    try {
+      // async-bus settling + attribution caveats live on the shared
+      // ShuffleWriteCounter (one definition for this loop and the
+      // SemIndexJob ticks — VERDICT r19 item 5)
+      def settledShuffleBytes(): Long = shuffleCounter.settled()
+      def stage[T](tag: String)(f: => T): (T, Double) = {
+        val b0 = settledShuffleBytes()
+        val t0 = System.nanoTime()
+        val r = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gb = (settledShuffleBytes() - b0) / 1e9
+        println(f"[daily] $tag%-24s $sec%8.2f s  shuffle_write $gb%7.2f GB")
+        (r, sec)
       }
-      prev
-    }
-    def stage[T](tag: String)(f: => T): (T, Double) = {
-      val b0 = settledShuffleBytes()
-      val t0 = System.nanoTime()
-      val r = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      val gb = (settledShuffleBytes() - b0) / 1e9
-      println(f"[daily] $tag%-24s $sec%8.2f s  shuffle_write $gb%7.2f GB")
-      (r, sec)
-    }
-    def docsRange(lo: Long, hi: Long) =
-      spark.range(lo, hi, 1,
-          math.max(cpus, ((hi - lo) / 30000L).toInt)).as[Long]
-        .mapPartitions(_.map(i => (i, docText(i)))).toDF("doc_id", "text")
-    val batchN = n * batchPct / 100
-    val initLo = batchN * days
-    require(initLo > 0 && initLo < n,
-      s"days=$days × batch=$batchPct% must leave a non-empty bootstrap corpus (n=$n)")
-    val init = docsRange(initLo, n)
-    // compacted pieces are parquet rewrites (the S11 compactor shape) —
-    // a scratch dir this run owns and deletes
-    val compactDir = java.nio.file.Files
-      .createTempDirectory("graft-daily-compact").toString
+      def docsRange(lo: Long, hi: Long) =
+        spark.range(lo, hi, 1,
+            math.max(cpus, ((hi - lo) / 30000L).toInt)).as[Long]
+          .mapPartitions(_.map(i => (i, docText(i)))).toDF("doc_id", "text")
+      val batchN = n * batchPct / 100
+      val initLo = batchN * days
+      require(initLo > 0 && initLo < n,
+        s"days=$days × batch=$batchPct% must leave a non-empty bootstrap corpus (n=$n)")
+      val init = docsRange(initLo, n)
+      // compacted pieces are parquet rewrites (the S11 compactor shape) —
+      // a scratch dir this run owns and deletes
+      val compactDir = java.nio.file.Files
+        .createTempDirectory("graft-daily-compact").toString
 
-    // bootstrap: the standing corpus's own internal pairs (the one-time
-    // full pipeline the daily loop exists to avoid re-running) and its
-    // band index — both billed here, not to any day
-    // localCheckpoint (not cache): the pair frames survive to the
-    // end-state assert, and truncating their lineage lets the loop's
-    // per-day broadcasts and shuffle state be GC'd instead of staying
-    // reachable through K days of retained plans (the r13 OOM).
-    //
-    // Pruned regime (r18): INDEX FIRST, pairs FROM the index. The
-    // persisted banding rows are exactly what the pairs stage's
-    // candidate join and touched set need, and re-deriving them from
-    // scratch (the r17 shape) spent one extra full shingle+sign pass
-    // per bootstrap — measured 181.8 s pairs + 188.8 s index at 4 M
-    // docs before this reuse. The index bands straight off an uncached
-    // base either way (ADVICE r17: the memoized base would transiently
-    // re-create the O(init-corpus) DISK_ONLY shingle cache next to the
-    // checkpointed bootstrap pairs at peak). Unpruned keeps the r12
-    // order and the shared memoized base — the verify-SF parity shape.
-    val (piece0, bootIxSec) = stage("bootstrap index") {
-      val ix = queries.DedupOps
-        .minhashIndex(spark, init, uncachedBase = pruneVerify)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      ix.count(); ix
-    }
-    val (bootPairs, bootPairSec) = stage("bootstrap pairs") {
-      (if (pruneVerify)
-        queries.DedupOps.minhashPairsFromIndex(spark, init, piece0)
-      else queries.DedupOps.minhashPairsFromDocs(spark, init))
-        .localCheckpoint(true)
-    }
-    queries.DedupOps.releaseMinhashBase(spark, init)
-
-    var pieces = List(piece0)
-    var dayPairs = List.empty[org.apache.spark.sql.DataFrame]
-    val daySecs = Array.ofDim[Double](days)
-    val appendSecs = Array.ofDim[Double](days)
-    val compactSecs = Array.ofDim[Double](days)
-    val pieceCounts = Array.ofDim[Int](days)
-    val dayPairCounts = Array.ofDim[Long](days)
-    for (d <- 0 until days) {
-      val fresh = docsRange(d.toLong * batchN, (d + 1).toLong * batchN)
-      val existing =
-        if (d == 0) init
-        else init.union(docsRange(0L, d.toLong * batchN))
-      pieceCounts(d) = pieces.length
-      val index = pieces.reduce(_ union _)
-      val (p, sec) = stage(s"day $d probe+verify (${pieces.length} pieces)") {
-        val dp = queries.DedupOps
-          .minhashPairsAgainstIndex(spark, index, existing, fresh)
-          .localCheckpoint(true)
-        dayPairCounts(d) = dp.count()
-        dp
-      }
-      daySecs(d) = sec
-      dayPairs ::= p
-      // append = persist ONLY the batch's banding rows as a new piece
-      val (piece, asec) = stage(s"day $d band append") {
-        val ix = queries.DedupOps.minhashIndex(spark, fresh)
+      // bootstrap: the standing corpus's own internal pairs (the one-time
+      // full pipeline the daily loop exists to avoid re-running) and its
+      // band index — both billed here, not to any day
+      // localCheckpoint (not cache): the pair frames survive to the
+      // end-state assert, and truncating their lineage lets the loop's
+      // per-day broadcasts and shuffle state be GC'd instead of staying
+      // reachable through K days of retained plans (the r13 OOM).
+      //
+      // Pruned regime (r18): INDEX FIRST, pairs FROM the index. The
+      // persisted banding rows are exactly what the pairs stage's
+      // candidate join and touched set need, and re-deriving them from
+      // scratch (the r17 shape) spent one extra full shingle+sign pass
+      // per bootstrap — measured 181.8 s pairs + 188.8 s index at 4 M
+      // docs before this reuse. The index bands straight off an uncached
+      // base either way (ADVICE r17: the memoized base would transiently
+      // re-create the O(init-corpus) DISK_ONLY shingle cache next to the
+      // checkpointed bootstrap pairs at peak). Unpruned keeps the r12
+      // order and the shared memoized base — the verify-SF parity shape.
+      val (piece0, bootIxSec) = stage("bootstrap index") {
+        val ix = queries.DedupOps
+          .minhashIndex(spark, init, uncachedBase = pruneVerify)
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         ix.count(); ix
       }
-      appendSecs(d) = asec
-      pieces = pieces :+ piece
-      // compact-every-K (VERDICT r13 item 3): the standing index is K
-      // appended pieces; unbounded K grows the probe plan's union depth
-      // (and, in the parquet-partition-add production shape, its file
-      // count). Every K days rewrite ALL pieces into ONE parquet piece —
-      // the S11 compactor idea applied to the band index. The compact
-      // bill is ∝ index size / K amortized; probing stays flat because
-      // the piece count is bounded by K+1. Lineage fully truncates (a
-      // parquet read, not a cached union plan).
-      if (compactEvery > 0 && pieces.length > compactEvery) {
-        val (merged, csec) = stage(s"day $d compact ${pieces.length} pieces") {
-          val dir = s"$compactDir/piece_d$d"
-          pieces.reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(dir)
-          spark.read.parquet(dir)
-        }
-        compactSecs(d) = csec
-        pieces.foreach(_.unpersist(false))
-        pieces = List(merged)
+      val (bootPairs, bootPairSec) = stage("bootstrap pairs") {
+        (if (pruneVerify)
+          queries.DedupOps.minhashPairsFromIndex(spark, init, piece0)
+        else queries.DedupOps.minhashPairsFromDocs(spark, init))
+          .localCheckpoint(true)
       }
-      // sweep ALL bases, not just `fresh`: the probe shingled an internal
-      // touchedExisting frame this caller can't name — K days of those
-      // leaked K persisted bases before the sweep existed (r13 OOM).
-      // The index pieces themselves stay persisted by design (they ARE
-      // the standing state) and were materialized by count(), so
-      // dropping the bases costs only a possible recompute while they
-      // stay on disk. Since r19 the sweep ALSO drops verifyPruned's
-      // touched-id checkpoints, which are NOT recomputable — safe here
-      // because this tick's pair frame was materialized by the
-      // localCheckpoint(true)+count above (see the sweep's scaladoc for
-      // the hardened contract).
-      queries.DedupOps.releaseAllMinhashBases(spark)
-    }
+      queries.DedupOps.releaseMinhashBase(spark, init)
 
-    // the oracle below is the run's peak scratch consumer (an all-docs
-    // re-pair): drop everything the compare no longer needs BEFORE it
-    // runs — the standing pieces (the chained pair sets are already
-    // checkpointed; the loop is over) and, via an explicit GC pass, the
-    // bootstrap/day shuffle files whose dependencies just became
-    // unreachable (ContextCleaner removes them asynchronously — at 5 M
-    // docs on one local disk their residue was the difference between
-    // the oracle fitting and ENOSPC)
-    pieces.foreach(_.unpersist(false))
-    System.gc()
-    Thread.sleep(3000)
+      var pieces = List(piece0)
+      var dayPairs = List.empty[org.apache.spark.sql.DataFrame]
+      val daySecs = Array.ofDim[Double](days)
+      val appendSecs = Array.ofDim[Double](days)
+      val compactSecs = Array.ofDim[Double](days)
+      val pieceCounts = Array.ofDim[Int](days)
+      val dayPairCounts = Array.ofDim[Long](days)
+      for (d <- 0 until days) {
+        val fresh = docsRange(d.toLong * batchN, (d + 1).toLong * batchN)
+        val existing =
+          if (d == 0) init
+          else init.union(docsRange(0L, d.toLong * batchN))
+        pieceCounts(d) = pieces.length
+        val index = pieces.reduce(_ union _)
+        val (p, sec) = stage(s"day $d probe+verify (${pieces.length} pieces)") {
+          val dp = queries.DedupOps
+            .minhashPairsAgainstIndex(spark, index, existing, fresh)
+            .localCheckpoint(true)
+          dayPairCounts(d) = dp.count()
+          dp
+        }
+        daySecs(d) = sec
+        dayPairs ::= p
+        // append = persist ONLY the batch's banding rows as a new piece
+        val (piece, asec) = stage(s"day $d band append") {
+          val ix = queries.DedupOps.minhashIndex(spark, fresh)
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          ix.count(); ix
+        }
+        appendSecs(d) = asec
+        pieces = pieces :+ piece
+        // compact-every-K (VERDICT r13 item 3): the standing index is K
+        // appended pieces; unbounded K grows the probe plan's union depth
+        // (and, in the parquet-partition-add production shape, its file
+        // count). Every K days rewrite ALL pieces into ONE parquet piece —
+        // the S11 compactor idea applied to the band index. The compact
+        // bill is ∝ index size / K amortized; probing stays flat because
+        // the piece count is bounded by K+1. Lineage fully truncates (a
+        // parquet read, not a cached union plan).
+        if (compactEvery > 0 && pieces.length > compactEvery) {
+          val (merged, csec) = stage(s"day $d compact ${pieces.length} pieces") {
+            val dir = s"$compactDir/piece_d$d"
+            pieces.reduce(_ unionByName _)
+              .write.mode("overwrite").parquet(dir)
+            spark.read.parquet(dir)
+          }
+          compactSecs(d) = csec
+          pieces.foreach(_.unpersist(false))
+          pieces = List(merged)
+        }
+        // sweep ALL bases, not just `fresh`: the probe shingled an internal
+        // touchedExisting frame this caller can't name — K days of those
+        // leaked K persisted bases before the sweep existed (r13 OOM).
+        // The index pieces themselves stay persisted by design (they ARE
+        // the standing state) and were materialized by count(), so
+        // dropping the bases costs only a possible recompute while they
+        // stay on disk. Since r19 the sweep ALSO drops verifyPruned's
+        // touched-id checkpoints, which are NOT recomputable — safe here
+        // because this tick's pair frame was materialized by the
+        // localCheckpoint(true)+count above (see the sweep's scaladoc for
+        // the hardened contract).
+        queries.DedupOps.releaseAllMinhashBases(spark)
+      }
 
-    // end-state correctness: bootstrap-internal ∪ per-day pair sets must
-    // equal the full-batch pipeline on the same n docs (value-exact on
-    // (doc_a, doc_b, jaccard_r) — symmetric difference must be empty)
-    val all = docsRange(0L, n)
-    val ((nFull, symDiff), fullSec) = stage("full-batch oracle") {
-      val full = queries.DedupOps.minhashPairsFromDocs(spark, all, pruneVerify)
-        .cache()
-      val nf = full.count()
-      val chained = bootPairs.unionByName(dayPairs.reduce(_ unionByName _))
-        .dropDuplicates("doc_a", "doc_b")
-      val miss = full.join(chained, Seq("doc_a", "doc_b", "jaccard_r"),
-        "left_anti").count()
-      val extra = chained.join(full, Seq("doc_a", "doc_b", "jaccard_r"),
-        "left_anti").count()
-      full.unpersist()
-      (nf, miss + extra)
-    }
-    queries.DedupOps.releaseMinhashBase(spark, all)
-    def fmt(xs: Array[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-    // prune_verify and the run's total shuffle-write ride the artifact
-    // line (r19): the per-stage prints carry them live, but the JSON
-    // line is what campaign logs get grepped for later — a scale claim
-    // ("exchanges ~3.5× smaller") should be re-checkable from the
-    // artifact alone, and the regime flag disambiguates which shape a
-    // recorded run actually measured.
-    val totalShuffleGb = settledShuffleBytes() / 1e9
-    println(s"""{"metric":"daily_scale","n_docs":$n,"days":$days,"batch":$batchN,""" +
-      s""""compact_every":$compactEvery,"prune_verify":$pruneVerify,""" +
-      s""""shuffle_write_gb":${f"$totalShuffleGb%.2f"},""" +
-      s""""boot_pair_sec":${f"$bootPairSec%.1f"},"boot_index_sec":${f"$bootIxSec%.1f"},""" +
-      s""""day_secs":${fmt(daySecs)},"append_secs":${fmt(appendSecs)},""" +
-      s""""compact_secs":${fmt(compactSecs)},""" +
-      s""""pieces":${pieceCounts.mkString("[", ",", "]")},""" +
-      s""""day_pairs":${dayPairCounts.mkString("[", ",", "]")},""" +
-      s""""full_pairs":$nFull,"sym_diff":$symDiff,"full_sec":${f"$fullSec%.1f"}}""")
-    // drop the compaction scratch dir (same discipline as the merge bench)
-    locally {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(compactDir)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-    spark.sparkContext.removeSparkListener(shuffleListener)
-    require(symDiff == 0,
-      s"daily-chained pair set diverged from the full-batch pipeline by $symDiff rows")
+      // the oracle below is the run's peak scratch consumer (an all-docs
+      // re-pair): drop everything the compare no longer needs BEFORE it
+      // runs — the standing pieces (the chained pair sets are already
+      // checkpointed; the loop is over) and, via an explicit GC pass, the
+      // bootstrap/day shuffle files whose dependencies just became
+      // unreachable (ContextCleaner removes them asynchronously — at 5 M
+      // docs on one local disk their residue was the difference between
+      // the oracle fitting and ENOSPC)
+      pieces.foreach(_.unpersist(false))
+      System.gc()
+      Thread.sleep(3000)
+
+      // end-state correctness: bootstrap-internal ∪ per-day pair sets must
+      // equal the full-batch pipeline on the same n docs (value-exact on
+      // (doc_a, doc_b, jaccard_r) — symmetric difference must be empty)
+      val all = docsRange(0L, n)
+      val ((nFull, symDiff), fullSec) = stage("full-batch oracle") {
+        val full = queries.DedupOps.minhashPairsFromDocs(spark, all, pruneVerify)
+          .cache()
+        val nf = full.count()
+        val chained = bootPairs.unionByName(dayPairs.reduce(_ unionByName _))
+          .dropDuplicates("doc_a", "doc_b")
+        val miss = full.join(chained, Seq("doc_a", "doc_b", "jaccard_r"),
+          "left_anti").count()
+        val extra = chained.join(full, Seq("doc_a", "doc_b", "jaccard_r"),
+          "left_anti").count()
+        full.unpersist()
+        (nf, miss + extra)
+      }
+      queries.DedupOps.releaseMinhashBase(spark, all)
+      def fmt(xs: Array[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      // prune_verify and the run's total shuffle-write ride the artifact
+      // line (r19): the per-stage prints carry them live, but the JSON
+      // line is what campaign logs get grepped for later — a scale claim
+      // ("exchanges ~3.5× smaller") should be re-checkable from the
+      // artifact alone, and the regime flag disambiguates which shape a
+      // recorded run actually measured.
+      val totalShuffleGb = settledShuffleBytes() / 1e9
+      println(s"""{"metric":"daily_scale","n_docs":$n,"days":$days,"batch":$batchN,""" +
+        s""""compact_every":$compactEvery,"prune_verify":$pruneVerify,""" +
+        s""""shuffle_write_gb":${f"$totalShuffleGb%.2f"},""" +
+        s""""boot_pair_sec":${f"$bootPairSec%.1f"},"boot_index_sec":${f"$bootIxSec%.1f"},""" +
+        s""""day_secs":${fmt(daySecs)},"append_secs":${fmt(appendSecs)},""" +
+        s""""compact_secs":${fmt(compactSecs)},""" +
+        s""""pieces":${pieceCounts.mkString("[", ",", "]")},""" +
+        s""""day_pairs":${dayPairCounts.mkString("[", ",", "]")},""" +
+        s""""full_pairs":$nFull,"sym_diff":$symDiff,"full_sec":${f"$fullSec%.1f"}}""")
+      // drop the compaction scratch dir (same discipline as the merge bench)
+      locally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(compactDir)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      require(symDiff == 0,
+        s"daily-chained pair set diverged from the full-batch pipeline by $symDiff rows")
+    } finally shuffleCounter.remove()
   }
 
   def main(args: Array[String]): Unit = {
@@ -1023,6 +1003,17 @@ object CorpusScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // campaign-log hygiene (VERDICT r19 item 4): every registry-swept
+    // localCheckpoint unpersist emits a benign but alarming Spark WARN
+    // ("RDD N was locally checkpointed, its lineage has been truncated
+    // and cannot be recomputed after unpersisting") — K per campaign
+    // read as data-loss alarms. It is benign UNDER the materialize-first
+    // contract, whose violations now warn explicitly and specifically
+    // (DedupOps.warnIfUnmaterialized), so the blanket message is
+    // suppressed in the campaign MAINS only; library sessions keep it.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
 
@@ -1289,6 +1280,17 @@ object VectorGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // campaign-log hygiene (VERDICT r19 item 4): every registry-swept
+    // localCheckpoint unpersist emits a benign but alarming Spark WARN
+    // ("RDD N was locally checkpointed, its lineage has been truncated
+    // and cannot be recomputed after unpersisting") — K per campaign
+    // read as data-loss alarms. It is benign UNDER the materialize-first
+    // contract, whose violations now warn explicitly and specifically
+    // (DedupOps.warnIfUnmaterialized), so the blanket message is
+    // suppressed in the campaign MAINS only; library sessions keep it.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     import spark.implicits._
     val parts = math.max(cpus.toInt, ((hi - lo) / 30000L).toInt)
     spark.range(lo, hi, 1, parts).as[Long]

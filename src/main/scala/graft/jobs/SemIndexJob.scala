@@ -948,6 +948,17 @@ object SemIndexJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // campaign-log hygiene (VERDICT r19 item 4): every registry-swept
+    // localCheckpoint unpersist emits a benign but alarming Spark WARN
+    // ("RDD N was locally checkpointed, its lineage has been truncated
+    // and cannot be recomputed after unpersisting") — K per campaign
+    // read as data-loss alarms. It is benign UNDER the materialize-first
+    // contract, whose violations now warn explicitly and specifically
+    // (DedupOps.warnIfUnmaterialized), so the blanket message is
+    // suppressed in the campaign MAINS only; library sessions keep it.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     def opt(name: String): Option[String] =
       args.find(_.startsWith(s"--$name=")).map(_.stripPrefix(s"--$name="))
     val probes = opt("probes").map(_.toInt).getOrElse(1)
@@ -962,18 +973,31 @@ object SemIndexJob {
     val pos = args.filterNot(_.startsWith("--")).toSeq
     val t0 = System.nanoTime()
     def wall = (System.nanoTime() - t0) / 1e9
-    pos match {
+    // settled shuffle-write accounting on every verb's JSON line
+    // (VERDICT r19 item 5): the daily_scale loop got per-stage shuffle
+    // GB in r19; the sem-index tick JSON carried only pairs/rows/
+    // seconds, so the 772 s-vs-33–49 s inline-retrain trade and the
+    // tick costs weren't re-checkable from artifacts alone. Same
+    // counter, removed in the finally (ADVICE r19's leak class).
+    val shuffleCounter = new graft.ShuffleWriteCounter(spark.sparkContext)
+    def shuffleGb: String =
+      String.format(java.util.Locale.ROOT, "%.2f",
+        java.lang.Double.valueOf(shuffleCounter.settled() / 1e9))
+    try pos match {
       case Seq("train", embPath, indexDir) =>
         train(spark, spark.read.parquet(embPath), indexDir)
-        println(f"""{"metric":"sem_index_train","wall_sec":$wall%.1f}""")
+        println(f"""{"metric":"sem_index_train","wall_sec":$wall%.1f,""" +
+          f""""shuffle_write_gb":$shuffleGb}""")
       case Seq("bootstrap", embPath, indexDir, standingDir) =>
         bootstrap(spark, spark.read.parquet(embPath), indexDir, standingDir,
           probes, margin, subMargin)
-        println(f"""{"metric":"sem_index_bootstrap","wall_sec":$wall%.1f}""")
+        println(f"""{"metric":"sem_index_bootstrap","wall_sec":$wall%.1f,""" +
+          f""""shuffle_write_gb":$shuffleGb}""")
       case Seq("bootstrap", embPath, indexDir, standingDir, pairsOut) =>
         bootstrap(spark, spark.read.parquet(embPath), indexDir, standingDir,
           probes, margin, subMargin, Some(pairsOut), tau)
-        println(f"""{"metric":"sem_index_bootstrap","wall_sec":$wall%.1f}""")
+        println(f"""{"metric":"sem_index_bootstrap","wall_sec":$wall%.1f,""" +
+          f""""shuffle_write_gb":$shuffleGb}""")
       case Seq("day", freshPath, indexDir, standingDir, pairsOut) =>
         // no --batch-id → derive one from the input's identity, so even
         // un-flagged orchestrations get loud (not silent-duplicating)
@@ -994,24 +1018,27 @@ object SemIndexJob {
           f""""retrained":${st.retrained},"retrain_due":${st.retrainDue},""" +
           f""""retrain_overdue":${st.retrainOverdue},""" +
           f""""creep_pct":$creep,""" +
-          f""""batch_id":"$bid","wall_sec":$wall%.1f}""")
+          f""""batch_id":"$bid","wall_sec":$wall%.1f,""" +
+          f""""shuffle_write_gb":$shuffleGb}""")
       case Seq("compact", standingDir) =>
         compact(spark, standingDir)
-        println(f"""{"metric":"sem_index_compact","wall_sec":$wall%.1f}""")
+        println(f"""{"metric":"sem_index_compact","wall_sec":$wall%.1f,""" +
+          f""""shuffle_write_gb":$shuffleGb}""")
       case Seq("retrain", indexDir, standingDir) =>
         // the fixed-schedule posture (README's --retrain-every bench arm)
         // as an operable verb: --auto-retrain EXECUTES the creep rule,
         // but an orchestrator running a scheduled refresh needs the
         // retrain itself (which doubles as compaction) without a day tick
         retrain(spark, indexDir, standingDir, probes, margin, subMargin)
-        println(f"""{"metric":"sem_index_retrain","wall_sec":$wall%.1f}""")
+        println(f"""{"metric":"sem_index_retrain","wall_sec":$wall%.1f,""" +
+          f""""shuffle_write_gb":$shuffleGb}""")
       case "check" +: embPath +: indexDir +: pairsDirs if pairsDirs.nonEmpty =>
         val (nFull, nChained, symDiff) = check(spark,
           spark.read.parquet(embPath), indexDir, pairsDirs, tau, probes,
           margin, subMargin)
         println(f"""{"metric":"sem_index_check","full_pairs":$nFull,""" +
           f""""chained_pairs":$nChained,"sym_diff":$symDiff,""" +
-          f""""wall_sec":$wall%.1f}""")
+          f""""wall_sec":$wall%.1f,"shuffle_write_gb":$shuffleGb}""")
       case other => sys.error(
         "usage: SemIndexJob train <emb> <indexDir> | " +
           "bootstrap <emb> <indexDir> <standingDir> [pairsOut] | " +
@@ -1022,7 +1049,7 @@ object SemIndexJob {
           "--auto-retrain[=pct] --retrain-defer --defer-limit=N " +
           "--defer-refuse --batch-id=ID]" +
           s" (got: ${other.mkString(" ")})")
-    }
+    } finally shuffleCounter.remove()
     spark.stop()
   }
 }
