@@ -558,24 +558,55 @@ object SimilarityOps {
   /** Sample-trained vec_dot-scored k-means centroids (c, m: array<double>)
     * — the scale-path quantizer shared by q_sim_ann_ivf (k = ⌈√N⌉ lists)
     * and corpus-scaled SemDeDup blocking (k = ⌈N/64⌉). Deterministic:
-    * seeds = the first k vectors, `lloyd` iterations over the 25 %
-    * (vec_id % 4 = 0) sample with exact-decimal means so assignments are
-    * reproducible run-to-run. Clusters that lose all sample members drop
-    * out — acceptable: k is a target, not an invariant. The result is
-    * k×dim doubles — tiny and broadcastable at any corpus size. */
+    * seeds = one per id-range stride (below), `lloyd` iterations over
+    * the 25 % (vec_id % 4 = 0) sample with exact-decimal means so
+    * assignments are reproducible run-to-run. Clusters that lose all
+    * sample members drop out — acceptable: k is a target, not an
+    * invariant. The result is k×dim doubles — tiny and broadcastable at
+    * any corpus size. */
   private def trainVecCentroids(emb: org.apache.spark.sql.DataFrame,
       k: Int, lloyd: Int = 2): org.apache.spark.sql.DataFrame = {
-    // seeds = the k SMALLEST vec_ids (TakeOrdered, k rows to the driver
-    // merge — bounded at any N), with c = the seed's own id. On a 0-based
-    // corpus this is value-identical to the original `vec_id < k` filter
-    // (same rows, same labels — the oracle twins are unaffected), but it
-    // stays correct when the frame's ids start elsewhere: the standing
-    // semantic index trains on a BOOTSTRAP slice whose ids begin at
-    // initLo ≫ k, where the filter form seeded an EMPTY centroid table
-    // and silently zeroed every downstream assignment (r14).
-    var centroids = emb.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("c"),
-        transform(col("embedding"), _.cast("double")).as("m"))
+    // seeds = each id-range bucket's MINIMUM vec_id, with c = the seed's
+    // own id: bucket = ((vec_id − lo) · k) div (hi − lo + 1) over the
+    // frame's own [lo, hi] span. STRIDED, not the k smallest ids
+    // (VERDICT r19 item 2): lowest-k seeding handed every seed the same
+    // vector on a corpus whose low-id block is near-identical —
+    // collapsing the coarse quantizer by construction, the exact failure
+    // localKmeansFit's strided seeds already guard against task-locally
+    // (r19 made it LOUD via calibratedPreset's degeneracy require; this
+    // is the cure). Range striding keeps the properties that matter at
+    // any N: deterministic (pure id arithmetic — no float hashing, no
+    // shuffle-order dependence), id-offset-safe (the standing semantic
+    // index trains on a bootstrap slice whose ids begin at initLo ≫ k —
+    // the r14 empty-seed bug), and bounded driver work (the lo/hi agg is
+    // one scan of a single long column; seeds stay k rows). Sparse id
+    // spaces leave some buckets empty → fewer than k seeds, same
+    // contract as dead centroids dropping out of Lloyd. Mirrored EXACTLY
+    // by the exact-decimal IVF twin and its DuckDB oracle (ivfExact /
+    // IvfOracleSql), so the differential-twin property survives the
+    // seeding change — move all three together or the q_sim_ann_ivf
+    // hash breaks.
+    val span = emb.agg(min(col("vec_id")).as("lo"),
+      max(col("vec_id")).as("hi")).head()
+    var centroids =
+      if (span.isNullAt(0))
+        // empty frame: keep the old empty-centroid shape (callers that
+        // train on an empty slice get an empty quantizer, not a crash)
+        emb.limit(0).select(col("vec_id").as("c"),
+          transform(col("embedding"), _.cast("double")).as("m"))
+      else {
+        val lo = span.getLong(0)
+        val width = span.getLong(1) - lo + 1
+        // ((vec_id − lo) · k) stays well inside Long: the 2^40 id-space
+        // bound denseCells documents × k ≤ 2^21 (FlatKCap geometry caps
+        // coarse k around √(N/64)) tops out near 2^61
+        val seedIds = emb.select(col("vec_id"))
+          .groupBy(expr(s"((vec_id - ${lo}L) * ${k}L) div ${width}L").as("bk"))
+          .agg(min("vec_id").as("vec_id")).select("vec_id")
+        emb.join(broadcast(seedIds), Seq("vec_id"))
+          .select(col("vec_id").as("c"),
+            transform(col("embedding"), _.cast("double")).as("m"))
+      }
     val train = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
     for (_ <- 1 to lloyd) {
       val asg = assignVec(train, centroids)
@@ -633,23 +664,50 @@ object SimilarityOps {
     * boxed at 1 M copies) and running k2 ≈ len/64 centroids × len
     * vectors × dim flops (~3e12 at 1 M) — an executor OOM or an
     * hours-long straggler on exactly the workload semantic dedup
-    * targets. Cells past the cap are split into CONTIGUOUS id-sorted
-    * ranges (adjacent ids carry the near-dup structure, per the strided-
-    * seed note above) that Lloyd independently, sub ids offset per
-    * split. The trade is cross-split recall within an over-cap cell —
-    * and over-cap cells only arise from heavy duplication at the
-    * default geometry (average cell = 64·√(N/64) members stays under
-    * the cap through N ≈ 4×10⁸), where every split still self-contains
-    * duplicate partners. 2¹⁸ members bounds a split's Lloyd at
-    * ~2.7e11 flops and ~130 MB — heavy but task-feasible. */
+    * targets. Cells past the cap are split into MEMBER-HASH buckets
+    * (VERDICT r19 item 3 — r19 split into contiguous id ranges, whose
+    * adjacency argument the measured adversarial fixture below breaks),
+    * each Lloyd'd independently, sub ids offset per split. The trade is
+    * cross-split recall within an over-cap cell — and over-cap cells
+    * only arise from heavy duplication at the default geometry (average
+    * cell = 64·√(N/64) members stays under the cap through N ≈ 4×10⁸),
+    * where a duplicate's partners are (near-)exact copies: hashing the
+    * vector VALUE co-locates exact copies regardless of how their ids
+    * scatter, where a contiguous range co-located only id-ADJACENT
+    * partners (measured in LlmOpsSpec on scattered-id exact-copy pairs
+    * at distance > cap: hash-bucket recall 1.0 vs contiguous 0.0).
+    * Residual loss: near-but-not-bit-equal partners hash apart — the
+    * same pairs the contiguous split also lost unless id-adjacent.
+    * 2¹⁸ members bounds a split's Lloyd at ~2.7e11 flops and ~130 MB —
+    * heavy but task-feasible. */
   private[graft] val CellSplitCap = 1 << 18
 
-  /** Contiguous id-sorted splits of one cell's members, each at most
-    * `cap` long (parameterized for the spec; production uses
-    * [[CellSplitCap]]). */
+  /** Bounded splits of one over-cap cell, by vector-value hash: bucket =
+    * floorMod(Arrays.hashCode(vector), nBuckets) with nBuckets sized to
+    * ~cap/2 average load (overflow then needs a 2× concentration — at
+    * the 2¹⁸ production cap the probability is nil for distinct
+    * vectors). A bucket that still overflows (an exact-copy mass bigger
+    * than the cap: every copy hashes identically) falls back to bounded
+    * contiguous chunks — copies are interchangeable, so any chunk
+    * self-contains partners. Deterministic (value hash, no seed, no
+    * shuffle-order dependence); each split preserves the caller's
+    * id-sorted order, the localKmeans contract. Parameterized `cap` for
+    * the spec; production uses [[CellSplitCap]]. */
   private[graft] def cellSplits(vs: Array[(Long, Array[Double])],
       cap: Int = CellSplitCap): Iterator[Array[(Long, Array[Double])]] =
-    if (vs.length <= cap) Iterator.single(vs) else vs.grouped(cap)
+    if (vs.length <= cap) Iterator.single(vs)
+    else {
+      val nBuckets = ((2L * vs.length + cap - 1) / cap).toInt
+      val buckets = Array.fill(nBuckets)(
+        new scala.collection.mutable.ArrayBuffer[(Long, Array[Double])])
+      vs.foreach { p =>
+        buckets(math.floorMod(java.util.Arrays.hashCode(p._2), nBuckets)) += p
+      }
+      buckets.iterator.filter(_.nonEmpty).flatMap { b =>
+        if (b.length <= cap) Iterator.single(b.toArray)
+        else b.toArray.grouped(cap)
+      }
+    }
 
   /** Task-local deterministic Lloyd over one cell — the recursive unit of
     * the hierarchical blocking. Seeds = every (len/k)-th member of the
@@ -862,7 +920,8 @@ object SimilarityOps {
           .select(col("cell"), col("vec_id"), col("embedding")),
         (cell: Long, mit: Iterator[(Long, Array[Double])]) => {
           val vs = mit.toArray.sortBy(_._1)
-          // over-cap cells split into bounded ranges (see [[CellSplitCap]];
+          // over-cap cells split into bounded member-hash buckets (see
+          // [[CellSplitCap]];
           // a single split — every current corpus — keeps base 0 and the
           // exact pre-split ids)
           var subBase = 0L
@@ -1477,7 +1536,18 @@ object SimilarityOps {
         .groupBy("c", "i")
         .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
           count(lit(1))).as("cv"))
-    val c0 = flat.filter(col("vec_id") < k)
+    // seeds: the SAME id-range striding as trainVecCentroids (VERDICT
+    // r19 item 2) — the exact-decimal twin must run the identical
+    // algorithm or the differential-twin property is vacuous. Mirrored
+    // in IvfOracleSql's sid CTE.
+    val span = Tables.embeddings(s, dir)
+      .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    val lo = span.getLong(0)
+    val width = span.getLong(1) - lo + 1
+    val seedIds = Tables.embeddings(s, dir).select(col("vec_id"))
+      .groupBy(expr(s"((vec_id - ${lo}L) * ${k}L) div ${width}L").as("bk"))
+      .agg(min("vec_id").as("vec_id")).select("vec_id")
+    val c0 = flat.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
     val samp = flat.filter(col("vec_id") % 4 === 0)
     val c1 = means(samp, argmin(dists(samp, c0)))
@@ -1526,7 +1596,12 @@ object SimilarityOps {
        |flat AS (
        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
        |  FROM embeddings, generate_series(1, 64) t(i)),
-       |c0 AS (SELECT vec_id AS c, i, v AS cv FROM flat, kp WHERE vec_id < k),
+       |span AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings),
+       |sid AS (
+       |  SELECT MIN(vec_id) AS vec_id FROM embeddings, span, kp
+       |  GROUP BY ((vec_id - lo) * k) // (hi - lo + 1)),
+       |c0 AS (SELECT f.vec_id AS c, f.i, f.v AS cv
+       |       FROM flat f JOIN sid ON f.vec_id = sid.vec_id),
        |samp AS (SELECT * FROM flat WHERE vec_id % 4 = 0),
        |${distsSql("d1", "samp", "c0")},
        |${argminSql("a1", "d1")},
@@ -2147,7 +2222,8 @@ object SimilarityOps {
     },
 
     // IVF ANN, corpus-scaled: k = ceil(sqrt(N)) centroids (deterministic
-    // seed = first k vectors, 2 Lloyd iterations over a 25 % sample,
+    // seed = one vector per id-range stride (see trainVecCentroids —
+    // strided since r20), 2 Lloyd iterations over a 25 % sample,
     // exact-decimal means) → inverted lists keyed by centroid → probe the
     // nprobe = ceil(sqrt(k)) nearest lists. Assignment is ARRAY-NATIVE:
     // distance d² = |v|² − 2·v·m + |m|² via the codegen'd vec_dot against

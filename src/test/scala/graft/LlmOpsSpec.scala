@@ -435,10 +435,6 @@ class LlmOpsSpec extends AnyFunSuite {
     // -1e284, dragging the calibration quantile negative and silently
     // degrading the calibrated preset to single-probe (review r19).
     // Every ratio must now be finite, non-null and ≥ 1.
-    // duplicates parked at HIGH ids: trainVecCentroids seeds from the k
-    // SMALLEST vec_ids, so low-id duplicates would hand every seed the
-    // same vector and collapse the quantizer — the case (2) fixture,
-    // not this one
     val n = 1100L
     val emb = spark.range(n).map(i =>
         (i, if (i >= 770) CorpusScaleBench.synVec(7L)
@@ -450,6 +446,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad ratios null / NaN / below 1")
     val p = queries.SimilarityOps.calibratedPreset(spark, emb, n, 0.2)
     assert(p.probeMargin >= 1.0 && !p.probeMargin.isNaN)
+    // (1b) the SAME duplicate mass parked at LOW ids (VERDICT r19
+    // item 2): k-smallest-id seeding handed every coarse seed the one
+    // repeated vector and collapsed the quantizer by construction —
+    // r19's loud degeneracy require was the detector, the r20 strided
+    // seeds are the cure. The require must now be UNREACHABLE here:
+    // range-strided seeds land mostly outside the duplicate block, the
+    // preset calibrates, and the quantizer keeps >1 live centroid.
+    val lowDup = spark.range(n).map(i =>
+        (i, if (i < 330) CorpusScaleBench.synVec(7L)
+            else CorpusScaleBench.synVec(i)))
+      .toDF("vec_id", "embedding")
+    val pLow = queries.SimilarityOps.calibratedPreset(spark, lowDup, n, 0.2)
+    assert(pLow.probeMargin >= 1.0 && !pLow.probeMargin.isNaN,
+      s"low-id duplicate block still collapses the quantizer: $pLow")
     // (2) a fully identical corpus collapses the trained quantizer to a
     // single live centroid: no vector has a runner-up cell, and
     // calibratedPreset must fail LOUD and diagnostic (naming the way
@@ -461,15 +471,59 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("single live centroid"))
     // (3) the over-cap cell splitter (the duplicate-funnel task bound):
-    // contiguous, size-capped, order- and membership-preserving; a cell
-    // under the cap passes through as the identical single array
+    // size-capped, membership-preserving, per-split id-sorted (the
+    // localKmeans contract); a cell under the cap passes through as the
+    // identical single array
     val vs = Array.tabulate(1000)(i => (i.toLong, Array(i.toDouble)))
     val one = queries.SimilarityOps.cellSplits(vs).toSeq
     assert(one.length == 1 && (one.head eq vs))
     val parts = queries.SimilarityOps.cellSplits(vs, cap = 64).toSeq
     assert(parts.forall(_.length <= 64))
     assert(parts.map(_.length).sum == 1000)
-    assert(parts.flatMap(_.map(_._1)) == vs.map(_._1).toSeq)
+    assert(parts.flatMap(_.map(_._1)).sorted == vs.map(_._1).toSeq)
+    assert(parts.forall(p => p.map(_._1).toSeq == p.map(_._1).sorted.toSeq))
+    // an exact-copy mass bigger than the cap (every copy hashes to ONE
+    // bucket) still comes out bounded via the contiguous fallback
+    val copies = Array.tabulate(300)(i => (i.toLong, Array(42.0, 7.0)))
+    val massParts = queries.SimilarityOps.cellSplits(copies, cap = 64).toSeq
+    assert(massParts.forall(_.length <= 64))
+    assert(massParts.map(_.length).sum == 300)
+  }
+
+  test("over-cap cell split keeps scattered-id duplicate partners co-located (measured)") {
+    // VERDICT r19 item 3: the r19 CONTIGUOUS-range split argued that
+    // over-cap cells "self-contain duplicate partners" by id adjacency —
+    // the shape that argument does not cover is a duplicate set whose
+    // partners sit at SCATTERED ids (distance > cap in the sorted
+    // order). Adversarial fixture: 500 exact-copy pairs (i, i+500),
+    // partner distance 500, cap 128 — contiguous grouped(128) co-locates
+    // ZERO pairs; the member-hash bucket split must co-locate (nearly)
+    // all of them, bounded splits included.
+    def vec(i: Int): Array[Double] = {
+      var x = i.toLong ^ 0x9e3779b97f4a7c15L
+      Array.tabulate(8) { d =>
+        x = (x ^ (x >>> 30)) * (0xbf58476d1ce4e5b9L + d); (x >>> 11) / 1e18
+      }
+    }
+    val vs = Array.tabulate(1000)(i =>
+      (i.toLong, vec(if (i >= 500) i - 500 else i)))
+    def recall(splits: Seq[Array[(Long, Array[Double])]]): Double = {
+      val where = splits.zipWithIndex
+        .flatMap { case (p, s) => p.map(_._1 -> s) }.toMap
+      (0 until 500).count(i => where(i.toLong) == where(i + 500L)) / 500.0
+    }
+    val hashed = queries.SimilarityOps.cellSplits(vs, cap = 128).toSeq
+    assert(hashed.forall(_.length <= 128))
+    assert(hashed.map(_.length).sum == 1000)
+    val hashedRecall = recall(hashed)
+    // the r19 contiguous split, re-derived here as the measured baseline
+    val contiguousRecall = recall(vs.grouped(128).toSeq)
+    info(f"co-location recall: hash-bucket $hashedRecall%.3f vs " +
+      f"contiguous $contiguousRecall%.3f")
+    assert(contiguousRecall == 0.0,
+      s"fixture is not adversarial for the contiguous split: $contiguousRecall")
+    assert(hashedRecall >= 0.9,
+      s"hash-bucket split lost scattered-id partners: recall $hashedRecall")
   }
 
   test("localKmeansProbed: all-zero-distance tie emits no runner-up unless the knob is on") {
