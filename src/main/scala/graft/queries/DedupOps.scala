@@ -200,26 +200,120 @@ object DedupOps {
     * (ADVICE r18: they previously stayed checkpointed for the session's
     * lifetime). Keyed by a per-call sequence, not a plan hash: two
     * verify passes over identical plans still pin two distinct
-    * checkpoints. */
+    * checkpoints. Each entry carries a MATERIALIZED bit (ADVICE r19):
+    * the sweep's materialize-first contract was comment-only, and a
+    * caller sweeping between plan construction and consumer
+    * materialization would fail far from the cause with "Checkpoint
+    * block not found" — the bit is flipped by a per-session
+    * QueryExecutionListener when any successful Dataset action's
+    * executed plan scans the checkpoint's RDD, and the release path
+    * warns LOUDLY when it drops a checkpoint no action ever read. */
+  /** `rdd` is the checkpoint's PERSISTED internal RDD (off the analyzed
+    * LogicalRDD) — the release path must unpersist THAT, not the
+    * Dataset: `Dataset.unpersist` only uncaches CacheManager-registered
+    * plans, and a localCheckpoint is never registered there, so the r19
+    * sweep's df-level unpersist silently freed nothing (caught by the
+    * r20 MinhashCacheSpec release test; [[checkpointReleasable]] had
+    * always released at the RDD level for exactly this reason). */
+  private case class TrackedCheckpoint(
+      rdd: Option[org.apache.spark.rdd.RDD[_]], rddId: Int,
+      materialized: java.util.concurrent.atomic.AtomicBoolean)
   private val touchedCheckpointMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, Long), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, Long), TrackedCheckpoint]
   private val touchedCheckpointSeq =
     new java.util.concurrent.atomic.AtomicLong(0L)
+  private val ckptObserverHooked =
+    scala.collection.concurrent.TrieMap.empty[Int, Boolean]
+
+  /** RDD ids behind every RDDScanExec in an executed plan, descending
+    * into settled adaptive subplans: AdaptiveSparkPlanExec AND the
+    * QueryStageExec wrappers it materializes (Result/Shuffle/Broadcast
+    * stages) are all LEAF nodes — tree traversal stops at each without
+    * the recursion (observed: a count's executed plan reads
+    * ADAPTIVE[ResultQueryStageExec] at the top level with every real
+    * operator inside the stage's `plan`). Best-effort: a plan shape
+    * this misses costs one advisory warning, never correctness. */
+  private def rddScanIds(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
+    p.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => Seq(r.rdd.id)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        rddScanIds(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        rddScanIds(q.plan)
+    }.flatten
+
+  /** Advisory check on the release path (ADVICE r19): an unpersisted
+    * localCheckpoint is UNRECOVERABLE, so dropping one that no action
+    * ever read means a later consumer dies with "Checkpoint block not
+    * found" far from this cause. QueryExecutionListener callbacks ride
+    * the async bus BEHIND the just-finished action's own stage events,
+    * so a release right after a heavy materialization can race a bus
+    * backlog measured in seconds — the poll gives it up to 10 s to flip
+    * the bit before the alarm, and only costs time on the
+    * (contract-violating) path the warning exists for. */
+  private def warnIfUnmaterialized(tc: TrackedCheckpoint): Unit = {
+    var i = 0
+    while (!tc.materialized.get() && i < 50) { Thread.sleep(200); i += 1 }
+    if (!tc.materialized.get())
+      System.err.println("[dedup] WARNING: releasing a localCheckpoint " +
+        s"(RDD ${tc.rddId}) that no completed action ever read — if a " +
+        "plan built on it is materialized later it will fail with " +
+        "'Checkpoint block not found'. Materialize every pruned-verify/" +
+        "index-probe output before releaseAllMinhashBases (or the " +
+        "per-call release thunk) runs.")
+  }
 
   /** Eager localCheckpoint + registry-track a small internal frame so
     * the [[releaseAllMinhashBases]] sweep (or session end) unpersists
     * it — the shared discipline of [[verifyPruned]]'s touched sets and
     * [[minhashPairsAgainstIndex]]'s candidate pairs. Returns the pinned
     * frame and an early-release thunk for callers that drop it sooner
-    * (verifyPruned's beyond-ceiling fallback). Materialize every
-    * consumer before the sweep runs — see the sweep's scaladoc. */
+    * (verifyPruned's beyond-ceiling fallback;
+    * [[minhashPairsAgainstIndexReleasable]] consumers). Materialize
+    * every consumer before the sweep runs — see the sweep's scaladoc;
+    * violations are caught by [[warnIfUnmaterialized]]. */
   private def trackCheckpoint(df: DataFrame): (DataFrame, () => Unit) = {
     val s = df.sparkSession
     val t = df.localCheckpoint(true)
+    val internalRdd = t.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.headOption
+    val tracked = TrackedCheckpoint(internalRdd,
+      internalRdd.map(_.id).getOrElse(-1),
+      new java.util.concurrent.atomic.AtomicBoolean(false))
     val key = (System.identityHashCode(s), touchedCheckpointSeq.incrementAndGet())
-    touchedCheckpointMemo.put(key, t)
+    touchedCheckpointMemo.put(key, tracked)
+    // one materialization observer per session: any successful Dataset
+    // action whose executed plan scans a tracked checkpoint RDD flips
+    // its bit. Bounded work per action — a plan walk, and only while
+    // this session tracks checkpoints.
+    val sid = key._1
+    if (ckptObserverHooked.putIfAbsent(sid, true).isEmpty)
+      s.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            if (touchedCheckpointMemo.keysIterator.exists(_._1 == sid)) {
+              val ids =
+                try rddScanIds(qe.executedPlan).toSet
+                catch { case _: Throwable => Set.empty[Int] }
+              if (ids.nonEmpty)
+                touchedCheckpointMemo.foreach { case ((s2, _), tc) =>
+                  if (s2 == sid && ids.contains(tc.rddId))
+                    tc.materialized.set(true)
+                }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              error: Exception): Unit = ()
+        })
     SessionCaches.onRelease(s, s"dedup.touched:${key._2}")(() =>
-      touchedCheckpointMemo.remove(key).foreach(_.unpersist(false)))
+      touchedCheckpointMemo.remove(key).foreach { tc =>
+        warnIfUnmaterialized(tc)
+        tc.rdd.foreach(_.unpersist(false))
+      })
     (t, () => SessionCaches.release(s, s"dedup.touched:${key._2}"))
   }
 
@@ -432,6 +526,14 @@ object DedupOps {
     // parallelism) hands them different row sets with every expression
     // still "deterministic". Both are rejected; the remedy is the same
     // localCheckpoint (which pins the rows as a LogicalRDD).
+    //
+    // DELIBERATELY over-rejecting (ADVICE r19): orderBy(...).limit(n)
+    // is also refused even though it LOOKS stable — a sort by a
+    // NON-UNIQUE key still leaves the rows at the cut boundary chosen
+    // by tie-break, which follows partitioning, and key uniqueness
+    // isn't provable from the plan. The error message names the
+    // conservatism and the remedy so a sorted-limit caller isn't left
+    // guessing.
     val ndNode = analyzed.collect {
       case _: Sample => "Sample"
       case _: GlobalLimit => "GlobalLimit"
@@ -442,7 +544,11 @@ object DedupOps {
       s"pruneVerify re-evaluates its input plan multiple times and " +
         s"requires a deterministic frame; non-deterministic operator(s) " +
         s"found: ${nd.mkString(", ")} — localCheckpoint() the input " +
-        "before pruning (or run with pruneVerify = false)")
+        "before pruning (or run with pruneVerify = false). Note: " +
+        "Limit is refused even under a Sort — ties at the cut of a " +
+        "non-unique ordering still follow partitioning, and key " +
+        "uniqueness is not provable from the plan; the localCheckpoint " +
+        "remedy covers sorted limits too")
   }
 
   /** THE banded candidate construction — one definition for the five
@@ -588,7 +694,21 @@ object DedupOps {
     * pairs. Same result as [[minhashPairsIncremental]] (spec-asserted). */
   private[graft] def minhashPairsAgainstIndex(
       s: SparkSession, index: DataFrame, existing: DataFrame,
-      fresh: DataFrame): DataFrame = {
+      fresh: DataFrame): DataFrame =
+    minhashPairsAgainstIndexReleasable(s, index, existing, fresh)._1
+
+  /** [[minhashPairsAgainstIndex]] plus the release thunk for its
+    * internal candidate checkpoint (VERDICT r19 item 4): the daily loop
+    * frees the checkpoint through its per-tick
+    * [[releaseAllMinhashBases]] sweep, but a LIBRARY consumer in a
+    * long-lived session without the sweep accumulated one pinned
+    * checkpoint per call with no way to name it. Call the thunk after
+    * materializing the returned pairs (count/collect/write) — it is the
+    * same contract as the sweep ([[warnIfUnmaterialized]] catches
+    * violations), idempotent, and a no-op if the sweep ran first. */
+  private[graft] def minhashPairsAgainstIndexReleasable(
+      s: SparkSession, index: DataFrame, existing: DataFrame,
+      fresh: DataFrame): (DataFrame, () => Unit) = {
     val freshBase = minhashBase(s, fresh)
     val freshBanded = minhashBanded(freshBase).select("doc_id", "band", "bucket")
     val allBanded = index.union(freshBanded)
@@ -599,8 +719,9 @@ object DedupOps {
     // trap [[verifyPruned]]'s scaladoc documents, measured 2.5× there).
     // Registry-tracked like the touched sets: the daily loop's per-tick
     // releaseAllMinhashBases sweep frees it after the tick's pairs are
-    // materialized.
-    val (cand, _) = trackCheckpoint(
+    // materialized; the release thunk is ALSO surfaced to the caller
+    // (VERDICT r19 item 4) for sweep-less library sessions.
+    val (cand, releaseCand) = trackCheckpoint(
       bandedCandidates(freshBanded, allBanded, fullSelfJoin = false))
     // verify reads shingles for fresh docs from the batch and, for the
     // existing side, ONLY for docs that actually appear in a candidate.
@@ -625,7 +746,7 @@ object DedupOps {
     val verifyBase = hashShingles(minhashBase(s, touchedExisting)
       .select("doc_id", "sh")
       .union(freshBase.select("doc_id", "sh")))
-    minhashVerify(cand, verifyBase)
+    (minhashVerify(cand, verifyBase), releaseCand)
   }
 
   /** Blocked embedding-cosine near-dup pairs (vec_a < vec_b, cos ≥ 0.25)
