@@ -279,7 +279,7 @@ object SimilarityOps {
           val codes = assign(f, c1).cache()
           (c1, codes)
         } else {
-          // production: the SAME algorithm (first-16 seeds, one Lloyd
+          // production: the SAME algorithm (strided-16 seeds, one Lloyd
           // round over the 25% sample, per-subspace argmin) scored
           // array-native on 8-dim slices by the codegen vec_dot — 8×
           // fewer join rows than the per-dim exploded chain and no
@@ -322,12 +322,12 @@ object SimilarityOps {
         .select(col("vec_id"), col("sub"), col("best.c").as("c"))
     }
 
-    /** Float twin of [[codebook]]: first-16 seeds, one Lloyd round over
+    /** Float twin of [[codebook]]: strided-16 seeds, one Lloyd round over
       * the 25% sample, means emitted straight in the per-dim (c, i, cv)
       * consumer shape. */
     private def codebookF(sl: DataFrame): DataFrame = {
       val samp = sl.filter(col("vec_id") % 4 === 0)
-      val c0 = sl.filter(col("vec_id") < 16)
+      val c0 = sl.join(broadcast(stridedSeedIds(sl, 16)), Seq("vec_id"))
         .select(col("vec_id").as("c"), col("sub"), col("e8").as("m8"))
       val a1 = assignF(samp, c0)
       samp.join(a1, Seq("vec_id", "sub"))
@@ -361,11 +361,14 @@ object SimilarityOps {
         .agg(min(struct(col("d2"), col("c"))).as("best"))
         .select(col("vec_id"), col("sub"), col("best.c").as("c"))
 
-    /** Trained codebook (c, i, cv): seeds = first 16 vectors, one
-      * exact-decimal Lloyd round over the deterministic 25 % sample. */
+    /** Trained codebook (c, i, cv): seeds = the strided id-range rule at
+      * k = 16 ([[stridedSeedIds]], r20 — the first-16 filter collapsed
+      * on low-id-duplicate corpora; mirrored in [[OracleCtes]]' pqsid
+      * CTE), one exact-decimal Lloyd round over the deterministic 25 %
+      * sample. */
     def codebook(flatDf: DataFrame): DataFrame = {
       val samp = flatDf.filter(col("vec_id") % 4 === 0)
-      val c0 = flatDf.filter(col("vec_id") < 16)
+      val c0 = flatDf.join(broadcast(stridedSeedIds(flatDf, 16)), Seq("vec_id"))
         .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
       val a1 = assign(samp, c0)
       samp.join(a1, Seq("vec_id", "sub"))
@@ -380,7 +383,11 @@ object SimilarityOps {
         |  SELECT vec_id, i, (i - 1) // 8 AS sub, CAST(embedding[i] AS DOUBLE) AS v
         |  FROM embeddings, generate_series(1, 64) t(i)),
         |samp AS (SELECT * FROM flat WHERE vec_id % 4 = 0),
-        |c0 AS (SELECT vec_id AS c, i, v AS cv FROM flat WHERE vec_id < 16),
+        |pqspan AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings),
+        |pqsid AS (SELECT MIN(vec_id) AS vec_id FROM embeddings, pqspan
+        |          GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)),
+        |c0 AS (SELECT f.vec_id AS c, f.i, f.v AS cv
+        |       FROM flat f JOIN pqsid ON f.vec_id = pqsid.vec_id),
         |d1 AS (
         |  SELECT f.vec_id, f.sub, c0.c,
         |    SUM(CAST((f.v - c0.cv) * (f.v - c0.cv) AS DECIMAL(28,12))) AS d2
@@ -407,7 +414,7 @@ object SimilarityOps {
   }
 
   /** Coarse k-means distance table (vec_id, c, d²) after one exact-decimal
-    * Lloyd round from the first-8-vector seeds — the exact chain
+    * Lloyd round from the strided-8 seeds — the exact chain
     * q_embed_kmeans hashes against DuckDB, reused verbatim as the IVF-PQ
     * coarse quantizer. Trained once per (session, dataset) and cached,
     * like [[Pq.trained]]; Bench pins the build cost to q_embed_kmeans. */
@@ -437,7 +444,12 @@ object SimilarityOps {
           .groupBy("vec_id", "c")
           .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
             .cast(DecimalType(28, 12))).as("d2"))
-      val c0 = flat.filter(col("vec_id") < 8)
+      // seeds: the shared strided rule ([[stridedSeedIds]], r20 — the
+      // first-8 filter collapsed on low-id-duplicate corpora); mirrored
+      // in KmeansOracleCtes' ksid CTE
+      val c0 = flat
+        .join(broadcast(stridedSeedIds(Tables.embeddings(s, dir), 8)),
+          Seq("vec_id"))
         .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
       val a1 = dists(c0)
         .withColumn("rk", row_number().over(
@@ -450,7 +462,7 @@ object SimilarityOps {
       dists(c1)
     }
 
-    /** Production path (above the gate): the SAME algorithm — first-8
+    /** Production path (above the gate): the SAME algorithm — strided-8
       * seeds, one full-set Lloyd round, all-centroid distance table —
       * scored array-native by the codegen vec_dot with float sums. No
       * 64× dim explode, no decimal arithmetic, no per-(vec, centroid)
@@ -468,7 +480,9 @@ object SimilarityOps {
           .select(col("vec_id"), col("c"),
             (vec_dot(col("e"), col("e")) - lit(2.0) * vec_dot(col("e"), col("m"))
               + vec_dot(col("m"), col("m"))).as("d2"))
-      val c0 = emb.filter(col("vec_id") < 8)
+      // same strided seeds as [[exact]] — the float twin must seed
+      // identically or the two regimes train different quantizers
+      val c0 = emb.join(broadcast(stridedSeedIds(emb, 8)), Seq("vec_id"))
         .select(col("vec_id").as("c"), col("e").as("m"))
       val a1 = dists(c0)
         .groupBy("vec_id").agg(min(struct(col("d2"), col("c"))).as("b"))
@@ -564,49 +578,53 @@ object SimilarityOps {
     * sample members drop out — acceptable: k is a target, not an
     * invariant. The result is k×dim doubles — tiny and broadcastable at
     * any corpus size. */
+  /** THE quantizer seed rule, one definition for every trained chain
+    * (VERDICT r19 item 2): each id-range bucket's MINIMUM vec_id,
+    * bucket = ((vec_id − lo) · k) div (hi − lo + 1) over the frame's own
+    * [lo, hi] span. STRIDED, not the k smallest ids: lowest-k seeding
+    * handed every seed the same vector on a corpus whose low-id block is
+    * near-identical — collapsing the quantizer by construction, the
+    * exact failure localKmeansFit's strided seeds already guard against
+    * task-locally (r19 made it LOUD via calibratedPreset's degeneracy
+    * require; this is the cure). Range striding keeps the properties
+    * that matter at any N: deterministic (pure id arithmetic — no float
+    * hashing, no shuffle-order dependence), id-offset-safe (the standing
+    * semantic index trains on a bootstrap slice whose ids begin at
+    * initLo ≫ k — the r14 empty-seed bug), and bounded driver work (the
+    * lo/hi agg is one scan of a single long column; seeds stay ≤ k
+    * rows). Sparse id spaces leave some buckets empty → fewer than k
+    * seeds, same contract as dead centroids dropping out of Lloyd.
+    * ((vec_id − lo) · k) stays well inside Long: the 2^40 id-space bound
+    * denseCells documents × k ≤ 2^21 tops out near 2^61. Accepts any
+    * frame carrying vec_id (duplicate vec_id rows — the exploded
+    * per-dim/per-subspace shapes — bucket identically, so the per-bucket
+    * min is unaffected). Mirrored CTE-for-CTE by every DuckDB oracle
+    * twin (IvfOracleSql, KmeansOracleCtes, Pq.OracleCtes) — move Spark
+    * and SQL together or the family's hashes break. */
+  private def stridedSeedIds(ids: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val span = ids.agg(min(col("vec_id")).as("lo"),
+      max(col("vec_id")).as("hi")).head()
+    if (span.isNullAt(0))
+      // empty frame: empty seed set (callers training on an empty slice
+      // get an empty quantizer, not a crash)
+      ids.select(col("vec_id")).limit(0)
+    else {
+      val lo = span.getLong(0)
+      val width = span.getLong(1) - lo + 1
+      ids.select(col("vec_id"))
+        .groupBy(expr(s"((vec_id - ${lo}L) * ${k}L) div ${width}L").as("bk"))
+        .agg(min("vec_id").as("vec_id")).select("vec_id")
+    }
+  }
+
   private def trainVecCentroids(emb: org.apache.spark.sql.DataFrame,
       k: Int, lloyd: Int = 2): org.apache.spark.sql.DataFrame = {
-    // seeds = each id-range bucket's MINIMUM vec_id, with c = the seed's
-    // own id: bucket = ((vec_id − lo) · k) div (hi − lo + 1) over the
-    // frame's own [lo, hi] span. STRIDED, not the k smallest ids
-    // (VERDICT r19 item 2): lowest-k seeding handed every seed the same
-    // vector on a corpus whose low-id block is near-identical —
-    // collapsing the coarse quantizer by construction, the exact failure
-    // localKmeansFit's strided seeds already guard against task-locally
-    // (r19 made it LOUD via calibratedPreset's degeneracy require; this
-    // is the cure). Range striding keeps the properties that matter at
-    // any N: deterministic (pure id arithmetic — no float hashing, no
-    // shuffle-order dependence), id-offset-safe (the standing semantic
-    // index trains on a bootstrap slice whose ids begin at initLo ≫ k —
-    // the r14 empty-seed bug), and bounded driver work (the lo/hi agg is
-    // one scan of a single long column; seeds stay k rows). Sparse id
-    // spaces leave some buckets empty → fewer than k seeds, same
-    // contract as dead centroids dropping out of Lloyd. Mirrored EXACTLY
-    // by the exact-decimal IVF twin and its DuckDB oracle (ivfExact /
-    // IvfOracleSql), so the differential-twin property survives the
-    // seeding change — move all three together or the q_sim_ann_ivf
-    // hash breaks.
-    val span = emb.agg(min(col("vec_id")).as("lo"),
-      max(col("vec_id")).as("hi")).head()
-    var centroids =
-      if (span.isNullAt(0))
-        // empty frame: keep the old empty-centroid shape (callers that
-        // train on an empty slice get an empty quantizer, not a crash)
-        emb.limit(0).select(col("vec_id").as("c"),
-          transform(col("embedding"), _.cast("double")).as("m"))
-      else {
-        val lo = span.getLong(0)
-        val width = span.getLong(1) - lo + 1
-        // ((vec_id − lo) · k) stays well inside Long: the 2^40 id-space
-        // bound denseCells documents × k ≤ 2^21 (FlatKCap geometry caps
-        // coarse k around √(N/64)) tops out near 2^61
-        val seedIds = emb.select(col("vec_id"))
-          .groupBy(expr(s"((vec_id - ${lo}L) * ${k}L) div ${width}L").as("bk"))
-          .agg(min("vec_id").as("vec_id")).select("vec_id")
-        emb.join(broadcast(seedIds), Seq("vec_id"))
-          .select(col("vec_id").as("c"),
-            transform(col("embedding"), _.cast("double")).as("m"))
-      }
+    // seeds = the strided id-range rule ([[stridedSeedIds]]), with c =
+    // the seed's own id
+    var centroids = emb.join(broadcast(stridedSeedIds(emb, k)), Seq("vec_id"))
+      .select(col("vec_id").as("c"),
+        transform(col("embedding"), _.cast("double")).as("m"))
     val train = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
     for (_ <- 1 to lloyd) {
       val asg = assignVec(train, centroids)
@@ -1425,14 +1443,19 @@ object SimilarityOps {
       .select(col("vec_id"), col("c").as("cluster"))
   }
 
-  /** The exact-decimal k-means CTE chain (8 fixed seeds, one Lloyd round,
-    * final assignment in `clus`) — the DuckDB twin of [[kmeansClusters]],
-    * shared verbatim by the q_embed_kmeans and q_dedup_semantic oracles. */
+  /** The exact-decimal k-means CTE chain (8 strided seeds, one Lloyd
+    * round, final assignment in `clus`) — the DuckDB twin of
+    * [[kmeansClusters]], shared verbatim by the q_embed_kmeans and
+    * q_dedup_semantic oracles. */
   private val KmeansOracleCtes: String =
     """flat AS (
       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
       |  FROM embeddings, generate_series(1, 64) t(i)),
-      |c0 AS (SELECT vec_id AS c, i, v AS cv FROM flat WHERE vec_id < 8),
+      |kspan AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings),
+      |ksid AS (SELECT MIN(vec_id) AS vec_id FROM embeddings, kspan
+      |         GROUP BY ((vec_id - lo) * 8) // (hi - lo + 1)),
+      |c0 AS (SELECT f.vec_id AS c, f.i, f.v AS cv
+      |       FROM flat f JOIN ksid ON f.vec_id = ksid.vec_id),
       |d1 AS (
       |  SELECT f.vec_id, c0.c,
       |    SUM(CAST((f.v - c0.cv) * (f.v - c0.cv) AS DECIMAL(28,12))) AS d2
@@ -1536,18 +1559,13 @@ object SimilarityOps {
         .groupBy("c", "i")
         .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
           count(lit(1))).as("cv"))
-    // seeds: the SAME id-range striding as trainVecCentroids (VERDICT
-    // r19 item 2) — the exact-decimal twin must run the identical
-    // algorithm or the differential-twin property is vacuous. Mirrored
-    // in IvfOracleSql's sid CTE.
-    val span = Tables.embeddings(s, dir)
-      .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
-    val lo = span.getLong(0)
-    val width = span.getLong(1) - lo + 1
-    val seedIds = Tables.embeddings(s, dir).select(col("vec_id"))
-      .groupBy(expr(s"((vec_id - ${lo}L) * ${k}L) div ${width}L").as("bk"))
-      .agg(min("vec_id").as("vec_id")).select("vec_id")
-    val c0 = flat.join(broadcast(seedIds), Seq("vec_id"))
+    // seeds: the shared strided id-range rule ([[stridedSeedIds]]) — the
+    // exact-decimal twin must run the identical algorithm or the
+    // differential-twin property is vacuous. Mirrored in IvfOracleSql's
+    // sid CTE.
+    val c0 = flat
+      .join(broadcast(stridedSeedIds(Tables.embeddings(s, dir), k)),
+        Seq("vec_id"))
       .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
     val samp = flat.filter(col("vec_id") % 4 === 0)
     val c1 = means(samp, argmin(dists(samp, c0)))
@@ -1781,7 +1799,8 @@ object SimilarityOps {
     },
 
     // K-means topic clustering, EXACT and differential-tested: k = 8
-    // deterministic seeds (the first 8 vectors), one Lloyd update, final
+    // deterministic seeds (one per id-range stride, see stridedSeedIds),
+    // one Lloyd update, final
     // assignment — every distance an exact decimal sum, centroid means
     // exact-decimal over doubles, ties broken by centroid id, so Spark
     // and DuckDB agree bitwise. This is the oracle twin of the IVF
@@ -2028,8 +2047,9 @@ object SimilarityOps {
 
     // Product quantization (differential-tested): the vector-compression
     // path every 100 TB ANN deployment ships — 64 dims cut into 8
-    // subspaces of 8, one 16-centroid codebook per subspace (seeds = the
-    // first 16 vectors' subvectors, one exact-decimal Lloyd round over
+    // subspaces of 8, one 16-centroid codebook per subspace (seeds =
+    // 16 id-range-strided vectors' subvectors, one exact-decimal Lloyd
+    // round over
     // the deterministic 25 % sample), every vector encoded as 8 one-byte
     // codes: 32× smaller than the float vectors, scored at query time
     // via per-subspace lookup tables. Codebooks are k×dim tiny and
@@ -2105,10 +2125,14 @@ object SimilarityOps {
     "q_sim_ann_ivfpq" -> QueryDef.sql(
       "ANN: IVF-PQ — coarse k-means lists, in-list PQ-ADC scoring, top-10",
       s"""WITH ${Pq.OracleCtes},
+         |ksid AS (SELECT MIN(vec_id) AS vec_id FROM embeddings, pqspan
+         |         GROUP BY ((vec_id - lo) * 8) // (hi - lo + 1)),
+         |kc0 AS (SELECT f.vec_id AS c, f.i, f.v AS cv
+         |        FROM flat f JOIN ksid ON f.vec_id = ksid.vec_id),
          |cd1 AS (
-         |  SELECT f.vec_id, c0.c,
-         |    SUM(CAST((f.v - c0.cv) * (f.v - c0.cv) AS DECIMAL(28,12))) AS d2
-         |  FROM flat f JOIN c0 ON f.i = c0.i WHERE c0.c < 8 GROUP BY 1, 2),
+         |  SELECT f.vec_id, kc0.c,
+         |    SUM(CAST((f.v - kc0.cv) * (f.v - kc0.cv) AS DECIMAL(28,12))) AS d2
+         |  FROM flat f JOIN kc0 ON f.i = kc0.i GROUP BY 1, 2),
          |ca1 AS (
          |  SELECT vec_id, c FROM (
          |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk

@@ -149,7 +149,11 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(km.count() == n)
     assert(km.select("vec_id").distinct().count() == n)
     val clusters = km.select("cluster").distinct().collect().map(_.getLong(0)).toSet
-    assert(clusters.subsetOf((0L until 8L).toSet))
+    // labels are the seed vec_ids: one per id-range stride (r20 — the
+    // smallest id with (id·8) div n == j, i.e. ceil(j·n/8) on this
+    // 0-based contiguous corpus)
+    val seedIds = (0L until 8L).map(j => (j * n + 7) / 8).toSet
+    assert(clusters.subsetOf(seedIds), s"labels $clusters not in $seedIds")
     assert(clusters.size >= 2, "k-means collapsed to a single cluster")
   }
 
@@ -183,7 +187,12 @@ class LlmOpsSpec extends AnyFunSuite {
     val n = Tables.embeddings(spark, sf).count()
     assert(pq.count() == n * 8, "one code per (vector, subspace)")
     assert(pq.groupBy("vec_id").count().filter(col("count") =!= 8).count() == 0)
-    assert(pq.filter(col("code") < 0 || col("code") > 15).count() == 0)
+    // codes are the codebook seed vec_ids: one per id-range stride (r20
+    // — ceil(j·n/16) on this 0-based contiguous corpus), ≤ 16 of them
+    val seedIds = (0L until 16L).map(j => (j * n + 15) / 16)
+    assert(pq.filter(!col("code").isin(seedIds: _*)).count() == 0,
+      "codes outside the strided seed set")
+    assert(pq.select("code").distinct().count() <= 16)
     assert(pq.select("subspace").distinct().count() == 8)
   }
 
