@@ -327,7 +327,7 @@ object SimilarityOps {
       * consumer shape. */
     private def codebookF(sl: DataFrame): DataFrame = {
       val samp = sl.filter(col("vec_id") % 4 === 0)
-      val c0 = sl.join(broadcast(stridedSeedIds(sl, 16)), Seq("vec_id"))
+      val c0 = restrictToStridedSeeds(sl, 16)(sl)
         .select(col("vec_id").as("c"), col("sub"), col("e8").as("m8"))
       val a1 = assignF(samp, c0)
       samp.join(a1, Seq("vec_id", "sub"))
@@ -368,7 +368,7 @@ object SimilarityOps {
       * sample. */
     def codebook(flatDf: DataFrame): DataFrame = {
       val samp = flatDf.filter(col("vec_id") % 4 === 0)
-      val c0 = flatDf.join(broadcast(stridedSeedIds(flatDf, 16)), Seq("vec_id"))
+      val c0 = restrictToStridedSeeds(flatDf, 16)(flatDf)
         .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
       val a1 = assign(samp, c0)
       samp.join(a1, Seq("vec_id", "sub"))
@@ -447,9 +447,7 @@ object SimilarityOps {
       // seeds: the shared strided rule ([[stridedSeedIds]], r20 — the
       // first-8 filter collapsed on low-id-duplicate corpora); mirrored
       // in KmeansOracleCtes' ksid CTE
-      val c0 = flat
-        .join(broadcast(stridedSeedIds(Tables.embeddings(s, dir), 8)),
-          Seq("vec_id"))
+      val c0 = restrictToStridedSeeds(Tables.embeddings(s, dir), 8)(flat)
         .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
       val a1 = dists(c0)
         .withColumn("rk", row_number().over(
@@ -482,7 +480,7 @@ object SimilarityOps {
               + vec_dot(col("m"), col("m"))).as("d2"))
       // same strided seeds as [[exact]] — the float twin must seed
       // identically or the two regimes train different quantizers
-      val c0 = emb.join(broadcast(stridedSeedIds(emb, 8)), Seq("vec_id"))
+      val c0 = restrictToStridedSeeds(emb, 8)(emb)
         .select(col("vec_id").as("c"), col("e").as("m"))
       val a1 = dists(c0)
         .groupBy("vec_id").agg(min(struct(col("d2"), col("c"))).as("b"))
@@ -618,11 +616,43 @@ object SimilarityOps {
     }
   }
 
+  /** Literal-inlining threshold for the seed restriction below: 8 K seed
+    * ids ≈ 64 KB of plan literals — trivially broadcast inside the plan
+    * itself, and far above every memoized chain's k (8/16, ⌈√N⌉ IVF
+    * lists at verify SFs, hierarchical k1 = ⌈√(N/64)⌉ ≈ 4 K at 10⁹
+    * vectors). Only a > 4×10⁹-vector hierarchical coarse build crosses
+    * it and takes the distributed-join path. */
+  private val SeedInlineCap = 8192
+
+  /** The strided-seed restriction as a reusable transform: picks the
+    * seed ROWS of any frame carrying vec_id. For k ≤ [[SeedInlineCap]]
+    * the seed ids are collected once and inlined as an InSet literal —
+    * the trained chains re-evaluate their centroid plan once per Lloyd
+    * iteration plus once per consumer, and a join-shaped restriction
+    * re-ran the seed aggregate inside every one of those
+    * re-evaluations; the literal makes them free. (An interleaved
+    * cold-JVM A/B against the pre-striding commit measured the chains
+    * at parity — the join form's extra jobs are small — but the
+    * literal is strictly fewer re-evaluated stages and keeps the
+    * trained-chain plans scan-shaped.) Past the cap the broadcast
+    * semi-join stands — at that scale the chain is not re-evaluated
+    * per sweep anyway. Seed VALUES are identical in both shapes and to
+    * every DuckDB twin's span/sid CTEs. */
+  private def restrictToStridedSeeds(ids: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    val seeds = stridedSeedIds(ids, k)
+    if (k <= SeedInlineCap) {
+      val seedIds = seeds.collect().map(_.getLong(0)).toSeq
+      df => df.filter(col("vec_id").isInCollection(seedIds))
+    } else
+      df => df.join(broadcast(seeds), Seq("vec_id"))
+  }
+
   private def trainVecCentroids(emb: org.apache.spark.sql.DataFrame,
       k: Int, lloyd: Int = 2): org.apache.spark.sql.DataFrame = {
-    // seeds = the strided id-range rule ([[stridedSeedIds]]), with c =
-    // the seed's own id
-    var centroids = emb.join(broadcast(stridedSeedIds(emb, k)), Seq("vec_id"))
+    // seeds = the strided id-range rule ([[restrictToStridedSeeds]]),
+    // with c = the seed's own id
+    var centroids = restrictToStridedSeeds(emb, k)(emb)
       .select(col("vec_id").as("c"),
         transform(col("embedding"), _.cast("double")).as("m"))
     val train = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
@@ -1563,9 +1593,7 @@ object SimilarityOps {
     // exact-decimal twin must run the identical algorithm or the
     // differential-twin property is vacuous. Mirrored in IvfOracleSql's
     // sid CTE.
-    val c0 = flat
-      .join(broadcast(stridedSeedIds(Tables.embeddings(s, dir), k)),
-        Seq("vec_id"))
+    val c0 = restrictToStridedSeeds(Tables.embeddings(s, dir), k)(flat)
       .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
     val samp = flat.filter(col("vec_id") % 4 === 0)
     val c1 = means(samp, argmin(dists(samp, c0)))
