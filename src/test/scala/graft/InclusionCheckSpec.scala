@@ -76,26 +76,38 @@ class InclusionCheckSpec extends AnyFunSuite {
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val req = mapper.readTree(ex.getRequestBody)
-        val resp = req.get("method").asText() match {
-          case "eth_getTransactionReceipt" =>
-            receiptReqs.incrementAndGet()
-            val h = req.get("params").get(0).asText()
-            txBlock.get(h) match {
-              case Some(bh) =>
-                val (num, _, _) = blocks(bh)
-                s"""{"result":{"blockHash":"$bh","blockNumber":"0x${num.toHexString}"}}"""
-              case None => """{"result":null}"""
-            }
-          case "eth_getBlockByHash" =>
-            blockReqs.incrementAndGet()
-            val bh = req.get("params").get(0).asText()
-            blocks.get(bh) match {
-              case Some((num, tsSec, txs)) =>
-                s"""{"result":{"number":"0x${num.toHexString}","timestamp":"0x${tsSec.toHexString}","transactions":[${txs.map(t => s""""$t"""").mkString(",")}]}}"""
-              case None => """{"result":null}"""
-            }
-          case m => throw new IllegalArgumentException(s"unexpected method $m")
+        def one(node: com.fasterxml.jackson.databind.JsonNode): String = {
+          val id = if (node.has("id")) node.get("id").asInt(1) else 1
+          val result = node.get("method").asText() match {
+            case "eth_getTransactionReceipt" =>
+              receiptReqs.incrementAndGet()
+              val h = node.get("params").get(0).asText()
+              txBlock.get(h) match {
+                case Some(bh) =>
+                  val (num, _, _) = blocks(bh)
+                  s"""{"blockHash":"$bh","blockNumber":"0x${num.toHexString}"}"""
+                case None => "null"
+              }
+            case "eth_getBlockByHash" =>
+              blockReqs.incrementAndGet()
+              val bh = node.get("params").get(0).asText()
+              blocks.get(bh) match {
+                case Some((num, tsSec, txs)) =>
+                  s"""{"number":"0x${num.toHexString}","timestamp":"0x${tsSec.toHexString}","transactions":[${txs.map(t => s""""$t"""").mkString(",")}]}"""
+                case None => "null"
+              }
+            case m => throw new IllegalArgumentException(s"unexpected method $m")
+          }
+          s"""{"jsonrpc":"2.0","id":$id,"result":$result}"""
         }
+        // JSON-RPC 2.0 batch: array in, array out (per-element counters)
+        val resp =
+          if (req.isArray) {
+            val it = req.elements()
+            val parts = Seq.newBuilder[String]
+            while (it.hasNext) parts += one(it.next())
+            parts.result().mkString("[", ",", "]")
+          } else one(req)
         val bytes = resp.getBytes("UTF-8")
         ex.sendResponseHeaders(200, bytes.length.toLong)
         ex.getResponseBody.write(bytes)
@@ -159,6 +171,34 @@ class InclusionCheckSpec extends AnyFunSuite {
       assert(stats.blockCalls.value <= nBlocks + 3)
       assert(blockReqs.get() == stats.blockCalls.value)
       assert(stats.cacheHits.value >= included.size - stats.blockCalls.value)
+    }
+  }
+
+  test("batched JSON-RPC resolution matches the join path and the " +
+    "sequential path; blocks still fetched once each") {
+    withRpcServer() { (uri, receiptReqs, blockReqs) =>
+      val out = InclusionCheck.enrich(inputDf.repartition(1),
+        InclusionCheck.JsonRpcFactory(uri), None,
+        rpcBatchSize = 64).persist()
+      out.count()
+      // value parity: the batch path may not change a single enriched cell
+      assert(collectSorted(out) == collectSorted(joinPath(inputDf, blocksDim)))
+      out.unpersist()
+      // every distinct block is fetched exactly once (the fold still
+      // de-duplicates across chunks via the cache)
+      assert(blockReqs.get() == nBlocks)
+      // receipts ride bulk calls: per-element count is bounded by the row
+      // count (the sequential path's bound), and the chunk probe means a
+      // block folded by an EARLIER chunk saves its members' receipts
+      assert(receiptReqs.get() <= nTx)
+    }
+    // eviction-hostile: chunk-local resolutions must survive a cache too
+    // small to hold even one block's fold
+    withRpcServer() { (uri, _, _) =>
+      val out = InclusionCheck.enrich(inputDf.repartition(1),
+        InclusionCheck.JsonRpcFactory(uri), None,
+        maxCacheEntries = 3, rpcBatchSize = 16)
+      assert(collectSorted(out) == collectSorted(joinPath(inputDf, blocksDim)))
     }
   }
 
