@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("vec_d2_dec"),
+      new ExpressionInfo(classOf[VecD2Dec].getName, "vec_d2_dec"),
+      (exprs: Seq[Expression]) => VecD2Dec(exprs.head, exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
       (exprs: Seq[Expression]) => LshBucketExpr(exprs.head, exprs(1))))
@@ -116,6 +120,8 @@ object GraftFunctions {
       "keccak256", exprs => Keccak256Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_d2_dec", exprs => VecD2Dec(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", exprs => LshBucketExpr(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

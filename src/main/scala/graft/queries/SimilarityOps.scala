@@ -1572,14 +1572,34 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.DataFrame
     val flat = Pq.flat(s, dir).select("vec_id", "i", "v")
+    // array form of the same vectors (one row per vector, dims in
+    // i-order): the d² fold below consumes these, so the 64× per-dim
+    // explode never meets the k-way centroid cross (guide §2.3 — decide
+    // with the fewest rows that carry the decision)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
     val n = Tables.embeddings(s, dir).count()
     val k = ivfK(n)
     val np = ivfNprobe(k)
+    // (c, i, cv) centroid rows regrouped to (c, m) arrays, dims ascending
+    def centArrays(cents: DataFrame) =
+      cents.groupBy("c")
+        .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("im"))
+        .select(col("c"), transform(col("im"), _.getField("cv")).as("m"))
+    // d²(vec, c) from the IDENTICAL per-dim decimal terms the exploded
+    // chain summed — ((v − cv)·(v − cv)) cast to DECIMAL(28,12) — folded
+    // with exact decimal addition by the codegen vec_d2_dec expression
+    // (order-independent, so the fold equals the oracle's SUM
+    // bit-for-bit, VecD2DecSpec pins it), but computed on one row per
+    // (vec, c) instead of one per (vec, c, dim): 64× fewer join rows and
+    // no aggregation exchange at all (the old shape was the single
+    // largest intermediate of this chain: n·64·k rows through a decimal
+    // HashAggregate).
+    graft.functions.GraftFunctions.register(s)
     def dists(rows: DataFrame, cents: DataFrame) =
-      rows.join(broadcast(cents), Seq("i"))
-        .groupBy("vec_id", "c")
-        .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
-          .cast(DecimalType(28, 12))).as("d2"))
+      rows.crossJoin(broadcast(centArrays(cents)))
+        .select(col("vec_id"), col("c"),
+          graft.functions.VecOps.vec_d2_dec(col("e"), col("m")).as("d2"))
     def argmin(d: DataFrame) =
       d.withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d2"), col("c"))))
@@ -1596,9 +1616,10 @@ object SimilarityOps {
     val c0 = restrictToStridedSeeds(Tables.embeddings(s, dir), k)(flat)
       .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
     val samp = flat.filter(col("vec_id") % 4 === 0)
-    val c1 = means(samp, argmin(dists(samp, c0)))
-    val c2 = means(samp, argmin(dists(samp, c1)))
-    val dfull = dists(flat, c2)
+    val sampA = emb.filter(col("vec_id") % 4 === 0)
+    val c1 = means(samp, argmin(dists(sampA, c0)))
+    val c2 = means(samp, argmin(dists(sampA, c1)))
+    val dfull = dists(emb, c2)
     val lists = argmin(dfull)
     val probes = dfull.filter(col("vec_id") === 0)
       .orderBy(col("d2"), col("c")).limit(np).select("c")
