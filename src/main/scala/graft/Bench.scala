@@ -297,6 +297,11 @@ object Bench {
       // keep-alive pools were billed to q_rpc_enrich's first touch and
       // drove its recurring 2.1–5.9 s lone-sentinel jitter
       queries.SinkOracles.warmRpcStack(spark)
+      // one-time egress costs (Derby engine boot, java.net.http client,
+      // parquet/CSV WRITE committer + codec init) — same rationale as the
+      // RPC warm-up: JVM first-touch cost, not engine work, and it was
+      // billed to whichever egress query happened to run first
+      queries.SinkOracles.warmEgressStack(spark)
     } catch { case _: Throwable => }
 
     // Calibration (VERDICT r4/r5): a FIXED CPU-bound reference job whose

@@ -146,8 +146,16 @@ object Sinks {
           val parent = dir.getParent
           val tmp = new org.apache.hadoop.fs.Path(parent, s".compact-$tag")
           fs.delete(tmp, true)
+          // coalesce, not repartition: the rewrite only needs FEWER
+          // outputs than scan splits, so a narrow merge of co-read
+          // splits does it with one stage and zero shuffled bytes
+          // (guide §2.4/§6 — a compactor that shuffles every byte it
+          // compacts doubles its own I/O at archive scale). The scan
+          // splits small files at ~maxPartitionBytes ≈ targetBytes, so
+          // the coalesced file count lands at or under `want` with the
+          // same total bytes either way.
           spark.read.parquet(dir.toString)
-            .repartition(want)
+            .coalesce(want)
             .write
             .option("compression", "gzip")
             .option("parquet.block.size", (128L * 1024 * 1024).toString)
@@ -410,24 +418,39 @@ object Sinks {
     allowed.select(col(rawHexCol)).na.drop().foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val client = Sinks.fanoutClient // one per executor JVM, not per batch
+        // Bounded PIPELINE of in-flight sends: the reference awaits each
+        // tx's fan-out before the next (wg.Wait per tx), which serializes
+        // one network RTT per row; keeping a window of sends in flight
+        // overlaps those RTTs while the per-request timeout still bounds
+        // every send and the partition still drains fully before the
+        // task completes — the delivered SET (all the sink promises) is
+        // unchanged, only per-receiver interleaving differs.
+        val inflight =
+          new java.util.ArrayDeque[java.util.concurrent.Future[_]]()
+        val maxInFlight = 64
+        def drainOne(): Unit = {
+          val f = inflight.poll()
+          if (f != null) {
+            try f.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+            catch { case _: Exception => () } // best-effort, like the reference
+          }
+        }
         rows.foreach { r =>
           val rawHex = r.getString(0)
           val bytes = graft.functions.EthTx.unhex(
             if (rawHex.startsWith("0x")) rawHex.substring(2) else rawHex)
-          val inflight = receiverUrls.map { u =>
+          receiverUrls.foreach { u =>
             val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(u))
               .timeout(java.time.Duration.ofMillis(timeoutMs))
               .header("Content-Type", "application/octet-stream")
               .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(bytes))
               .build()
-            client.sendAsync(req,
-              java.net.http.HttpResponse.BodyHandlers.discarding())
+            inflight.add(client.sendAsync(req,
+              java.net.http.HttpResponse.BodyHandlers.discarding()))
           }
-          inflight.foreach { f =>
-            try f.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-            catch { case _: Exception => () } // best-effort, like the reference
-          }
+          while (inflight.size() > maxInFlight) drainOne()
         }
+        while (!inflight.isEmpty) drainOne()
     }
   }
 

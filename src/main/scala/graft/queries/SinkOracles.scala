@@ -252,6 +252,71 @@ object SinkOracles {
     * fold. The oracle re-derives the enrichment arithmetic per row, so a
     * wrong cache fold, a stale entry, a dropped pending tx, or broken
     * JSON-RPC framing all break the hash. */
+  /** Pre-warm of the remaining one-time egress costs the first-touch
+    * query used to be billed (the same class of fix as [[warmRpcStack]],
+    * r19): the embedded Derby engine boot + Spark's JDBC writer/reader
+    * classload (billed to q_sink_jdbc_roundtrip), the java.net.http
+    * client + selector-thread spin-up the fan-out sink shares (billed to
+    * q_sink_http_fanout), and the parquet/CSV WRITE stack — output
+    * committer, parquet writer codegen, gzip codec init — which the read
+    * side's warm-ups never touch (billed to whichever archive/csv sink
+    * query ran first). Everything here is throwaway: a 1-row memory
+    * Derby db dropped on exit, a null HTTP receiver, a temp dir deleted
+    * after one tiny write+read. No shared layout is touched — the real
+    * queries still bill their own fixture builds. */
+  private[graft] def warmEgressStack(s: SparkSession): Unit = {
+    // Derby embedded engine + Spark JDBC write/read path
+    try {
+      val props = jdbcProps
+      val url = "jdbc:derby:memory:graftwarm;create=true"
+      s.range(1).selectExpr("id as v").coalesce(1)
+        .write.mode("append").jdbc(url, "WARM", props)
+      s.read.jdbc(url, "WARM", props).count()
+    } catch { case _: Throwable => () }
+    finally dropDerby("graftwarm")
+    // java.net.http fan-out client against a throwaway loopback receiver
+    try {
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+        def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+          x.getRequestBody.readAllBytes()
+          x.sendResponseHeaders(200, -1); x.close()
+        }
+      })
+      server.start()
+      try {
+        val rows = s.range(8).select(
+          lpad(hex(col("id")), 8, "0").as("raw_tx_hex"),
+          lit("warm").as("source"))
+        graft.ops.Sinks.httpFanoutSink(
+          Seq(s"http://127.0.0.1:${server.getAddress.getPort}/"))(rows, 0L)
+      } finally server.stop(0)
+    } catch { case _: Throwable => () }
+    // parquet + csv WRITE stacks (committer, writer codegen, gzip codec)
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warm-write")
+      try {
+        val rows = s.range(8).select(
+          col("id").as("timestamp"), col("id").as("includedBlockTimestamp"),
+          col("id").as("event_id"))
+        graft.ops.Sinks.writeParquetArchive(rows, s"$tmp/p")
+        s.read.parquet(s"$tmp/p").count()
+        rows.write.option("header", "true").mode("overwrite").csv(s"$tmp/c")
+        s.read.option("header", "true").csv(s"$tmp/c").count()
+      } finally {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val ls = java.nio.file.Files.list(p)
+            try ls.iterator().asScala.foreach(rm) finally ls.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rm(tmp)
+      }
+    } catch { case _: Throwable => () }
+  }
+
   /** Pre-warm of the loopback JSON-RPC stack (VERDICT r19 item 7):
     * q_rpc_enrich's attributed seconds swung 2.1–5.9 s across zero-change
     * runs — a recurring lone-sentinel `canary_hot` annotation — and the
