@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecD2Dec].getName, "vec_d2_dec"),
       (exprs: Seq[Expression]) => VecD2Dec(exprs.head, exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("vec_nearest"),
+      new ExpressionInfo(classOf[VecNearest].getName, "vec_nearest"),
+      (exprs: Seq[Expression]) => VecNearest(exprs.head, exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
       (exprs: Seq[Expression]) => LshBucketExpr(exprs.head, exprs(1))))
@@ -122,6 +126,8 @@ object GraftFunctions {
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_d2_dec", exprs => VecD2Dec(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_nearest", exprs => VecNearest(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", exprs => LshBucketExpr(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

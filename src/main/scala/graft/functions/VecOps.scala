@@ -159,6 +159,118 @@ object VecD2DecOps {
   }
 }
 
+/** Nearest-centroid argmin in one codegen pass: `vec_nearest(e, cm)` with
+  * cm an array<struct<c: long, m: array<float|double>>> returns the c
+  * minimizing (d², c) lexicographically, where d² is evaluated with the
+  * IDENTICAL floating-point operation order as the vec_dot composition it
+  * replaces — `vec_dot(e,e) − 2.0·vec_dot(e,m) + vec_dot(m,m)`, each dot
+  * accumulated in index order, combined left-associatively — and the
+  * comparison replicates Spark's struct-min ordering exactly
+  * (SQLOrderingUtil.compareDoubles: `==` first so −0.0 ties 0.0, then
+  * java.lang.Double.compare so NaN sorts largest; ties fall to the
+  * smaller c). NULL on an empty centroid array.
+  *
+  * This replaces the `crossJoin(broadcast(cents)) → groupBy(vec_id) →
+  * min(struct(d2, c))` assignment shape: min over a struct is not
+  * hash-aggregatable (struct buffers fail UnsafeRow mutability), so every
+  * assignment SORTED its n·k scored expansion; the per-row loop needs no
+  * expansion, no sort, and no exchange at all. */
+case class VecNearest(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def mOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (lt, ArrayType(StructType(fields), _))
+      if mOk(lt) && fields.length == 2 && fields(0).dataType == LongType &&
+        mOk(fields(1).dataType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"vec_nearest requires (array<float|double>, array<struct<long, array<float|double>>>), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_nearest"
+
+  private def eIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def mIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType].fields(1).dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecNearestOps.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      eIsFloat, mIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Long ${ev.value}Box =
+         |  graft.functions.VecNearestOps.compute($a, $b, $eIsFloat, $mIsFloat);
+         |if (${ev.value}Box == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Box.longValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecNearest =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The argmin loop for [[VecNearest]] (static so generated code calls
+  * straight in). */
+object VecNearestOps {
+  def compute(e: ArrayData, cm: ArrayData,
+      ef: Boolean, mf: Boolean): java.lang.Long = {
+    val k = cm.numElements()
+    var have = false
+    var bestD = 0.0
+    var bestC = 0L
+    var j = 0
+    while (j < k) {
+      val entry = cm.getStruct(j, 2)
+      val c = entry.getLong(0)
+      val m = entry.getArray(1)
+      // the three dots, each accumulated in index order like VecDot
+      val ne = e.numElements()
+      val nm = m.numElements()
+      val nem = math.min(ne, nm)
+      var ee = 0.0
+      var i = 0
+      while (i < ne) {
+        val x = if (ef) e.getFloat(i).toDouble else e.getDouble(i)
+        ee += x * x; i += 1
+      }
+      var em = 0.0
+      i = 0
+      while (i < nem) {
+        val x = if (ef) e.getFloat(i).toDouble else e.getDouble(i)
+        val y = if (mf) m.getFloat(i).toDouble else m.getDouble(i)
+        em += x * y; i += 1
+      }
+      var mm = 0.0
+      i = 0
+      while (i < nm) {
+        val y = if (mf) m.getFloat(i).toDouble else m.getDouble(i)
+        mm += y * y; i += 1
+      }
+      val d2 = ee - 2.0 * em + mm
+      if (!have) { have = true; bestD = d2; bestC = c }
+      else {
+        // Spark's double ordering: == first (−0.0 ties 0.0), then
+        // java.lang.Double.compare (NaN largest); struct tie falls to c
+        val cmp = if (d2 == bestD) 0 else java.lang.Double.compare(d2, bestD)
+        if (cmp < 0 || (cmp == 0 && c < bestC)) { bestD = d2; bestC = c }
+      }
+      j += 1
+    }
+    if (have) java.lang.Long.valueOf(bestC) else null
+  }
+}
+
 /** Native Catalyst expression computing a random-hyperplane LSH bucket id
   * in one codegen pass over the embedding array: `lsh_bucket(emb, planes)`
   * → LONG whose low `planes` bits are the sign pattern of `planes` sparse
@@ -421,6 +533,10 @@ object VecOps {
   /** Column API: exact-decimal squared distance (the oracle-twin SUM of
     * per-dim DECIMAL(28,12) terms, folded array-native). */
   def vec_d2_dec(a: Column, b: Column): Column = call_function("vec_d2_dec", a, b)
+
+  /** Column API: argmin-(d², c) over an array<struct<c, m>> centroid set
+    * — the min(struct(d2, c)) assignment without the n·k expansion. */
+  def vec_nearest(e: Column, cm: Column): Column = call_function("vec_nearest", e, cm)
 
   /** Column API: raw-bits pack / unpack for the object-encoder boundary. */
   def vec_pack(a: Column): Column = call_function("vec_pack", a)

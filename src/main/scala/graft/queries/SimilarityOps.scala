@@ -309,17 +309,18 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("im"))
         .select(col("c"), col("sub"), transform(col("im"), _.getField("cv")).as("m8"))
 
-    /** vec_dot argmin per (vector, subspace) — same (d2, c) ordering as
-      * [[assign]], float sums. */
+    /** vec_nearest argmin per (vector, subspace) — same (d2, c) ordering
+      * and float ops as [[assign]]'s min(struct) shape, but per-row (no
+      * n·k expansion, no SortAggregate, no exchange — the same rewrite as
+      * [[SimilarityOps.assignVec]], pinned by VecNearestSpec). */
     private def assignF(rows: DataFrame, cents: DataFrame): DataFrame = {
-      import graft.functions.VecOps.vec_dot
-      rows.join(broadcast(cents), Seq("sub"))
-        .withColumn("d2",
-          vec_dot(col("e8"), col("e8")) - lit(2.0) * vec_dot(col("e8"), col("m8"))
-            + vec_dot(col("m8"), col("m8")))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("d2"), col("c"))).as("best"))
-        .select(col("vec_id"), col("sub"), col("best.c").as("c"))
+      graft.functions.GraftFunctions.register(rows.sparkSession)
+      val bySub = cents.groupBy("sub")
+        .agg(collect_list(struct(col("c"), col("m8").as("m"))).as("cm"))
+      rows.join(broadcast(bySub), Seq("sub"))
+        .select(col("vec_id"), col("sub"),
+          graft.functions.VecOps.vec_nearest(col("e8"), col("cm")).as("c"))
+        .filter(col("c").isNotNull)
     }
 
     /** Float twin of [[codebook]]: strided-16 seeds, one Lloyd round over
@@ -482,9 +483,17 @@ object SimilarityOps {
       // identically or the two regimes train different quantizers
       val c0 = restrictToStridedSeeds(emb, 8)(emb)
         .select(col("vec_id").as("c"), col("e").as("m"))
-      val a1 = dists(c0)
-        .groupBy("vec_id").agg(min(struct(col("d2"), col("c"))).as("b"))
-        .select(col("vec_id"), col("b.c").as("c"))
+      // argmin via the per-row codegen vec_nearest (identical float ops
+      // and (d², c) ordering as the min(struct) over dists(c0) it
+      // replaces — no k-way expansion or SortAggregate for the
+      // assignment; the FULL distance table below stays as is, it IS the
+      // chain's output)
+      graft.functions.GraftFunctions.register(s)
+      val c0Arr = c0.agg(collect_list(struct(col("c"), col("m"))).as("cm"))
+      val a1 = emb.crossJoin(broadcast(c0Arr))
+        .select(col("vec_id"),
+          graft.functions.VecOps.vec_nearest(col("e"), col("cm")).as("c"))
+        .filter(col("c").isNotNull)
       val c1 = emb.join(a1, Seq("vec_id"))
         .select(col("c"), posexplode(col("e")))
         .groupBy("c", "pos").agg(avg("col").as("m"))
@@ -505,15 +514,20 @@ object SimilarityOps {
     * the IVF index build and the corpus-scaled SemDeDup blocking. */
   private def assignVec(rows: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import graft.functions.VecOps.vec_dot
-    rows.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        vec_dot(col("embedding"), col("embedding"))
-          - lit(2.0) * vec_dot(col("embedding"), col("m"))
-          + vec_dot(col("m"), col("m")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("c"))).as("best"))
-      .select(col("vec_id"), col("best.c").as("c"))
+    graft.functions.GraftFunctions.register(rows.sparkSession)
+    // all centroids as ONE array<struct<c, m>> row (k×dim doubles — the
+    // same broadcast bound as the table it replaces); the argmin then
+    // runs per vector row via the codegen vec_nearest with the identical
+    // float ops and (d², c) ordering as the old min(struct) — but with
+    // no n·k scored expansion, no SortAggregate (struct buffers are not
+    // hash-aggregatable, so the old agg SORTED the expansion) and no
+    // exchange at all (VecNearestSpec pins the value parity)
+    val centArr = cents.agg(collect_list(struct(col("c"), col("m"))).as("cm"))
+    rows.crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        graft.functions.VecOps.vec_nearest(col("embedding"), col("cm")).as("c"))
+      // empty centroid set ⇒ no assignments, as the old groupBy shape
+      .filter(col("c").isNotNull)
   }
 
   /** [[assignVec]] keeping the `probes` NEAREST centroids per vector
