@@ -662,6 +662,29 @@ object SimilarityOps {
       df => df.join(broadcast(seeds), Seq("vec_id"))
   }
 
+  /** Materialize a trained centroid table (k × dim doubles — tiny and
+    * broadcastable by construction, or it would not be a quantizer) into
+    * a LocalRelation via one bounded driver collect. This truncates the
+    * Lloyd chain's plan: without it every downstream ACTION (and every
+    * later Lloyd round) replayed the entire preceding train — measured
+    * ~2.3 s per replay at bench SF for the standing index's coarse level,
+    * several replays per consumer. A `.cache()` was deliberately rejected
+    * for this (semIndexTrain scaladoc: CacheManager substitution flipped
+    * pinned join/window shapes under cross-suite reuse); a LocalRelation
+    * has no CacheManager involvement and exact (tiny) size statistics,
+    * so broadcast decisions stay as they were. Values are unchanged —
+    * the chain is deterministic and is now evaluated exactly once. */
+  private def localizeCentroids(
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val s = cents.sparkSession
+    val rows = cents.select(col("c").cast("long").as("c"), col("m")).collect()
+    val schema = StructType(Seq(
+      StructField("c", LongType, nullable = false),
+      StructField("m", ArrayType(DoubleType, containsNull = true))))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   private def trainVecCentroids(emb: org.apache.spark.sql.DataFrame,
       k: Int, lloyd: Int = 2): org.apache.spark.sql.DataFrame = {
     // seeds = the strided id-range rule ([[restrictToStridedSeeds]]),
@@ -672,14 +695,14 @@ object SimilarityOps {
     val train = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
     for (_ <- 1 to lloyd) {
       val asg = assignVec(train, centroids)
-      centroids = train.join(asg, Seq("vec_id"))
+      centroids = localizeCentroids(train.join(asg, Seq("vec_id"))
         .select(col("c"), posexplode(col("embedding")))
         .groupBy("c", "pos")
         .agg((sum(col("col").cast(DecimalType(28, 12))).cast("double") /
           count(lit(1))).as("m"))
         .groupBy("c")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("c"), transform(col("pm"), _.getField("m")).as("m"))
+        .select(col("c"), transform(col("pm"), _.getField("m")).as("m")))
     }
     centroids
   }
