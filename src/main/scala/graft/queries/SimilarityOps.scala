@@ -677,12 +677,21 @@ object SimilarityOps {
   private def localizeCentroids(
       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
-    val s = cents.sparkSession
-    val rows = cents.select(col("c").cast("long").as("c"), col("m")).collect()
-    val schema = StructType(Seq(
-      StructField("c", LongType, nullable = false),
-      StructField("m", ArrayType(DoubleType, containsNull = true))))
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    localizeSmall(cents.select(col("c").cast("long").as("c"), col("m")),
+      StructType(Seq(
+        StructField("c", LongType, nullable = false),
+        StructField("m", ArrayType(DoubleType, containsNull = true)))))
+  }
+
+  /** One bounded driver collect → LocalRelation, schema preserved (or
+    * overridden). Quantizer-sized frames only — see [[localizeCentroids]]
+    * for the rationale and the deliberate non-use of .cache(). */
+  private def localizeSmall(df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType = null)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*),
+      if (schema == null) df.schema else schema)
   }
 
   private def trainVecCentroids(emb: org.apache.spark.sql.DataFrame,
@@ -1654,8 +1663,12 @@ object SimilarityOps {
       .select(col("vec_id").as("c"), col("i"), col("v").as("cv"))
     val samp = flat.filter(col("vec_id") % 4 === 0)
     val sampA = emb.filter(col("vec_id") % 4 === 0)
-    val c1 = means(samp, argmin(dists(sampA, c0)))
-    val c2 = means(samp, argmin(dists(sampA, c1)))
+    // each Lloyd round's means land in a LocalRelation (k·64 rows, one
+    // bounded collect) so the lists AND probes branches below — and the
+    // later round — consume the trained table instead of replaying the
+    // whole preceding train per action ([[localizeCentroids]] rationale)
+    val c1 = localizeSmall(means(samp, argmin(dists(sampA, c0))))
+    val c2 = localizeSmall(means(samp, argmin(dists(sampA, c1))))
     val dfull = dists(emb, c2)
     val lists = argmin(dfull)
     val probes = dfull.filter(col("vec_id") === 0)
