@@ -421,7 +421,10 @@ object Bench {
         () => queries.SimilarityOps.releaseIvfCentroids(spark, sfDir)),
       (Set("q_dedup_simhash"),
         () => queries.DedupOps.releaseSimhashFp(spark, sfDir)),
-      (Set("q_bpe_train", "q_bpe_encode"),
+      // q_bpe_train6 CONTINUES from the 3-round model (prefix-stable BPE)
+      // — it is a consumer of that cache, so the release must sit after
+      // whichever of the three runs last in the sweep
+      (Set("q_bpe_train", "q_bpe_encode", "q_bpe_train6"),
         () => queries.TextOps.releaseBpe(spark, sfDir, 3)),
       (Set("q_bpe_train6"),
         () => queries.TextOps.releaseBpe(spark, sfDir, 6)),

@@ -142,13 +142,37 @@ object TextOps {
   private val bpeMemo = scala.collection.concurrent.TrieMap
     .empty[(Int, String, Int), (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame)]
 
+  /** The shorter model every longer train continues from (q_bpe_train's
+    * 3 rounds). BPE is prefix-stable — round r's argmax depends only on
+    * the corpus and rounds 1..r−1 — so a 6-round model's first 3 merges
+    * ARE the 3-round model, and training them again per model was pure
+    * rework (Bench trained 9 rounds for the 3-query family; now 6). */
+  private val BpeBaseRounds = 3
+
   private[graft] def bpeTrained(s: org.apache.spark.sql.SparkSession, dir: String,
       rounds: Int, checkpointEvery: Int = 4)
       : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) =
     SessionCaches.memoize(bpeMemo, (System.identityHashCode(s), dir, rounds), {
       SessionCaches.onRelease(s, s"text.bpe:$rounds:$dir")(() =>
         releaseBpe(s, dir, rounds))
-      val (learned, words) = bpeTrain(s, dir, rounds, checkpointEvery)
+      val (learned, words) =
+        if (rounds > BpeBaseRounds) {
+          // continue from the memoized base model: same values as a full
+          // train (prefix stability above; checkpoint placement is
+          // lineage-neutral), rounds 1..base computed once per session.
+          // An early-exhausted base (every word one symbol) is already
+          // the fixpoint — a longer train learns nothing more.
+          val (lb, wb) = bpeTrained(s, dir, BpeBaseRounds)
+          // (the trivial projection keeps this model's cache entry
+          // distinct from the base model's, so the two release hooks
+          // never unpersist each other's frame)
+          if (lb.size < BpeBaseRounds) (lb, wb.select(col("t")))
+          else {
+            val (lc, wc) = bpeRounds(s, wb,
+              (BpeBaseRounds + 1) to rounds, rounds, checkpointEvery)
+            (lb ++ lc, wc)
+          }
+        } else bpeTrain(s, dir, rounds, checkpointEvery)
       val cached = words.cache()
       cached.count() // materialize: two consumers race the lazy fill
       (learned, cached)
@@ -192,9 +216,25 @@ object TextOps {
       .filter(length(col("w")) > 0)
       .select(regexp_replace(col("w"), "(.)", S + "$1" + S).as("t"))
       .cache()
-    var words = base
+    val (learned, words) =
+      bpeRounds(s, base, 1 to rounds, rounds, checkpointEvery)
+    base.unpersist()
+    (learned, words)
+  }
+
+  /** The per-round merge loop of [[bpeTrain]], start-step parameterized
+    * so a longer model can CONTINUE from a shorter memoized one (BPE is
+    * prefix-stable: the argmax of round r depends only on the corpus and
+    * rounds 1..r−1, so a 6-round train's first 3 merges ARE the 3-round
+    * model — training them twice was pure rework). */
+  private def bpeRounds(s: org.apache.spark.sql.SparkSession,
+      words0: org.apache.spark.sql.DataFrame, steps: Range,
+      rounds: Int, checkpointEvery: Int)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    val S = "\u001f" // chr(31) unit separator, absent from the corpus
+    var words = words0
     var exhausted = false
-    val learned = (1 to rounds).flatMap { step =>
+    val learned = steps.flatMap { step =>
       if (exhausted) None
       else {
         // pair extraction rides the native codegen word_ngrams over the
@@ -228,7 +268,6 @@ object TextOps {
         }
       }
     }
-    base.unpersist()
     (learned, words)
   }
 
