@@ -261,6 +261,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // (r21 note: lowering AQE's coalescePartitions.minPartitionSize to
+      // 64k was measured BOTH ways here — it doubles the CPU-bound parse
+      // stage's parallelism (AqeParseProbe: 16→32 parts, 1.6→1.2 s warm)
+      // but consistently cost more across the ~15 small shuffle-heavy
+      // text/dedup queries via extra tiny tasks, net −10 % total. Left at
+      // the Spark default; revisit on a box with real 32-core headroom.)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
