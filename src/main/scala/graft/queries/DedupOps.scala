@@ -217,7 +217,8 @@ object DedupOps {
     * always released at the RDD level for exactly this reason). */
   private case class TrackedCheckpoint(
       rdd: Option[org.apache.spark.rdd.RDD[_]], rddId: Int,
-      materialized: java.util.concurrent.atomic.AtomicBoolean)
+      materialized: java.util.concurrent.atomic.AtomicBoolean,
+      session: java.lang.ref.WeakReference[SparkSession])
   private val touchedCheckpointMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, Long), TrackedCheckpoint]
   private val touchedCheckpointSeq =
@@ -252,8 +253,33 @@ object DedupOps {
     * backlog measured in seconds — the poll gives it up to 10 s to flip
     * the bit before the alarm, and only costs time on the
     * (contract-violating) path the warning exists for. */
+  /** Drain the shared listener bus (bounded) so a LATE-but-delivered
+    * QueryExecutionListener event can still flip the bit before the
+    * alarm: on a contended box the bus backlog was measured exceeding
+    * the full 10 s poll (no drops logged — pure delivery latency), which
+    * made the advisory below fire on a contract-HONORING release (the
+    * ADVICE r20 failure mode, seen live as a MinhashCacheSpec flake).
+    * `listenerBus`/`waitUntilEmpty` are package-private — reflection,
+    * best-effort; on any failure the wall-clock poll still stands. */
+  private def drainListenerBus(s: SparkSession): Unit =
+    try {
+      val sc = s.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val bounded =
+        try bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+        catch { case _: NoSuchMethodException => null }
+      if (bounded != null) bounded.invoke(bus, java.lang.Long.valueOf(30000L))
+      else bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    } catch { case _: Throwable => () }
+
   private def warnIfUnmaterialized(tc: TrackedCheckpoint): Unit = {
     var i = 0
+    // quick poll first (the common case is sub-second delivery), then one
+    // deterministic bus drain, then the remainder of the bounded poll
+    while (!tc.materialized.get() && i < 10) { Thread.sleep(200); i += 1 }
+    if (!tc.materialized.get())
+      Option(tc.session.get()).foreach(drainListenerBus)
     while (!tc.materialized.get() && i < 50) { Thread.sleep(200); i += 1 }
     if (!tc.materialized.get())
       System.err.println("[dedup] WARNING: releasing a localCheckpoint " +
@@ -281,7 +307,8 @@ object DedupOps {
     }.headOption
     val tracked = TrackedCheckpoint(internalRdd,
       internalRdd.map(_.id).getOrElse(-1),
-      new java.util.concurrent.atomic.AtomicBoolean(false))
+      new java.util.concurrent.atomic.AtomicBoolean(false),
+      new java.lang.ref.WeakReference(s))
     val key = (System.identityHashCode(s), touchedCheckpointSeq.incrementAndGet())
     touchedCheckpointMemo.put(key, tracked)
     // one materialization observer per session: any successful Dataset
