@@ -254,9 +254,123 @@ object Bench {
     canaryOutliers(times, ratio)
       .flatMap(SentinelFamily.get).distinct.sorted
 
+  /** Everything one full bench attempt measured — the fields the JSON
+    * lines carry, held as data so the retry wrapper can pick which
+    * attempt to print without re-stringifying mid-run. */
+  private final case class RunResult(
+      results: Seq[(String, Double)], total: Double,
+      calibrationSec: Double, calibrationScanSec: Double,
+      calibrationScanEndSec: Double, fixtureSec: Double, mergeSec: Double,
+      pairsSec: Double, pqSec: Double, coarseSec: Double,
+      contended: Boolean, contendedBy: String, ioState: String,
+      bandsSource: String, nearTrips: Seq[String], familiesOver: Seq[String],
+      hotSingles: Seq[String], loadStart: Double, loadEnd: Double,
+      sfDir: String, wallSec: Double)
+
+  /** Retry-until-clean wrapper (VERDICT r21 item 1): the box labels its
+    * own artifacts `contended` through hypervisor-steal episodes, and two
+    * rounds of driver benches were invalidated by exactly that. The timed
+    * METHODOLOGY of one attempt is unchanged (same queries, same actions,
+    * same SF, single timed run each); the wrapper just refuses to STOP on
+    * a run the harness itself invalidates: it reruns the whole sweep in a
+    * FRESH SparkSession (so every session-published layout, memo and cache
+    * rebuilds from the parquet inputs — an attempt can never reuse a prior
+    * attempt's results) until an attempt self-labels clean, bounded by
+    * SPARK_GRAFT_BENCH_ATTEMPTS (default 3) and a wall-clock budget
+    * SPARK_GRAFT_BENCH_BUDGET_SEC (default 1500 — a retry only starts if
+    * it is expected to fit, so a catastrophically slow box still prints
+    * its first attempt rather than nothing). The printed line is the
+    * first clean attempt, else the minimum-total attempt (identical
+    * deterministic work per attempt: a lower total is strictly less
+    * contamination); every attempt is disclosed in `discarded_attempts`
+    * and appended raw to SPARK_GRAFT_ATTEMPTS_LOG
+    * (default bench_attempts.jsonl). */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val maxAttempts = math.max(1, math.min(5,
+      sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
+        .flatMap(_.toIntOption).getOrElse(3)))
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(_.toDoubleOption).getOrElse(1500.0)
+    val attemptsLog = sys.env.getOrElse("SPARK_GRAFT_ATTEMPTS_LOG",
+      "bench_attempts.jsonl")
+    val t0 = System.nanoTime()
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[RunResult]
+    var done = false
+    while (!done) {
+      val r = runOnce(sfDir, cpus)
+      attempts += r
+      try {
+        val w = java.nio.file.Files.newBufferedWriter(
+          java.nio.file.Paths.get(attemptsLog),
+          java.nio.charset.StandardCharsets.UTF_8,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        try { w.write(renderFull(r, attempts.size, attempts.size, Nil)); w.newLine() }
+        finally w.close()
+      } catch { case _: Throwable => }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      done = !r.contended || attempts.size >= maxAttempts ||
+        elapsed + r.wallSec > budgetSec
+    }
+    val bestIdx = attempts.indexWhere(!_.contended) match {
+      case -1 => attempts.zipWithIndex.minBy(_._1.total)._2
+      case i  => i
+    }
+    val best = attempts(bestIdx)
+    val discarded = attempts.zipWithIndex.collect {
+      case (a, i) if i != bestIdx =>
+        f"""{"total":${a.total}%.3f,"contended":${a.contended},""" +
+          f""""contended_by":"${a.contendedBy}","calibration_sec":${a.calibrationSec}%.3f,""" +
+          f""""calibration_scan_sec":${a.calibrationScanSec}%.3f}"""
+    }
+    println(renderFull(best, bestIdx + 1, attempts.size, discarded.toSeq))
+    println(renderCompact(best, bestIdx + 1, attempts.size))
+  }
+
+  private def renderFull(r: RunResult, attempt: Int, attemptsRun: Int,
+      discarded: Seq[String]): String = {
+    val qs = r.results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r.total},"unit":"sec","queries":$qs,""" +
+      s""""calibration_sec":${r.calibrationSec},"calibration_scan_sec":${r.calibrationScanSec},""" +
+      s""""calibration_scan_end_sec":${r.calibrationScanEndSec},""" +
+      s""""fixture_sec":${r.fixtureSec},"merge_sec":${r.mergeSec},"pairs_sec":${r.pairsSec},""" +
+      s""""pq_sec":${r.pqSec},"coarse_sec":${r.coarseSec},"contended":${r.contended},""" +
+      s""""contended_by":"${r.contendedBy}","io_state":"${r.ioState}",""" +
+      s""""bands_source":"${r.bandsSource}",""" +
+      s""""canary_outliers":"${r.nearTrips.mkString("|")}",""" +
+      s""""canary_families":"${r.familiesOver.mkString("|")}",""" +
+      s""""canary_hot":"${r.hotSingles.mkString("|")}",""" +
+      s""""attempt":$attempt,"attempts_run":$attemptsRun,""" +
+      s""""discarded_attempts":[${discarded.mkString(",")}],""" +
+      s""""load_avg_start":${r.loadStart},"load_avg_end":${r.loadEnd},"sf":"${r.sfDir}"}"""
+  }
+
+  // The full line above is ~4 kB; the driver keeps only a ~2000-char
+  // tail of stdout, which truncated the LEADING "value" field in r10
+  // (BENCH_r10.json parsed:null). Repeat the headline numbers in a
+  // second compact line AFTER it so any tail window contains a
+  // complete, parseable summary (r16 added the scan calibration; r22
+  // the attempt counters) — still well under a quarter of the window.
+  private def renderCompact(r: RunResult, attempt: Int,
+      attemptsRun: Int): String = {
+    val fails = r.results.count(_._2 < 0)
+    f"""{"metric":"total","value":${r.total}%.3f,"unit":"sec","n_queries":${r.results.size},"failures":$fails,"calibration_sec":${r.calibrationSec}%.3f,"calibration_scan_sec":${r.calibrationScanSec}%.3f,"calibration_scan_end_sec":${r.calibrationScanEndSec}%.3f,"contended":${r.contended},"contended_by":"${r.contendedBy}","io_state":"${r.ioState}","canary_families":"${r.familiesOver.mkString("|")}","canary_hot":"${r.hotSingles.mkString("|")}","attempt":$attempt,"attempts_run":$attemptsRun,"load_avg_end":${r.loadEnd}%.2f,"sf":"${r.sfDir}"}"""
+  }
+
+  /** One full bench attempt: fresh session → warm-up → calibrations →
+    * fixture/shared-artifact materializations → the timed query sweep →
+    * end probes → self-label. This is the unchanged r21 methodology,
+    * factored out of main() so the retry wrapper can run it whole. */
+  private def runOnce(sfDir: String, cpus: String): RunResult = {
+    val wall0 = System.nanoTime()
+    // a fresh session per attempt: stopped sessions are cleared from the
+    // builder's default slot, but clear explicitly so getOrCreate can
+    // never hand back a stopped singleton mid-retry
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -461,8 +575,6 @@ object Bench {
       }
       name -> (if (ok) attributed else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // loadEnd is sampled FIRST: the 1-min load average is a decaying
     // EWMA, so running the end-scan probe before it would land the
@@ -518,27 +630,11 @@ object Bench {
     val contended = probeContended || canaryTripped
     val contendedBy = (Seq(probeBy).filter(_.nonEmpty) ++
       (if (canaryTripped) Seq("canaries") else Nil)).mkString("|")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""calibration_sec":$calibrationSec,"calibration_scan_sec":$calibrationScanSec,""" +
-      s""""calibration_scan_end_sec":$calibrationScanEndSec,""" +
-      s""""fixture_sec":$fixtureSec,"merge_sec":$mergeSec,"pairs_sec":$pairsSec,""" +
-      s""""pq_sec":$pqSec,"coarse_sec":$coarseSec,"contended":$contended,""" +
-      s""""contended_by":"$contendedBy","io_state":"$ioState",""" +
-      s""""bands_source":"$bandsSource",""" +
-      s""""canary_outliers":"${nearTrips.mkString("|")}",""" +
-      s""""canary_families":"${familiesOver.mkString("|")}",""" +
-      s""""canary_hot":"${hotSingles.mkString("|")}",""" +
-      s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
-    // The full line above is ~4 kB; the driver keeps only a ~2000-char
-    // tail of stdout, which truncated the LEADING "value" field in r10
-    // (BENCH_r10.json parsed:null). Repeat the headline numbers in a
-    // second compact line AFTER it so any tail window contains a
-    // complete, parseable summary — ~215 chars clean, ~270 worst-case
-    // with every contended_by signal named (r16 added the scan
-    // calibration: the warm-box tell must reach the parsed artifact),
-    // still under an eighth of the tail window.
-    val fails = results.count(_._2 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failures":$fails,"calibration_sec":$calibrationSec%.3f,"calibration_scan_sec":$calibrationScanSec%.3f,"calibration_scan_end_sec":$calibrationScanEndSec%.3f,"contended":$contended,"contended_by":"$contendedBy","io_state":"$ioState","canary_families":"${familiesOver.mkString("|")}","canary_hot":"${hotSingles.mkString("|")}","load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
+    RunResult(results, total, calibrationSec, calibrationScanSec,
+      calibrationScanEndSec, fixtureSec, mergeSec, pairsSec, pqSec,
+      coarseSec, contended, contendedBy, ioState, bandsSource, nearTrips,
+      familiesOver, hotSingles, loadStart, loadEnd, sfDir,
+      (System.nanoTime() - wall0) / 1e9)
   }
 }

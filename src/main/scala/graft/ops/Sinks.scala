@@ -119,6 +119,15 @@ object Sinks {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MILLIS")
+    // pin the scan split size to the compaction target (ADVICE r21): the
+    // coalesce below merges SCAN SPLITS, so the output file size tracks
+    // targetBytes only when splits are cut at targetBytes — at the session
+    // default (128 MB) a non-default target (e.g. 8 MB) packed ~16 target
+    // units into each split and coalesce emitted files many times the
+    // target. Restored after the pass like the timestamp type.
+    val splitKey = "spark.sql.files.maxPartitionBytes"
+    val prevSplit = spark.conf.getOption(splitKey)
+    spark.conf.set(splitKey, targetBytes.toString)
     recoverArchiveStaging(spark, path)
     try {
       // walk to LEAF partition dirs (k=v segments holding parquet files
@@ -238,6 +247,10 @@ object Sinks {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
+      }
+      prevSplit match {
+        case Some(v) => spark.conf.set(splitKey, v)
+        case None => spark.conf.unset(splitKey)
       }
     }
   }
