@@ -10,6 +10,17 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Per-test durations in the report (-oD): the r21 driver's test run was
+// cut off mid-suite with no failed assertion — finding and trimming the
+// slowest specs needs the suite to SAY where its time goes.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+// Suites run SEQUENTIALLY in the forked JVM: they all share one lazy
+// SparkTestSession, and concurrent suites racing on its session conf and
+// CacheManager flipped pinned plan shapes (measured r22: SemIndexSpec's
+// joined-fallback WindowGroupLimit pin lost its Partial half only under
+// the full parallel suite — green in isolation). Sequential execution
+// makes the suite deterministic; Spark parallelizes inside each test.
+Test / parallelExecution := false
 run / fork := true
 // Forked run stdout must pass through UNDECORATED: sbt's default logger
 // prepends "[info] " to every forked-process line, which breaks any

@@ -6,13 +6,17 @@ import org.apache.spark.sql.SparkSession
   * pushdown, missed broadcast, surprise shuffles) are visible in review. */
 object PlanCheck {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    // dir/cpus from the bench env so production-path plans (sf0.1 — where
+    // the float paths run instead of the exact-decimal verify twins) can
+    // be dumped too; defaults preserve the original sf0.01/local[8] shape
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_filter_threshold", "q_agg_pricing", "q_join_dim_chain",
         "q_join_anti", "q_merge_pipeline", "q_sim_topk",

@@ -56,20 +56,30 @@ object StreamStateProbe {
       }
     }
     var qid = 0
-    def runOnce(rocks: Boolean): Double = withProvider(rocks) {
-      qid += 1
-      val qn = s"probe_dedup_$qid"
-      val t0 = System.nanoTime()
-      val q = graft.streaming.Collect.dedupStateful(
-        graft.streaming.Collect.feed(spark, s"$p/in"))
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.dropTempView(qn)
-      sec
-    }
+    // parts: state-partition count for THIS one-shot throwaway-checkpoint
+    // run (captured from spark.sql.shuffle.partitions at query start) —
+    // r22 probes whether the oracle fixture's 32 state-store instances
+    // are engine floor or fixture shape
+    def runOnce(rocks: Boolean, parts: Int = cpus.toInt): Double =
+      withProvider(rocks) {
+        val pKey = "spark.sql.shuffle.partitions"
+        val pPrev = spark.conf.get(pKey)
+        spark.conf.set(pKey, parts.toString)
+        try {
+          qid += 1
+          val qn = s"probe_dedup_$qid"
+          val t0 = System.nanoTime()
+          val q = graft.streaming.Collect.dedupStateful(
+            graft.streaming.Collect.feed(spark, s"$p/in"))
+            .writeStream.format("memory").queryName(qn).outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.dropTempView(qn)
+          sec
+        } finally spark.conf.set(pKey, pPrev)
+      }
 
     // one-time engine/provider warm-up, timed for the record
     val tWarm = System.nanoTime()
@@ -79,10 +89,15 @@ object StreamStateProbe {
     val runs = 3
     val hdfs = (1 to runs).map(_ => runOnce(rocks = false))
     val rocks = (1 to runs).map(_ => runOnce(rocks = true))
+    val hdfs4 = (1 to runs).map(_ => runOnce(rocks = false, parts = 4))
+    val rocks4 = (1 to runs).map(_ => runOnce(rocks = true, parts = 4))
+    val rocks1 = (1 to runs).map(_ => runOnce(rocks = true, parts = 1))
     def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     println(s"""{"metric":"stream_state_probe","sf":"$dir","warm_sec":${f"$warmSec%.3f"},""" +
       s""""hdfs_runs_sec":${fmt(hdfs)},"rocksdb_runs_sec":${fmt(rocks)},""" +
-      s""""hdfs_min":${f"${hdfs.min}%.3f"},"rocksdb_min":${f"${rocks.min}%.3f"}}""")
+      s""""hdfs_min":${f"${hdfs.min}%.3f"},"rocksdb_min":${f"${rocks.min}%.3f"},""" +
+      s""""hdfs4_runs_sec":${fmt(hdfs4)},"rocksdb4_runs_sec":${fmt(rocks4)},""" +
+      s""""rocksdb1_runs_sec":${fmt(rocks1)}}""")
     spark.stop()
     } finally {
       import scala.jdk.CollectionConverters._

@@ -231,9 +231,18 @@ object VecNearestOps {
     var bestC = 0L
     var j = 0
     while (j < k) {
+      // skip null entries / null m arrays instead of NPE-failing the task
+      // (ADVICE r21): internal call sites build cm via collect_list(struct)
+      // and cannot produce them, but vec_nearest is a registered session
+      // SQL function reachable with arbitrary input — degenerate inputs
+      // degrade like the replaced min(struct) shape, they don't crash.
+      if (cm.isNullAt(j)) { j += 1 }
+      else {
       val entry = cm.getStruct(j, 2)
       val c = entry.getLong(0)
       val m = entry.getArray(1)
+      if (m == null || entry.isNullAt(0)) { j += 1 }
+      else {
       // the three dots, each accumulated in index order like VecDot
       val ne = e.numElements()
       val nm = m.numElements()
@@ -266,6 +275,7 @@ object VecNearestOps {
         if (cmp < 0 || (cmp == 0 && c < bestC)) { bestD = d2; bestC = c }
       }
       j += 1
+      } }
     }
     if (have) java.lang.Long.valueOf(bestC) else null
   }

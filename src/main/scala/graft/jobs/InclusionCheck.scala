@@ -325,11 +325,23 @@ object InclusionCheck {
         }.mkString("[", ",", "]")
         val arr = post(body)
         val byId = new Array[com.fasterxml.jackson.databind.JsonNode](params.size)
-        val it = arr.elements()
-        while (it.hasNext) {
-          val e = it.next()
-          val id = e.get("id").asInt()
-          if (id >= 0 && id < byId.length) byId(id) = e.get("result")
+        // a malformed reply degrades to per-element None like the single-
+        // call path, instead of failing the whole Spark task (ADVICE r21):
+        // a non-array reply (some servers answer a batch with one error
+        // OBJECT) leaves every slot null, and an element with a null/
+        // missing/non-int id (JSON-RPC error objects carry "id": null) is
+        // skipped — unmatched ids already fall out as None via the null
+        // byId slot.
+        if (arr.isArray) {
+          val it = arr.elements()
+          while (it.hasNext) {
+            val e = it.next()
+            val idNode = e.get("id")
+            if (idNode != null && idNode.isIntegralNumber) {
+              val id = idNode.asInt()
+              if (id >= 0 && id < byId.length) byId(id) = e.get("result")
+            }
+          }
         }
         byId.toSeq
       }

@@ -431,13 +431,15 @@ object Sinks {
     allowed.select(col(rawHexCol)).na.drop().foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val client = Sinks.fanoutClient // one per executor JVM, not per batch
-        // Bounded PIPELINE of in-flight sends: the reference awaits each
-        // tx's fan-out before the next (wg.Wait per tx), which serializes
-        // one network RTT per row; keeping a window of sends in flight
-        // overlaps those RTTs while the per-request timeout still bounds
-        // every send and the partition still drains fully before the
-        // task completes — the delivered SET (all the sink promises) is
-        // unchanged, only per-receiver interleaving differs.
+        // Bounded PIPELINE of in-flight sends: the reference dispatches
+        // each tx's fan-out on its own goroutine (`go p.sendTxToReceivers`,
+        // collector/tx_processor.go:257) — fan-outs were already concurrent
+        // and unordered there, so a bounded in-flight window PRESERVES the
+        // reference's concurrency while bounding it; the per-request
+        // timeout still bounds every send and the partition still drains
+        // fully before the task completes — the delivered SET (all the
+        // sink promises) is unchanged, only per-receiver interleaving
+        // differs (acceptable: the oracle/contract is set-based).
         val inflight =
           new java.util.ArrayDeque[java.util.concurrent.Future[_]]()
         val maxInFlight = 64

@@ -869,11 +869,26 @@ object DedupOps {
   }
 
   /** Min-label propagation + pointer jumping: label(v) starts as vec_id,
-    * each round takes the min over direct neighbors, then jumps to the
-    * label's label (doubling propagation distance) — O(diameter/2) rounds.
-    * Right when components are small (near-dup clusters); the 100 TB
-    * general-graph path is [[starComponents]]. `edges` must carry BOTH
-    * directions of each pair. */
+    * each round takes the min over direct neighbors AND over
+    * label(label(v)) — the jump roughly doubles propagation distance per
+    * round, so O(log diameter) rounds. Right when components are small
+    * (near-dup clusters); the 100 TB general-graph path is
+    * [[starComponents]]. `edges` must carry BOTH directions of each pair.
+    *
+    * r22 restructure (guide §1.2 step 1 / §2.4 — fewer distributed ops
+    * per round): the pointer jump used to be a separate `prop ⋈ prop`
+    * self-join (its own exchanges, and its join tree evaluated the
+    * neighbor-min subtree twice when exchange reuse missed). The label
+    * pointer (v → label(v)) now RIDES THE EDGE SET into the one
+    * neighbor-min join — joining the pointer edge against the label table
+    * yields exactly label(label(v)) — so each round is ONE join + one
+    * aggregate + one left join back, two exchanges fewer. The jump reads
+    * the PREVIOUS round's labels where the old self-join jumped through
+    * the current round's post-min labels (one round weaker per doubling,
+    * measured +0–1 rounds on the bench graphs); the FIXPOINT is
+    * unchanged — at convergence adjacent labels are equal, which forces
+    * every component to its minimum id, the same canonical labeling
+    * (DedupClusterSpec's union-find differential pins it). */
   def minLabelComponents(edges: DataFrame, nodes: DataFrame): CcResult = {
     val init = checkpointReleasable(nodes
       .select(col("vec_id"), col("vec_id").as("cluster_id")))
@@ -882,24 +897,22 @@ object DedupOps {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      // one neighbor-min step + one pointer jump (label := label of my
-      // label) per round — the jump doubles propagation distance.
       // localCheckpoint truncates the lineage each round; without it the
-      // self-join doubles the logical plan every iteration and planning
-      // blows up exponentially.
-      val nbrMin = edges
+      // round-over-round joins double the logical plan every iteration
+      // and planning blows up exponentially.
+      val aug = edges.union(
+        labels.select(col("vec_id").as("src"), col("cluster_id").as("dst")))
+      val nbrMin = aug
         .join(labels.select(col("vec_id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
         .groupBy("src").agg(min("nbr").as("nbr_min"))
-      val prop = labels
+      // eager checkpoint: one job per round, constant-size plan — and the
+      // superseded round's blocks are freed as soon as this one lands
+      val (updated, relNew) = checkpointReleasable(labels
         .join(nbrMin.select(col("src").as("vec_id"), col("nbr_min")), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("c1"))
-      // eager checkpoint: one job per round, constant-size plan — and the
-      // superseded round's blocks are freed as soon as this one lands
-      val (updated, relNew) = checkpointReleasable(prop.as("p")
-        .join(prop.select(col("vec_id").as("c1"), col("c1").as("jump")).as("j"), Seq("c1"))
-        .select(col("vec_id"), least(col("c1"), col("jump")).as("cluster_id"),
-          (least(col("c1"), col("jump")) < col("old")).as("chg")))
+        .select(col("vec_id"), col("c1").as("cluster_id"),
+          (col("c1") < col("old")).as("chg")))
       // coalesce(sum, 0): sum() over an EMPTY frame is SQL-null, and
       // getLong on it NPEs — an empty node set must converge in one
       // round, not crash (review r19; starComponents' checksum already

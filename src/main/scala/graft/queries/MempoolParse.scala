@@ -94,6 +94,29 @@ object MempoolParse {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(Int, String), Merge.Output]
 
+  /** Run `f` (which must EXECUTE the merge DAG's jobs) under a 64k AQE
+    * coalescing floor, session conf restored after — the STAGE-LOCAL form
+    * of the r21 session-wide experiment (VERDICT r21 item 5 / guide §2.2:
+    * partition sizing is per-stage, not per-session). AQE sizes
+    * post-shuffle partitions by shuffle BYTES, and the A1 dedup exchange's
+    * output is small enough at bench volume that the default 1 MB floor
+    * coalesces the CPU-BOUND secp-recover parse stage to half the cores
+    * (AqeParseProbe: 16 → 32 partitions, 1.6 → 1.2 s warm under the
+    * floor); applied session-wide it cost ~10 % via tiny tasks on the
+    * ~15 small shuffle-heavy text/dedup queries, so it is scoped to the
+    * merge DAG's materializing actions only. AQE reads the conf at
+    * EXECUTION time, which is why the wrapper surrounds the action, not
+    * the plan construction. */
+  private def withMergeAqeFloor[A](s: SparkSession)(f: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "64k")
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   def mergeOutput(s: SparkSession, dir: String): Merge.Output =
     SessionCaches.memoize(memo, (System.identityHashCode(s), dir), {
       SessionCaches.onRelease(s, s"mempool.merge:$dir")(() =>
@@ -105,8 +128,15 @@ object MempoolParse {
         blacklist = Some(raws.filter(col("timestamp_ms") % 31 === 0).select("hash")),
         blocks = Some(blks)))
       // the archive side feeds all three reader queries — materialize the
-      // joined/sorted result once, not just the parse stage inside Merge
-      out.copy(transactions = out.transactions.cache())
+      // joined/sorted result once, not just the parse stage inside Merge.
+      // Materialized EAGERLY here (values unchanged — the DAG is
+      // deterministic) so the one real execution of the DAG runs under
+      // the scoped AQE floor; callers that timed their own first count
+      // (Bench's merge_sec) wrap this builder call, so attribution is
+      // unchanged.
+      val tx = out.transactions.cache()
+      withMergeAqeFloor(s) { tx.count() }
+      out.copy(transactions = tx)
     })
 
   /** Unpersist + evict the shared merge DAG and its cached fixture inputs
@@ -148,7 +178,9 @@ object MempoolParse {
       blacklist = Some(raws.filter(col("timestamp_ms") % 31 === 0).select("hash")),
       blocks = Some(blks)))
     val warmTx = out.transactions.cache()
-    try { warmTx.count(); out.trash.count() }
+    // warm under the same scoped AQE floor the real merge runs under, so
+    // the compiled stages and AQE choices match the real plan exactly
+    try { withMergeAqeFloor(s) { warmTx.count() }; out.trash.count() }
     finally {
       warmTx.unpersist(false); out.parsed.unpersist(false)
       raws.unpersist(false); slog.unpersist(false); blks.unpersist(false)

@@ -177,8 +177,9 @@ class InclusionCheckSpec extends AnyFunSuite {
   test("batched JSON-RPC resolution matches the join path and the " +
     "sequential path; blocks still fetched once each") {
     withRpcServer() { (uri, receiptReqs, blockReqs) =>
+      val stats = InclusionCheck.Stats(spark)
       val out = InclusionCheck.enrich(inputDf.repartition(1),
-        InclusionCheck.JsonRpcFactory(uri), None,
+        InclusionCheck.JsonRpcFactory(uri), Some(stats),
         rpcBatchSize = 64).persist()
       out.count()
       // value parity: the batch path may not change a single enriched cell
@@ -191,6 +192,31 @@ class InclusionCheckSpec extends AnyFunSuite {
       // count (the sequential path's bound), and the chunk probe means a
       // block folded by an EARLIER chunk saves its members' receipts
       assert(receiptReqs.get() <= nTx)
+      // EXACT accounting pin (ADVICE r21): the batched counters diverge
+      // from the sequential path's by design (same-chunk block-mates count
+      // as misses; pending hashes re-probe every chunk) — deterministic
+      // for this fixture, so simulate the documented chunk walk over the
+      // same single-partition row order and require equality.
+      val order = inputDf.repartition(1).select("hash")
+        .collect().map(_.getString(0))
+      var eHits = 0L; var eMisses = 0L; var eReceipts = 0L; var eBlocks = 0L
+      val cached = scala.collection.mutable.Set.empty[String]
+      order.grouped(64).foreach { chunk =>
+        val unresolved = scala.collection.mutable.LinkedHashSet.empty[String]
+        chunk.foreach { h =>
+          if (cached(h)) eHits += 1 else { eMisses += 1; unresolved += h }
+        }
+        eReceipts += unresolved.size
+        val need = unresolved.toSeq.flatMap(txToBlock.get).distinct
+        eBlocks += need.size
+        need.foreach(bh => blocksByHash(bh)._3.foreach(cached += _))
+      }
+      assert(stats.cacheHits.value == eHits)
+      assert(stats.cacheMisses.value == eMisses)
+      assert(stats.receiptCalls.value == eReceipts)
+      assert(stats.blockCalls.value == eBlocks)
+      assert(receiptReqs.get() == eReceipts)
+      assert(blockReqs.get() == eBlocks)
     }
     // eviction-hostile: chunk-local resolutions must survive a cache too
     // small to hold even one block's fold
