@@ -87,8 +87,31 @@ object SinkOracles {
           (col("user_id") * 1000003L % 97L).as("fee_bucket"),
           concat(lit("src"), (col("user_id") % 5).cast("string")).as("source"),
           (col("event_id") % 3).as("b"))
+      // AQE is scoped OFF for the pin itself: under AQE the checkpoint's
+      // LogicalRDD captures UnknownPartitioning (the adaptive plan's
+      // partitioning is not final at capture time) and every slice would
+      // re-plan its dedup exchange. The plain plan captures
+      // hashpartitioning(hash, 4) — 4 partitions is the fixture's fixed
+      // I/O shape (a ~14k-row sample into one embedded Derby endpoint;
+      // the endpoint, not the cluster, is the bottleneck at any SF).
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prevAqe = s.conf.get(aqeKey)
+      s.conf.set(aqeKey, "false")
       val (pinned, release) =
-        DedupOps.checkpointReleasable(sample.repartition(col("hash")))
+        try DedupOps.checkpointReleasable(sample.repartition(4, col("hash")))
+        finally s.conf.set(aqeKey, prevAqe)
+      // plan evidence hook (plans/r22): SPARK_GRAFT_DUMP_JDBC_PLAN=1
+      // prints the exact frame each sink call dedups — after the pin it
+      // must plan NO Exchange (the LogicalRDD carries hashpartitioning) —
+      // plus the r21 unpinned shape for the before/after diff.
+      if (sys.env.contains("SPARK_GRAFT_DUMP_JDBC_PLAN")) {
+        println("==== r21 shape (per-batch scan + dedup exchange) ====")
+        sample.filter(col("b") === 0).drop("b").dropDuplicates("hash")
+          .explain("formatted")
+        println("==== r22 shape (batch slice over the pinned exchange) ====")
+        pinned.filter(col("b") === 0).drop("b").dropDuplicates("hash")
+          .explain("formatted")
+      }
       try {
         val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
         val sink = graft.ops.Sinks.jdbcBatchSink(
